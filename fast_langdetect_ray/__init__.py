@@ -1,0 +1,23 @@
+"""fast_langdetect_ray — a Ray-Data-native language-ID + quality-filter
+engine with the query/data-processing capabilities of
+LlmKira/fast-langdetect, rebuilt from scratch on ray.data.Dataset +
+zero-copy Arrow map_batches (reference at /root/reference, v1.0.1).
+
+Public surface mirrors the reference package root
+(``/root/reference/src/fast_langdetect/__init__.py``) plus the Ray
+pipeline layer under :mod:`fast_langdetect_ray.pipelines` /
+:mod:`fast_langdetect_ray.stages`.
+"""
+
+from .detect import (  # noqa: F401
+    FastLangdetectError,
+    LangDetectConfig,
+    LangDetector,
+    ModelLoadError,
+    detect,
+    detect_language,
+    is_japanese,
+)
+from .ftz import FastTextModel  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,300 @@
+"""Reference-parity detection API (operators O1–O14 of SURVEY.md §2).
+
+Reimplements, on top of the NumPy :mod:`fast_langdetect_ray.ftz` engine,
+the exact user-facing semantics of the reference
+``fast_langdetect.infer`` / ``fast_langdetect.__init__``
+(``/root/reference/src/fast_langdetect/infer.py``):
+
+* ``detect(text, *, model, k, threshold, config)`` — candidate list of
+  ``{"lang": str, "score": float}``, ``__label__`` stripped, scores
+  clamped to ≤ 1.0, sorted descending (infer.py:344-351).
+* preprocessing: newlines always replaced by spaces (infer.py:234-236);
+  truncation to ``max_input_length`` (default 80) chars (infer.py:239-243).
+* normalization: lowercase when text ``isupper()`` or >80 % of its
+  letters are uppercase and len > 5 (infer.py:265-269, issue #14).
+* model selection ``lite | full | auto`` with per-detector model cache
+  and MemoryError-only fallback (infer.py:273-304, 324-339).
+* ``detect_language`` convenience with the JA→ZH kana correction
+  (``__init__.py:20-32``) and ``is_japanese`` (``__init__.py:13-17``).
+* error taxonomy: ``FastLangdetectError`` base, ``ModelLoadError``
+  subclass; standard exceptions (FileNotFoundError, MemoryError)
+  propagate (infer.py:30-37; README "Fallback Policy").
+
+Offline deviation (documented, sandbox has no network): the reference
+downloads ``lid.176.bin`` for the full model (infer.py:23-26).  Here,
+``full``/``auto`` use ``lid.176.bin`` from ``cache_dir`` when present;
+a *missing user-supplied* cache dir still raises ``FileNotFoundError``
+with no fallback (parity with tests/test_real_detection.py:92-99);
+otherwise the bundled lite model backs the ``full`` selection with a
+logged note (reference goldens for ``model="full"`` hold on the lite
+model — they are the same strings its lite tests use).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import tempfile
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from .ftz import FastTextModel
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = Path(tempfile.gettempdir()) / "fasttext-langdetect"
+CACHE_DIRECTORY = os.getenv("FTLANG_CACHE", str(DEFAULT_CACHE_DIR))
+FULL_MODEL_NAME = "lid.176.bin"
+# The reference bundles the lite model; we read it straight from the
+# reference checkout (read-only) — it is a public artifact, not code.
+LITE_MODEL_PATH = (
+    Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz")
+    if Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz").exists()
+    else Path(__file__).parent / "resources" / "lid.176.ftz"
+)
+
+_VALID_MODELS = ("lite", "full", "auto")
+
+_UPPER_RE = re.compile(r"[A-Z]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+class FastLangdetectError(Exception):
+    """Base error for library-specific failures (infer.py:30-32)."""
+
+
+class ModelLoadError(FastLangdetectError):
+    """A model file exists but could not be loaded (infer.py:35-37)."""
+
+
+def load_model_file(model_path: Path) -> FastTextModel:
+    """Load a fastText model file with the reference error taxonomy
+    (infer.py:97-105, 170-178): missing → FileNotFoundError,
+    MemoryError propagates, anything else → ModelLoadError."""
+    model_path = Path(model_path)
+    if not model_path.exists():
+        raise FileNotFoundError(f"Model file not found: {model_path}")
+    try:
+        return FastTextModel.load(model_path)
+    except MemoryError:
+        raise
+    except Exception as e:
+        raise ModelLoadError(f"Failed to load model: {e}") from e
+
+
+class LangDetectConfig:
+    """Detection configuration (infer.py:181-210).
+
+    ``custom_model_path`` is validated eagerly at construction —
+    a missing file raises ``FileNotFoundError``
+    (tests/test_real_detection.py:82-90).
+    """
+
+    def __init__(
+        self,
+        cache_dir: Optional[str] = None,
+        custom_model_path: Optional[str] = None,
+        proxy: Optional[str] = None,
+        normalize_input: bool = True,
+        max_input_length: Optional[int] = 80,
+        model: str = "auto",
+    ):
+        self.cache_dir = cache_dir or CACHE_DIRECTORY
+        self.custom_model_path = custom_model_path
+        self.proxy = proxy
+        self.normalize_input = normalize_input
+        self.max_input_length = max_input_length
+        self.model = model
+        if self.custom_model_path and not Path(self.custom_model_path).exists():
+            raise FileNotFoundError(
+                f"Target model file not found: {self.custom_model_path}")
+
+
+class LangDetector:
+    """fastText-based language detector, reference-parity (infer.py:213-351).
+
+    Holds a per-instance model cache keyed ``low_memory``/``high_memory``
+    (infer.py:279-281) — in the Ray engine one instance lives inside
+    each map_batches actor, giving the cluster-scope analogue of the
+    reference's per-process cache.
+    """
+
+    def __init__(self, config: Optional[LangDetectConfig] = None):
+        self._models: Dict[str, FastTextModel] = {}
+        self.config = config or LangDetectConfig()
+
+    # ------------------------------------------------------ text munging
+
+    def _preprocess_text(self, text: str) -> str:
+        """Newline→space (always, silent), then truncate to
+        ``max_input_length`` (infer.py:227-244)."""
+        if "\n" in text:
+            text = text.replace("\n", " ")
+        limit = self.config.max_input_length
+        if limit is not None and len(text) > limit:
+            logger.info(
+                "Truncating input from %d to %d characters; may reduce accuracy.",
+                len(text), limit)
+            text = text[:limit]
+        return text
+
+    @staticmethod
+    def _normalize_text(text: str, should_normalize: bool = False) -> str:
+        """Lowercase mostly-uppercase text (infer.py:246-271): applies
+        when ``text.isupper()`` or uppercase letters exceed 80 % of all
+        letters and the string is longer than 5 chars."""
+        if not should_normalize:
+            return text
+        if text.isupper() or (
+            len(_UPPER_RE.findall(text)) > 0.8 * len(_ALPHA_RE.findall(text))
+            and len(text) > 5
+        ):
+            return text.lower()
+        return text
+
+    # ----------------------------------------------------- model loading
+
+    def _resolve_full_model_path(self) -> Path:
+        """Path + existence policy for the full model, offline
+        (see module docstring; reference download at infer.py:43-88)."""
+        cache_dir = Path(self.config.cache_dir)
+        model_path = cache_dir / FULL_MODEL_NAME
+        if model_path.exists():
+            return model_path
+        if not cache_dir.exists() and cache_dir != DEFAULT_CACHE_DIR:
+            # user-specified cache dir must exist — no fallback
+            # (parity: infer.py:64-75, tests/test_real_detection.py:92-99)
+            raise FileNotFoundError(f"Cache directory not found: {cache_dir}")
+        logger.info(
+            "full model %s unavailable offline; using bundled lite model",
+            model_path)
+        return LITE_MODEL_PATH
+
+    def _get_model(
+        self, low_memory: bool = True, *, fallback_on_memory_error: bool = False
+    ) -> FastTextModel:
+        """Cached model fetch with MemoryError-only fallback
+        (infer.py:273-304)."""
+        cache_key = "low_memory" if low_memory else "high_memory"
+        cached = self._models.get(cache_key)
+        if cached is not None:
+            return cached
+        try:
+            if self.config.custom_model_path is not None:
+                model = load_model_file(Path(self.config.custom_model_path))
+            elif low_memory:
+                model = load_model_file(LITE_MODEL_PATH)
+            else:
+                model = load_model_file(self._resolve_full_model_path())
+            self._models[cache_key] = model
+            return model
+        except MemoryError:
+            if (not low_memory) and fallback_on_memory_error:
+                logger.info("Falling back to low-memory model...")
+                return self._get_model(
+                    low_memory=True, fallback_on_memory_error=False)
+            raise
+
+    def _select_backend(self, model: Optional[str]) -> FastTextModel:
+        sel = self.config.model if model is None else model
+        if model is not None and model not in _VALID_MODELS:
+            raise FastLangdetectError(f"Invalid model: {model}")
+        if sel == "lite":
+            return self._get_model(low_memory=True)
+        if sel == "full":
+            return self._get_model(low_memory=False)
+        return self._get_model(low_memory=False, fallback_on_memory_error=True)
+
+    # -------------------------------------------------------- detection
+
+    def detect(
+        self,
+        text: str,
+        *,
+        model: Optional[str] = None,
+        k: int = 1,
+        threshold: float = 0.0,
+    ) -> List[Dict[str, Any]]:
+        """Detect language candidates; always a list sorted descending
+        by score, ``__label__`` stripped, scores clamped to ≤ 1.0
+        (infer.py:306-351)."""
+        ft_model = self._select_backend(model)
+        text = self._preprocess_text(text)
+        text = self._normalize_text(text, self.config.normalize_input)
+        labels, scores = ft_model.predict(text, k=k, threshold=threshold)
+        results = [
+            {"lang": lbl.replace("__label__", ""), "score": min(float(s), 1.0)}
+            for lbl, s in zip(labels, scores)
+        ]
+        results.sort(key=lambda r: r["score"], reverse=True)
+        return results
+
+    def detect_batch(
+        self,
+        texts: List[str],
+        *,
+        model: Optional[str] = None,
+        k: int = 1,
+        threshold: float = 0.0,
+    ) -> List[List[Dict[str, Any]]]:
+        """Vectorized form of :meth:`detect` over many texts — the core
+        the Ray langid stage calls.  Semantics per text are identical to
+        ``detect`` (same preprocess/normalize/strip/clamp/sort)."""
+        ft_model = self._select_backend(model)
+        norm = self.config.normalize_input
+        prepped = [
+            self._normalize_text(self._preprocess_text(t), norm) for t in texts
+        ]
+        out: List[List[Dict[str, Any]]] = []
+        for labels, scores in ft_model.predict_batch(prepped, k=k, threshold=threshold):
+            out.append([
+                {"lang": lbl.replace("__label__", ""),
+                 "score": min(float(s), 1.0)}
+                for lbl, s in zip(labels, scores)
+            ])
+        return out
+
+
+# Module-level default detector (the reference's singleton, infer.py:355);
+# created lazily here so importing the package never loads a model.
+_default_detector: Optional[LangDetector] = None
+
+
+def _get_default_detector() -> LangDetector:
+    global _default_detector
+    if _default_detector is None:
+        _default_detector = LangDetector()
+    return _default_detector
+
+
+def detect(
+    text: str,
+    *,
+    model: Optional[str] = None,
+    k: int = 1,
+    threshold: float = 0.0,
+    config: Optional[LangDetectConfig] = None,
+) -> List[Dict[str, Any]]:
+    """Module-level detect (infer.py:358-367): a fresh detector per call
+    when ``config`` is given, else the shared default instance."""
+    detector = LangDetector(config) if config is not None else _get_default_detector()
+    return detector.detect(text, model=model, k=k, threshold=threshold)
+
+
+def is_japanese(string: str) -> bool:
+    """True if any char falls strictly inside the kana block
+    (0x3040, 0x30FF) — exclusive bounds (``__init__.py:13-17``)."""
+    return any(0x3040 < ord(ch) < 0x30FF for ch in string)
+
+
+def detect_language(sentence: str, *, low_memory: bool = True) -> str:
+    """Coarse single-code detection (``__init__.py:20-32``): top-1 lang
+    uppercased (default ``"EN"`` on empty), with JA corrected to ZH when
+    the text contains no kana."""
+    model = "lite" if low_memory else "full"
+    res = detect(sentence, model=model, k=1)
+    lang_code = res[0].get("lang").upper() if res else "EN"
+    if lang_code == "JA" and not is_japanese(sentence):
+        lang_code = "ZH"
+    return lang_code

@@ -1,0 +1,450 @@
+"""Pure-NumPy fastText model loader + batch predictor.
+
+Reads the standard fastText v12 binary format (supervised, optionally
+product-quantized — the layout the reference's bundled
+``resources/lid.176.ftz`` uses; see SURVEY.md Appendix A and the public
+facebookresearch/fastText serialization code: ``FastText::loadModel``,
+``Dictionary::load``, ``QuantMatrix::load``, ``ProductQuantizer::load``).
+
+The external ``fasttext-predict`` wheel the reference depends on
+(``/root/reference/pyproject.toml:11``) is unavailable offline, so this
+module reimplements the inference path in NumPy:
+
+tokenize on fastText's whitespace set → per-token rows (vocab row +
+pruned char-ngram rows, minn..maxn, UTF-8 boundary aware) → mean of
+PQ-decoded input vectors → dense output matrix → hierarchical-softmax
+probabilities over the Huffman tree built from label counts → top-k ≥
+threshold.
+
+Everything is decoded ONCE at load time (the full input matrix is
+dequantized to a dense float32 array, the Huffman tree is flattened to
+two {leaf × internal-node} path-indicator matrices), so per-batch work
+is one fancy-index + mean + two matmuls — suitable for map_batches
+actors scoring thousands of rows per call.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FASTTEXT_MAGIC = 793712314
+FASTTEXT_VERSION = 12
+
+EOS = "</s>"
+BOW = b"<"
+EOW = b">"
+LABEL_PREFIX = "__label__"
+
+# fastText Dictionary::readWord separator set
+_WHITESPACE = " \n\t\v\f\r\x00"
+
+_UINT32_MASK = 0xFFFFFFFF
+
+
+def ft_hash_bytes(data: bytes) -> int:
+    """fastText's FNV-1a variant: bytes are XOR-ed as *signed* chars
+    sign-extended to uint32 (``Dictionary::hash``)."""
+    h = 2166136261
+    for b in data:
+        if b >= 128:
+            b |= 0xFFFFFF00
+        h ^= b
+        h = (h * 16777619) & _UINT32_MASK
+    return h
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, fmt: str):
+        vals = struct.unpack_from("<" + fmt, self.buf, self.pos)
+        self.pos += struct.calcsize("<" + fmt)
+        return vals if len(vals) > 1 else vals[0]
+
+    def read_bytes(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_cstring(self) -> bytes:
+        end = self.buf.index(0, self.pos)
+        out = self.buf[self.pos : end]
+        self.pos = end + 1
+        return out
+
+    def read_f32_array(self, n: int) -> np.ndarray:
+        arr = np.frombuffer(self.buf, dtype="<f4", count=n, offset=self.pos)
+        self.pos += 4 * n
+        return arr
+
+    def read_u8_array(self, n: int) -> np.ndarray:
+        arr = np.frombuffer(self.buf, dtype=np.uint8, count=n, offset=self.pos)
+        self.pos += n
+        return arr
+
+
+def _read_product_quantizer(c: _Cursor) -> Tuple[int, int, int, int, np.ndarray]:
+    dim, nsubq, dsub, lastdsub = c.read("iiii")
+    ksub = 256
+    centroids = c.read_f32_array(dim * ksub)
+    return dim, nsubq, dsub, lastdsub, centroids
+
+
+def _decode_quant_matrix(c: _Cursor) -> np.ndarray:
+    """Decode a fastText QuantMatrix section to a dense float32 array.
+
+    Layout (``QuantMatrix::load``): qnorm flag, m, n, codesize, codes,
+    ProductQuantizer, then (if qnorm) per-row norm codes + a 1-D norm
+    ProductQuantizer. Decoded row = norm * concat_j centroids[j, code_j].
+    """
+    qnorm = c.read("B")
+    m, n = c.read("qq")
+    codesize = c.read("i")
+    codes = c.read_u8_array(codesize)
+
+    dim, nsubq, dsub, lastdsub, centroids = _read_product_quantizer(c)
+    if dim != n:
+        raise ValueError(f"PQ dim {dim} != matrix n {n}")
+
+    codes = codes.reshape(m, nsubq)
+    # centroids layout: centroid i of subquantizer s starts at (s*256 + i)*dsub
+    # (uniform dsub when lastdsub == dsub, true for lid.176.ftz)
+    out = np.empty((m, n), dtype=np.float32)
+    if lastdsub == dsub:
+        cent = centroids.reshape(nsubq, 256, dsub)
+        for s in range(nsubq):
+            out[:, s * dsub : (s + 1) * dsub] = cent[s][codes[:, s]]
+    else:
+        col = 0
+        for s in range(nsubq):
+            d = lastdsub if s == nsubq - 1 else dsub
+            base = s * 256 * dsub
+            for j in range(d):
+                out[:, col + j] = centroids[base + codes[:, s] * d + j]
+            col += d
+
+    if qnorm:
+        norm_codes = c.read_u8_array(m)
+        ndim, nnsubq, ndsub, nlastdsub, ncentroids = _read_product_quantizer(c)
+        norms = ncentroids[norm_codes]
+        out *= norms[:, None]
+    return out
+
+
+def _read_dense_matrix(c: _Cursor) -> np.ndarray:
+    m, n = c.read("qq")
+    data = c.read_f32_array(m * n)
+    return data.reshape(m, n).copy()
+
+
+def _build_huffman_paths(counts: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the fastText hierarchical-softmax Huffman tree from label
+    counts (``HierarchicalSoftmaxLoss::buildTree`` semantics — counts
+    must be in dictionary order, which is descending) and flatten each
+    leaf's root→leaf path into two {nlabels × nlabels-1} 0/1 matrices:
+    ``right[l, r] = 1`` if leaf ``l``'s path takes the right branch at
+    the internal node whose output-matrix row is ``r`` (``left``
+    likewise).  log P(leaf) = log(σ(F)+1e-5)·rightᵀ + log(1-σ(F)+1e-5)·leftᵀ.
+    """
+    osz = len(counts)
+    n_nodes = 2 * osz - 1
+    cnt = [0] * n_nodes
+    left = [-1] * n_nodes
+    right = [-1] * n_nodes
+    parent = [-1] * n_nodes
+    binary = [False] * n_nodes
+    BIG = 10 ** 15
+    for i in range(n_nodes):
+        cnt[i] = BIG
+    for i in range(osz):
+        cnt[i] = int(counts[i])
+    leaf = osz - 1
+    node = osz
+    for i in range(osz, n_nodes):
+        mini = [0, 0]
+        for j in range(2):
+            if leaf >= 0 and cnt[leaf] < cnt[node]:
+                mini[j] = leaf
+                leaf -= 1
+            else:
+                mini[j] = node
+                node += 1
+        left[i] = mini[0]
+        right[i] = mini[1]
+        cnt[i] = cnt[mini[0]] + cnt[mini[1]]
+        parent[mini[0]] = i
+        parent[mini[1]] = i
+        binary[mini[1]] = True
+
+    path_right = np.zeros((osz, osz - 1), dtype=np.float32)
+    path_left = np.zeros((osz, osz - 1), dtype=np.float32)
+    for lf in range(osz):
+        n = lf
+        while parent[n] != -1:
+            p = parent[n]
+            row = p - osz  # output-matrix row of internal node p
+            if binary[n]:
+                path_right[lf, row] = 1.0
+            else:
+                path_left[lf, row] = 1.0
+            n = p
+    return path_right, path_left
+
+
+class FastTextModel:
+    """A loaded fastText supervised model, NumPy-backed.
+
+    API mirrors the subset of the fasttext python wrapper the reference
+    calls (``infer.py:343``): ``predict(text, k, threshold)`` returning
+    ``(labels_tuple, scores_ndarray)`` sorted descending by score, plus
+    a vectorized ``predict_batch`` used by the Ray actors.
+    """
+
+    def __init__(self):
+        self.dim = 0
+        self.bucket = 0
+        self.minn = 0
+        self.maxn = 0
+        self.loss = 0
+        self.nwords = 0
+        self.nlabels = 0
+        self.labels: List[str] = []
+        self.word2id: Dict[str, int] = {}
+        self.pruneidx: Dict[int, int] = {}
+        self.input_matrix: Optional[np.ndarray] = None   # (rows, dim) f32
+        self.output_matrix: Optional[np.ndarray] = None  # (nlabels, dim) f32
+        self._path_right: Optional[np.ndarray] = None    # (nlabels, nlabels-1)
+        self._path_left: Optional[np.ndarray] = None
+        self._softmax = False
+        self._subword_cache: Dict[str, np.ndarray] = {}
+
+    # ---------------------------------------------------------- loading
+
+    @classmethod
+    def load(cls, path) -> "FastTextModel":
+        path = Path(path)
+        buf = path.read_bytes()
+        c = _Cursor(buf)
+        magic = c.read("i")
+        version = c.read("i")
+        if magic != FASTTEXT_MAGIC:
+            raise ValueError(f"not a fastText model (magic={magic})")
+        if version > FASTTEXT_VERSION:
+            raise ValueError(f"unsupported fastText version {version}")
+
+        m = cls()
+        (m.dim, _ws, _epoch, _min_count, _neg, _word_ngrams, m.loss,
+         _model, m.bucket, m.minn, m.maxn, _lr_update_rate) = c.read("12i")
+        _t = c.read("d")
+
+        size, nwords, nlabels = c.read("iii")
+        _ntokens, pruneidx_size = c.read("qq")
+        m.nwords = nwords
+        m.nlabels = nlabels
+
+        words: List[str] = []
+        counts: List[int] = []
+        types: List[int] = []
+        for _ in range(size):
+            w = c.read_cstring().decode("utf-8", errors="replace")
+            cnt = c.read("q")
+            typ = c.read("B")
+            words.append(w)
+            counts.append(cnt)
+            types.append(typ)
+        m.word2id = {w: i for i, w in enumerate(words)}
+        m.labels = words[nwords:]
+        label_counts = counts[nwords:]
+
+        if pruneidx_size > 0:
+            pairs = np.frombuffer(
+                c.read_bytes(8 * pruneidx_size), dtype="<i4"
+            ).reshape(pruneidx_size, 2)
+            m.pruneidx = dict(zip(pairs[:, 0].tolist(), pairs[:, 1].tolist()))
+        elif pruneidx_size < 0:
+            m.pruneidx = {}
+
+        quant_input = c.read("B")
+        if quant_input:
+            m.input_matrix = _decode_quant_matrix(c)
+        else:
+            m.input_matrix = _read_dense_matrix(c)
+
+        qout = c.read("B")
+        if qout:
+            m.output_matrix = _decode_quant_matrix(c)
+        else:
+            m.output_matrix = _read_dense_matrix(c)
+
+        if c.pos != len(buf):
+            raise ValueError(
+                f"trailing bytes: parsed {c.pos} of {len(buf)}")
+
+        if m.loss == 1:  # hierarchical softmax
+            m._path_right, m._path_left = _build_huffman_paths(label_counts)
+            m._softmax = False
+        else:  # softmax / ns — plain softmax at predict time
+            m._softmax = True
+        return m
+
+    # ------------------------------------------------------- tokenizing
+
+    def _token_rows(self, token: str) -> np.ndarray:
+        """Input-matrix rows for one token: its vocab row (if in vocab)
+        plus surviving pruned char-ngram rows (``Dictionary::addSubwords``
+        + ``computeSubwords`` + ``pushHash``). Cached per token."""
+        cached = self._subword_cache.get(token)
+        if cached is not None:
+            return cached
+        rows: List[int] = []
+        wid = self.word2id.get(token)
+        if wid is not None and wid >= self.nwords:
+            wid = None  # a label used as a plain token: not a word row
+        if wid is not None:
+            rows.append(wid)
+            if token != EOS and self.maxn > 0:
+                self._ngram_rows(BOW + token.encode("utf-8") + EOW, rows)
+        else:
+            if token != EOS and not token.startswith(LABEL_PREFIX):
+                self._ngram_rows(BOW + token.encode("utf-8") + EOW, rows)
+        out = np.asarray(rows, dtype=np.int64)
+        if len(self._subword_cache) < 2_000_000:
+            self._subword_cache[token] = out
+        return out
+
+    def _ngram_rows(self, word: bytes, rows: List[int]) -> None:
+        nb = len(word)
+        minn, maxn, bucket = self.minn, self.maxn, self.bucket
+        pruneidx = self.pruneidx
+        pruned = bool(pruneidx)
+        nwords = self.nwords
+        for i in range(nb):
+            if (word[i] & 0xC0) == 0x80:
+                continue
+            j = i
+            n = 1
+            while j < nb and n <= maxn:
+                k = j + 1
+                while k < nb and (word[k] & 0xC0) == 0x80:
+                    k += 1
+                j = k
+                if n >= minn and not (n == 1 and (i == 0 or j == nb)):
+                    h = ft_hash_bytes(word[i:j]) % bucket
+                    if pruned:
+                        mapped = pruneidx.get(h)
+                        if mapped is not None:
+                            rows.append(nwords + mapped)
+                    else:
+                        rows.append(nwords + h)
+                n += 1
+
+    def _line_rows(self, text: str) -> np.ndarray:
+        """Row ids for a whole input line: whitespace-split tokens (up
+        to the first newline, matching one-line predict semantics) plus
+        the EOS terminator."""
+        nl = text.find("\n")
+        if nl >= 0:
+            text = text[:nl]
+        parts: List[np.ndarray] = []
+        for token in text.split():
+            if token.startswith(LABEL_PREFIX) and token in self.word2id:
+                continue  # labels in the input line are not words
+            r = self._token_rows(token)
+            if r.size:
+                parts.append(r)
+        parts.append(self._token_rows(EOS))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    # -------------------------------------------------------- inference
+
+    def _log_probs(self, hidden: np.ndarray) -> np.ndarray:
+        """(batch, dim) hidden states → (batch, nlabels) log-probs with
+        fastText's per-step ``std_log(x)=log(x+1e-5)`` quirk (so values
+        can exceed 0 slightly; exp can exceed 1 → callers clamp)."""
+        if self._softmax:
+            z = hidden @ self.output_matrix.T
+            z -= z.max(axis=1, keepdims=True)
+            ez = np.exp(z)
+            return np.log(ez / ez.sum(axis=1, keepdims=True) + np.float32(1e-5))
+        f = hidden @ self.output_matrix[: self.nlabels - 1].T
+        s = 1.0 / (1.0 + np.exp(-f))
+        eps = np.float32(1e-5)
+        return (
+            np.log(s + eps) @ self._path_right.T
+            + np.log((np.float32(1.0) - s) + eps) @ self._path_left.T
+        )
+
+    def hidden_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """Mean input vector per text (``Model::computeHidden``)."""
+        row_lists = [self._line_rows(t) for t in texts]
+        counts = np.array([r.size for r in row_lists], dtype=np.int64)
+        flat = np.concatenate(row_lists)
+        vecs = self.input_matrix[flat]
+        starts = np.zeros(len(row_lists), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sums = np.add.reduceat(vecs, starts, axis=0)
+        return (sums / counts[:, None]).astype(np.float32, copy=False)
+
+    def predict_batch(
+        self, texts: Sequence[str], k: int = 1, threshold: float = 0.0
+    ) -> List[Tuple[List[str], np.ndarray]]:
+        """Vectorized top-k predict for many texts.
+
+        Returns per text ``(labels, probs)`` sorted descending by prob,
+        filtered to ``prob >= threshold + 1e-5`` in log space — the same
+        leaf set the C++ dfs pruning admits (the dfs threshold check is
+        ``score < log(threshold + 1e-5)`` at every prefix, and prefix
+        scores decrease monotonically).
+        """
+        if len(texts) == 0:
+            return []
+        lp = self._log_probs(self.hidden_batch(texts))
+        cutoff = np.log(threshold + 1e-5)
+        k_eff = min(k, self.nlabels)
+        out: List[Tuple[List[str], np.ndarray]] = []
+        labels = self.labels
+        # top-k per row
+        if k_eff < self.nlabels:
+            part = np.argpartition(-lp, k_eff - 1, axis=1)[:, :k_eff]
+        else:
+            part = np.tile(np.arange(self.nlabels), (lp.shape[0], 1))
+        for i in range(lp.shape[0]):
+            idx = part[i]
+            sc = lp[i, idx]
+            order = np.argsort(-sc, kind="stable")
+            idx = idx[order]
+            sc = sc[order]
+            keep = sc >= cutoff
+            idx = idx[keep]
+            sc = sc[keep]
+            out.append(([labels[j] for j in idx], np.exp(sc)))
+        return out
+
+    def predict(
+        self, text: str, k: int = 1, threshold: float = 0.0
+    ) -> Tuple[Tuple[str, ...], np.ndarray]:
+        """fasttext-wrapper-compatible single-text predict
+        (the call shape used at reference ``infer.py:343``)."""
+        if "\n" in text:
+            raise ValueError(
+                "predict processes one line at a time (remove '\\n')")
+        labels, scores = self.predict_batch([text], k=k, threshold=threshold)[0]
+        return tuple(labels), scores
+
+    def top1_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Fast path for k=1 over a batch: returns (label_idx, prob)
+        arrays — used by the Ray langid stage."""
+        if len(texts) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        lp = self._log_probs(self.hidden_batch(texts))
+        idx = np.argmax(lp, axis=1)
+        probs = np.exp(lp[np.arange(lp.shape[0]), idx])
+        return idx, probs

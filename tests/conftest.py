@@ -1,0 +1,27 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (see repo instructions:
+    never init per-test)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def lite_model():
+    from fast_langdetect_ray.detect import LITE_MODEL_PATH
+    from fast_langdetect_ray.ftz import FastTextModel
+
+    return FastTextModel.load(LITE_MODEL_PATH)

@@ -1,0 +1,216 @@
+"""Reference pytest-suite parity (SURVEY.md §5, FIXTURES.md §5).
+
+Every golden below is ported from the reference's own tests
+(`/root/reference/tests/test_detect.py`, `tests/test_real_detection.py`)
+and must hold against our NumPy engine + parity API.
+"""
+
+import pytest
+
+from fast_langdetect_ray import (
+    FastLangdetectError,
+    LangDetectConfig,
+    LangDetector,
+    detect,
+    detect_language,
+    is_japanese,
+)
+
+SAMPLES = [
+    ("Hello world", "en"),
+    ("你好世界", "zh"),
+    ("こんにちは世界", "ja"),
+    ("Привет мир", "ru"),
+    ("안녕하세요 세계", "ko"),
+]
+
+MIXED_SAMPLES = [
+    "Hello 世界 こんにちは",
+    "你好 world こんにちは",
+    "Bonjour 世界 hello",
+]
+
+
+# ---------------------------------------------------------- test_detect.py
+
+def test_multi_detect():  # reference tests/test_detect.py:4-11
+    result = detect("hello world", k=3)
+    assert result[0]["lang"] == "en"
+
+
+def test_large():  # tests/test_detect.py:14-19
+    assert detect("hello world", k=3)[0]["lang"] == "en"
+    assert detect("你好世界", k=3)[0]["lang"] == "zh"
+
+
+def test_detect_per_model():  # tests/test_detect.py:22-29
+    assert detect("hello world", model="full")[0]["lang"] == "en"
+    assert detect("你好世界", model="lite")[0]["lang"] == "zh"
+    assert detect("こんにちは世界", model="full")[0]["lang"] == "ja"
+    assert detect("안녕하세요 세계", model="lite")[0]["lang"] == "ko"
+    assert detect("Bonjour le monde", model="full")[0]["lang"] == "fr"
+
+
+def test_detect_language_goldens():  # tests/test_detect.py:31-41
+    assert detect_language("hello world") == "EN"
+    assert detect_language("你好世界") == "ZH"
+    assert detect_language("こんにちは世界") == "JA"
+    assert detect_language("안녕하세요 세계") == "KO"
+    assert detect_language("Bonjour le monde") == "FR"
+    assert detect_language("Hallo Welt") == "DE"
+    # traditional-Chinese sentence → ZH via the JA→ZH kana rule
+    assert detect_language(
+        "這些機構主辦的課程，多以基本電腦使用為主，例如文書處理、中文輸入、互聯網應用等"
+    ) == "ZH"
+
+
+def test_newline_input_does_not_raise():  # tests/test_detect.py:44-49
+    result = detect("hello world\nNEW LINE", model="lite")
+    assert result[0]["lang"] == "en"
+
+
+# -------------------------------------------------- test_real_detection.py
+
+@pytest.mark.parametrize("text,expected", SAMPLES)
+def test_basic_detection(text, expected):  # :31-37
+    result = detect(text)
+    assert result[0]["lang"] == expected
+    assert 0.1 <= result[0]["score"] <= 1.0
+
+
+def test_multilingual_detection():  # :39-48
+    for text in MIXED_SAMPLES:
+        results = detect(text, k=3)
+        assert len(results) == 3
+        assert all(
+            results[i]["score"] >= results[i + 1]["score"]
+            for i in range(len(results) - 1)
+        )
+
+
+def test_low_memory_mode():  # :50-54
+    for text, expected in SAMPLES:
+        assert detect(text, model="lite")[0]["lang"] == expected
+
+
+def test_strict_mode():  # :56-59
+    assert detect(SAMPLES[0][0], model="full")[0]["lang"] == SAMPLES[0][1]
+
+
+def test_long_text():  # :61-67
+    long_text = " ".join(text for text, _ in SAMPLES)
+    result = detect(long_text)
+    assert len(result) >= 1
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_very_short_text():  # :69-73
+    result = detect("Hi")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_custom_config():  # :75-80
+    detector = LangDetector(LangDetectConfig())
+    result = detector.detect(SAMPLES[0][0], model="auto", k=1)
+    assert result[0]["lang"] == SAMPLES[0][1]
+
+
+def test_not_found_model():  # :82-90
+    with pytest.raises(FileNotFoundError):
+        LangDetectConfig(cache_dir="/nonexistent/path",
+                         custom_model_path="invalid_path")
+
+
+def test_not_found_model_without_fallback_on_io_error():  # :92-99
+    config = LangDetectConfig(cache_dir="/nonexistent/path")
+    detector = LangDetector(config)
+    with pytest.raises(FileNotFoundError):
+        detector.detect("Hello world", model="full", k=1)
+
+
+def test_invalid_model_name():  # infer.py:329-330
+    detector = LangDetector()
+    with pytest.raises(FastLangdetectError):
+        detector.detect("Hello world", model="bogus")
+
+
+# ---------------------------------------------------------------- edge cases
+
+def test_empty_string():  # :106-110
+    result = detect("")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_special_characters():  # :112-122
+    for text in ["Hello! @#$%^&*()", "你好！@#￥%……&*（）", "こんにちは！＠＃＄％＾＆＊（）"]:
+        result = detect(text)
+        assert "lang" in result[0] and "score" in result[0]
+
+
+def test_numbers_only():  # :124-128
+    result = detect("12345")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_mixed_scripts():  # :130-139
+    for text in ["Hello你好こんにちは", "12345 Hello 你好", "Hello! 你好! こんにちは!"]:
+        assert len(detect(text, k=3)) == 3
+
+
+# --------------------------------------------------- parity-specific extras
+
+def test_is_japanese_exclusive_bounds():  # __init__.py:13-17
+    assert is_japanese("こんにちは")
+    assert not is_japanese("你好")     # Han only, no kana
+    assert not is_japanese("hello")
+    # 0x3040 and 0x30FF themselves are outside the (exclusive) range
+    assert not is_japanese(chr(0x3040) + chr(0x30FF))
+
+
+def test_score_clamped_to_one():  # infer.py:347
+    for text, _ in SAMPLES:
+        for r in detect(text, k=5):
+            assert r["score"] <= 1.0
+
+
+def test_truncation_at_80():  # infer.py:239-243 — detection input truncated
+    base = "Bonjour le monde " * 20
+    # first 80 chars are French; tail is English — truncation means the
+    # English tail must not influence the result
+    text = base[:80] + " english words appended here " * 10
+    det = LangDetector(LangDetectConfig(max_input_length=80))
+    assert det.detect(text)[0]["lang"] == "fr"
+    # no truncation → same text considered fully
+    det2 = LangDetector(LangDetectConfig(max_input_length=None))
+    r = det2.detect(text)
+    assert len(r) >= 1  # well-formed either way
+
+
+def test_uppercase_normalization():  # infer.py:265-269 (issue #14)
+    det = LangDetector(LangDetectConfig(normalize_input=True))
+    up = det.detect("HELLO WORLD HOW ARE YOU TODAY")[0]
+    lo = det.detect("hello world how are you today")[0]
+    assert up["lang"] == lo["lang"] == "en"
+    assert up["score"] == pytest.approx(lo["score"], abs=1e-6)
+
+
+def test_threshold_filters_results():  # infer.py predict threshold passthrough
+    results = detect("hello world", k=10, threshold=0.5)
+    assert all(r["score"] >= 0.5 for r in results)
+    assert len(results) <= 10
+
+
+def test_k_limits_results():
+    assert len(detect("hello world", k=2)) <= 2
+
+
+def test_detect_batch_matches_detect():
+    det = LangDetector()
+    texts = [t for t, _ in SAMPLES] + MIXED_SAMPLES + ["", "Hi", "12345"]
+    batched = det.detect_batch(texts, k=3)
+    for text, br in zip(texts, batched):
+        single = det.detect(text, k=3)
+        assert [r["lang"] for r in br] == [r["lang"] for r in single]
+        for b, s in zip(br, single):
+            # f32 summation order differs between batch layouts
+            assert b["score"] == pytest.approx(s["score"], abs=1e-5)
