@@ -1,0 +1,40 @@
+"""Vectorized Arrow text-statistics kernels (all pyarrow.compute, no
+Python row loops) used by the rules stage (E3) and the `documents`-table
+text-analysis queries.
+
+Frozen definitions (FIXTURES.md §3 — these must match the DuckDB oracle
+SQL in ``__ray_entry__.py`` exactly):
+
+* ``n_chars``     — number of Unicode codepoints.
+* ``alpha_ratio`` — Unicode-alphanumeric chars (``[\\pL\\pN]``, RE2
+  class — identical in pyarrow and DuckDB, verified) / non-whitespace
+  chars (0.0 when there are no non-whitespace chars).  Unicode classes
+  so non-Latin natural text is not spuriously dropped by rule E3.
+* ``token_count`` — whitespace-delimited tokens of the trimmed string.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ALNUM_PATTERN = r"[\pL\pN]"
+NON_WS_PATTERN = r"\S"
+
+
+def n_chars(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.utf8_length(col)
+
+
+def alpha_ratio(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    alnum = pc.cast(pc.count_substring_regex(col, ALNUM_PATTERN), pa.float64())
+    non_ws = pc.cast(pc.count_substring_regex(col, NON_WS_PATTERN), pa.float64())
+    # guard 0/0 (empty / all-whitespace rows) → 0.0, matching the SQL
+    # oracle's coalesce(x / nullif(n, 0), 0.0)
+    return pc.if_else(
+        pc.equal(non_ws, 0.0), pa.scalar(0.0), pc.divide(alnum, non_ws))
+
+
+def token_count(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Whitespace tokens: runs of \\S+ — count of matches."""
+    return pc.count_substring_regex(col, r"\S+")

@@ -1,0 +1,193 @@
+"""The flagship quality-filter pipeline (SURVEY.md §3 "Our lifecycle")
+with E6 checkpoint/lineage (SURVEY.md §2.2).
+
+Logical plan (all streaming, zero-copy Arrow):
+
+    read_parquet(corpus)                      # column-pruned at the read
+      → map_batches(scrub_batch)              # stateless: E4 + sha256 + stats
+      → map_batches(QualityScorer, …)         # actor pool: O1–O8 + E1 + E2
+      → map_batches(apply_rules)              # stateless: E3
+      → write_parquet(out/shard=NNNNN/)       # partitioned, resumable
+      + metrics reduce (E5) from the written shard
+
+Resumability: inputs are grouped into shards of ``files_per_shard``
+input fragments; each completed shard appends one JSON line to
+``<out>/_manifest/manifest.jsonl`` recording input fragments, row
+counts in/out, the per-reason drop histogram and the output files.  A
+re-run skips every shard already present in the manifest — the
+anti-join of input fragments vs manifest (SURVEY.md §2.2 E6).  Shard
+output is written to a temp dir and atomically renamed, so a killed run
+never leaves a half-shard that the manifest claims complete.
+
+At 100 TB scale each shard is a bounded unit of work (default 16 input
+fragments ≈ 2 GB at 128 MB fragments); within a shard the streaming
+executor pipelines scrub → score → rules → write with backpressure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import pyarrow.parquet as pq
+
+from ..stages.quality import QualityScorer
+from ..stages.rules import RuleConfig, apply_rules
+from ..stages.scrub import scrub_batch
+
+OUTPUT_COLUMNS = [
+    "repo", "path", "commit", "lang", "content",
+    "content_sha256", "detected_lang", "detected_score", "lang_code",
+    "lang_topk", "segments", "perplexity",
+    "n_chars", "alpha_ratio", "keep", "drop_reason", "scrubbed",
+]
+
+
+def build_pipeline(
+    ds,
+    *,
+    text_col: str = "content",
+    rule_config: RuleConfig = RuleConfig(),
+    scorer_kwargs: Optional[Dict[str, Any]] = None,
+    concurrency=None,
+    batch_size: int = 1024,
+):
+    """Attach the scrub → score → rules stages to a Dataset (lazy)."""
+    scorer_kwargs = dict(scorer_kwargs or {})
+    scorer_kwargs.setdefault("text_col", text_col)
+    ds = ds.map_batches(
+        scrub_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col},
+    )
+    ds = ds.map_batches(
+        QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=scorer_kwargs,
+    )
+    ds = ds.map_batches(
+        apply_rules,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"config": rule_config},
+    )
+    return ds
+
+
+# --------------------------------------------------------------- manifest
+
+def _manifest_path(out_dir: Path) -> Path:
+    return out_dir / "_manifest" / "manifest.jsonl"
+
+
+def read_manifest(out_dir) -> List[Dict[str, Any]]:
+    p = _manifest_path(Path(out_dir))
+    if not p.exists():
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _append_manifest(out_dir: Path, entry: Dict[str, Any]) -> None:
+    p = _manifest_path(out_dir)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "a") as f:
+        f.write(json.dumps(entry, sort_keys=True) + "\n")
+
+
+def _shard_metrics(shard_dir: Path) -> Dict[str, Any]:
+    """Lineage histogram from the written shard (column-pruned read of
+    the tiny metadata columns only)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(str(shard_dir), format="parquet")
+    tbl = dset.to_table(columns=["detected_lang", "keep", "drop_reason", "n_chars"])
+    agg = tbl.group_by(["detected_lang", "keep", "drop_reason"]).aggregate(
+        [("n_chars", "count"), ("n_chars", "sum")])
+    reasons: Dict[str, int] = {}
+    langs: Dict[str, int] = {}
+    kept = 0
+    for row in agg.to_pylist():
+        n = row["n_chars_count"]
+        langs[row["detected_lang"]] = langs.get(row["detected_lang"], 0) + n
+        if row["keep"]:
+            kept += n
+        else:
+            r = row["drop_reason"]
+            reasons[r] = reasons.get(r, 0) + n
+    return {"rows_kept": kept, "drop_histogram": reasons, "lang_histogram": langs}
+
+
+# ------------------------------------------------------------------- runner
+
+def run_quality_filter(
+    input_paths: Sequence[str],
+    out_dir,
+    *,
+    files_per_shard: int = 16,
+    rule_config: RuleConfig = RuleConfig(),
+    scorer_kwargs: Optional[Dict[str, Any]] = None,
+    concurrency=None,
+    batch_size: int = 1024,
+    resume: bool = True,
+) -> Dict[str, Any]:
+    """Run the full pipeline resumably over ``input_paths`` (parquet
+    fragments).  Returns a run summary (shards done/skipped, rows)."""
+    import ray.data as rd
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    input_paths = sorted(str(p) for p in input_paths)
+    shards = [
+        input_paths[i : i + files_per_shard]
+        for i in range(0, len(input_paths), files_per_shard)
+    ]
+    done_ids = set()
+    if resume:
+        done_ids = {e["shard_id"] for e in read_manifest(out_dir)}
+
+    summary = {"shards_total": len(shards), "shards_skipped": 0,
+               "shards_run": 0, "rows_in": 0, "rows_out": 0}
+    for shard_id, files in enumerate(shards):
+        if shard_id in done_ids:
+            summary["shards_skipped"] += 1
+            continue
+        shard_name = f"shard={shard_id:05d}"
+        final_dir = out_dir / shard_name
+        tmp_dir = out_dir / f"_tmp-{shard_name}"
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        if final_dir.exists():
+            shutil.rmtree(final_dir)  # incomplete prior attempt
+
+        ds = rd.read_parquet(files)
+        ds = build_pipeline(
+            ds, rule_config=rule_config, scorer_kwargs=scorer_kwargs,
+            concurrency=concurrency, batch_size=batch_size)
+        ds.write_parquet(str(tmp_dir))
+        os.rename(tmp_dir, final_dir)
+
+        rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        out_files = sorted(str(p) for p in final_dir.glob("*.parquet"))
+        rows_out = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
+        entry = {
+            "shard_id": shard_id,
+            "input_files": files,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "output_dir": str(final_dir),
+            "output_files": [os.path.basename(f) for f in out_files],
+            **_shard_metrics(final_dir),
+        }
+        _append_manifest(out_dir, entry)
+        summary["shards_run"] += 1
+        summary["rows_in"] += rows_in
+        summary["rows_out"] += rows_out
+    return summary

@@ -1,0 +1,191 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the BASELINE.json ``input_hint`` table shape —
+``(repo, path, commit, lang, content)`` — as a pure function of
+``pools.SEED``: per-row PRNG is seeded from sha256(repo:path:commit), so
+any slice of the corpus is reproducible independently of generation
+order.  Content buckets (FIXTURES.md §1 table) exercise every operator:
+code with natural-language comments, pure/mixed natural language,
+ALL-CAPS, newline-heavy, >80-char, degenerate-short, PII/secrets, and
+fixture-toxicity rows.
+
+Written as one Parquet file per ``rows_per_file`` rows so lineage /
+resume tests have multiple input fragments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from pathlib import Path
+from typing import Dict, Iterator, List, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.pools import BASE_POOLS, MIXED_SAMPLES, SEED, padded_pool
+
+EXT_TO_LANG = {
+    "py": "python", "js": "javascript", "md": "markdown", "txt": "text",
+    "rs": "rust", "go": "go", "java": "java", "c": "c",
+}
+_EXTS = list(EXT_TO_LANG)
+
+CORPUS_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+])
+
+# fixture toxicity lexicon (placeholder tokens, FIXTURES.md §3)
+TOXICITY_LEXICON = ["xbadword1", "xslur2", "xinsult3", "xcurse4"]
+
+_CODE_SKELETONS: Dict[str, str] = {
+    "py": "def process(rows):\n{comments}    total = 0\n    for r in rows:\n        total += r.value\n    return total\n",
+    "js": "function process(rows) {{\n{comments}  let total = 0;\n  for (const r of rows) total += r.value;\n  return total;\n}}\n",
+    "md": "# Notes\n\n{comments}\n- item one\n- item two\n",
+    "txt": "{comments}\nplain text section follows here.\n",
+    "rs": "fn process(rows: &[Row]) -> i64 {{\n{comments}    rows.iter().map(|r| r.value).sum()\n}}\n",
+    "go": "func process(rows []Row) int64 {{\n{comments}\tvar total int64\n\tfor _, r := range rows {{ total += r.Value }}\n\treturn total\n}}\n",
+    "java": "class Processor {{\n{comments}    long process(List<Row> rows) {{\n        return rows.stream().mapToLong(r -> r.value).sum();\n    }}\n}}\n",
+    "c": "long process(struct row *rows, int n) {{\n{comments}    long total = 0;\n    for (int i = 0; i < n; i++) total += rows[i].value;\n    return total;\n}}\n",
+}
+
+_COMMENT_PREFIX = {
+    "py": "# ", "js": "// ", "md": "> ", "txt": "", "rs": "// ",
+    "go": "// ", "java": "// ", "c": "// ",
+}
+
+_LANGS = list(BASE_POOLS)
+
+_PII_SNIPPETS = [
+    "contact me at {user}@example.com for details",
+    "server listens on 192.168.{a}.{b} port 8080",
+    "aws_access_key_id = AKIA{key16}",
+    "Authorization: Bearer abc{tok}.secret.{tok}xyz",
+    "call +1 (415) 555-{d4} after hours",
+    "fallback host 2001:db8::{hx}:1 via ipv6",
+]
+
+_DEGENERATE = ["", "Hi", "12345", "!@#$%^&*()"]
+
+
+def _row_rng(repo: str, path: str, commit: str) -> random.Random:
+    h = hashlib.sha256(f"{SEED}:{repo}:{path}:{commit}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _commit_for(repo: str, path: str) -> str:
+    return hashlib.sha1(f"{SEED}:{repo}:{path}".encode()).hexdigest()
+
+
+def _sentences(rng: random.Random, lang: str, n: int) -> List[str]:
+    pool = BASE_POOLS[lang]
+    return [pool[rng.randrange(len(pool))] for _ in range(n)]
+
+
+def _make_content(rng: random.Random, ext: str) -> str:
+    """One row's content, drawn from the FIXTURES.md §1 bucket mix."""
+    r = rng.random()
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    if r < 0.40:  # code + natural-language comments
+        prefix = _COMMENT_PREFIX[ext]
+        comments = "".join(
+            f"{prefix}{s}\n" for s in _sentences(rng, lang, rng.randint(2, 5)))
+        return _CODE_SKELETONS[ext].format(comments=comments)
+    if r < 0.60:  # pure natural language
+        return " ".join(_sentences(rng, lang, rng.randint(3, 10)))
+    if r < 0.70:  # mixed-language
+        langs = rng.sample(_LANGS, rng.randint(2, 3))
+        parts = []
+        for lg in langs:
+            parts.extend(_sentences(rng, lg, rng.randint(1, 3)))
+        rng.shuffle(parts)
+        return " ".join(parts) + " " + MIXED_SAMPLES[rng.randrange(len(MIXED_SAMPLES))]
+    if r < 0.75:  # ALL-CAPS english
+        return " ".join(_sentences(rng, "en", rng.randint(2, 6))).upper()
+    if r < 0.80:  # newline-heavy
+        return "\n".join(_sentences(rng, lang, rng.randint(4, 10)))
+    if r < 0.85:  # long paragraph > 400 chars
+        sents = _sentences(rng, lang, 30)
+        out = " ".join(sents)
+        while len(out) < 400:
+            out += " " + out
+        return out
+    if r < 0.90:  # short / degenerate
+        return _DEGENERATE[rng.randrange(len(_DEGENERATE))]
+    if r < 0.95:  # PII / secrets embedded in English prose
+        base = " ".join(_sentences(rng, "en", 3))
+        snippet = _PII_SNIPPETS[rng.randrange(len(_PII_SNIPPETS))].format(
+            user=f"user{rng.randrange(1000)}",
+            a=rng.randrange(256), b=rng.randrange(256),
+            key16="".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+                          for _ in range(16)),
+            tok=rng.randrange(10 ** 6),
+            d4=f"{rng.randrange(10000):04d}",
+            hx=f"{rng.randrange(0xffff):x}",
+        )
+        return f"{base} {snippet} {base}"
+    # toxicity-lexicon rows
+    base = " ".join(_sentences(rng, "en", 4))
+    tox = TOXICITY_LEXICON[rng.randrange(len(TOXICITY_LEXICON))]
+    return f"{base} {tox} {base}"
+
+
+def iter_rows(n_rows: int) -> Iterator[Tuple[str, str, str, str, str]]:
+    """Yield (repo, path, commit, lang, content) deterministically."""
+    for i in range(n_rows):
+        org = i % 20
+        repo_n = (i // 20) % 50
+        repo = f"org{org}/repo{repo_n}"
+        d = i % 7
+        ext = _EXTS[i % len(_EXTS)]
+        path = f"src/dir{d}/file{i}.{ext}"
+        commit = _commit_for(repo, path)
+        rng = _row_rng(repo, path, commit)
+        content = _make_content(rng, ext)
+        yield repo, path, commit, EXT_TO_LANG[ext], content
+
+
+def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000) -> List[str]:
+    """Write the corpus as multiple Parquet fragments; returns paths.
+    Skips work if the directory already holds a complete corpus of the
+    same size (generation itself is deterministic, so reuse is safe)."""
+    out_dir = Path(out_dir)
+    marker = out_dir / f"_complete_{n_rows}_{rows_per_file}_{SEED}"
+    existing = sorted(str(p) for p in out_dir.glob("part-*.parquet"))
+    if marker.exists() and existing:
+        return existing
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for stale in out_dir.glob("part-*.parquet"):
+        stale.unlink()
+    for stale in out_dir.glob("_complete_*"):
+        stale.unlink()
+    paths: List[str] = []
+    buf: List[Tuple[str, str, str, str, str]] = []
+    file_idx = 0
+
+    def flush():
+        nonlocal file_idx
+        if not buf:
+            return
+        cols = list(zip(*buf))
+        table = pa.table(
+            {name: pa.array(col, type=pa.string())
+             for name, col in zip(CORPUS_SCHEMA.names, cols)},
+            schema=CORPUS_SCHEMA)
+        p = out_dir / f"part-{file_idx:05d}.parquet"
+        pq.write_table(table, p)
+        paths.append(str(p))
+        file_idx += 1
+        buf.clear()
+
+    for row in iter_rows(n_rows):
+        buf.append(row)
+        if len(buf) >= rows_per_file:
+            flush()
+    flush()
+    marker.touch()
+    return paths

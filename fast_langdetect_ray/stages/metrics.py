@@ -1,0 +1,39 @@
+"""E5 — per-language keep/drop metrics (SURVEY.md §2.2).
+
+Skew-aware: ``detected_lang`` is Zipfian (en-dominant at web scale), so
+metrics are pre-aggregated *inside* ``map_batches`` (one partial row
+per (lang, keep, drop_reason) per batch — at most a few hundred rows
+per block), and only the tiny partials go through the
+``groupby().aggregate(Sum)`` shuffle.  The all-to-all exchange moves
+O(langs × batches) rows, never O(input rows).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def metrics_partials(batch: pa.Table) -> pa.Table:
+    """map_batches body: collapse a scored+ruled batch to per-key
+    partial counts/bytes."""
+    cols = ["detected_lang", "keep", "drop_reason"]
+    tbl = batch.select(cols + ["n_chars"])
+    agg = tbl.group_by(cols, use_threads=False).aggregate(
+        [("n_chars", "count"), ("n_chars", "sum")])
+    return agg.rename_columns(
+        ["detected_lang", "keep", "drop_reason", "n_docs", "n_chars_total"])
+
+
+def reduce_metrics(ds):
+    """Reduce the partials Dataset → final per-(lang, keep, reason)
+    metrics.  Returns a Ray Dataset (tiny: ≤ 176 × 7 rows)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(metrics_partials, batch_format="pyarrow")
+        .groupby(["detected_lang", "keep", "drop_reason"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars_total", alias_name="n_chars_total"),
+        )
+    )

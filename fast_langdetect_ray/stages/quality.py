@@ -1,0 +1,169 @@
+"""The stateful scoring stage: langid (O1–O8) + split-by-language (E1)
++ perplexity (E2) fused into ONE actor pool (SURVEY.md §7: one pool,
+one pass over ``content``).
+
+``QualityScorer`` is a callable class for
+``Dataset.map_batches(QualityScorer, concurrency=N, batch_size=B,
+batch_format="pyarrow", zero_copy_batch=True)``:
+
+* ``__init__`` (once per actor) loads the fastText model into NumPy
+  arrays and trains/loads the deterministic char-LM bundle — the Ray
+  analogue of the reference's per-process model cache
+  (`/root/reference/src/fast_langdetect/infer.py:279-297`).
+* ``__call__`` (per batch) is vectorized: Arrow kernels slice the
+  80-codepoint detection input (slice-then-replace is equivalent to the
+  reference's replace-then-truncate because '\\n'→' ' is length
+  preserving, infer.py:227-244), one batched top-1 predict, one batched
+  top-k predict, one batched per-segment predict, one vectorized ppl
+  pass.
+
+Output columns appended (SURVEY.md §1.2): ``detected_lang``,
+``detected_score``, ``lang_code`` (detect_language semantics incl.
+JA→ZH, `__init__.py:20-32`), ``lang_topk`` (list<struct>),
+``segments`` (list<struct>), ``perplexity``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..detect import LITE_MODEL_PATH, LangDetector, LangDetectConfig
+from ..state.lm import PerplexityModel, default_perplexity_model
+from .split import segment_texts
+
+TOPK_TYPE = pa.list_(pa.struct([("lang", pa.string()), ("score", pa.float64())]))
+SEGMENT_TYPE = pa.list_(pa.struct(
+    [("text", pa.string()), ("lang", pa.string()), ("score", pa.float64())]))
+
+
+def _kana_present(texts: List[str]) -> np.ndarray:
+    """Vectorized is_japanese (`__init__.py:13-17`): any codepoint
+    strictly inside (0x3040, 0x30FF)."""
+    out = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        out[i] = bool(((cps > 0x3040) & (cps < 0x30FF)).any())
+    return out
+
+
+class QualityScorer:
+    """Fused langid + split + perplexity scorer (actor-pool stage)."""
+
+    def __init__(
+        self,
+        text_col: str = "content",
+        k: int = 3,
+        max_input_length: int = 80,
+        normalize_input: bool = True,
+        segment_min_chars: int = 8,
+        segment_cap: int = 2000,
+        ppl_cap: int = 1024,
+        model_path: Optional[str] = None,
+        compute_segments: bool = True,
+        compute_topk: bool = True,
+        compute_ppl: bool = True,
+    ):
+        self.text_col = text_col
+        self.k = k
+        self.max_input_length = max_input_length
+        self.segment_min_chars = segment_min_chars
+        self.segment_cap = segment_cap
+        self.ppl_cap = ppl_cap
+        self.compute_segments = compute_segments
+        self.compute_topk = compute_topk
+        self.compute_ppl = compute_ppl
+        cfg = LangDetectConfig(
+            custom_model_path=model_path or str(LITE_MODEL_PATH),
+            normalize_input=normalize_input,
+            max_input_length=max_input_length,
+            model="lite",
+        )
+        self.detector = LangDetector(cfg)
+        # force-load once per actor (infer.py:279-281 analogue)
+        self.model = self.detector._get_model(low_memory=True)
+        self.ppl_model: PerplexityModel = default_perplexity_model()
+
+    # ------------------------------------------------------------------
+
+    def _detection_inputs(self, col: pa.ChunkedArray) -> List[str]:
+        """80-codepoint slice → newline→space → uppercase-normalize."""
+        sliced = pc.utf8_slice_codeunits(col, 0, self.max_input_length)
+        sliced = pc.replace_substring(sliced, "\n", " ")
+        norm = self.detector.config.normalize_input
+        normalize = self.detector._normalize_text
+        return [normalize(t or "", norm) for t in sliced.to_pylist()]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = self._detection_inputs(batch[self.text_col])
+        n = len(texts)
+
+        # --- top-1 (detected_lang / detected_score / lang_code)
+        idx, probs = self.model.top1_batch(texts)
+        label_arr = np.array(
+            [lbl[len("__label__"):] for lbl in self.model.labels])
+        langs = label_arr[idx]
+        scores = np.minimum(probs, 1.0)  # clamp (infer.py:347)
+        upper = np.char.upper(langs.astype("U8"))
+        # JA→ZH correction on the ORIGINAL content (reference applies it
+        # to the full input sentence, __init__.py:30-31)
+        contents = [t or "" for t in batch[self.text_col].to_pylist()]
+        ja_mask = upper == "JA"
+        if ja_mask.any():
+            kana = _kana_present([contents[i] for i in np.flatnonzero(ja_mask)])
+            fix = np.flatnonzero(ja_mask)[~kana]
+            upper[fix] = "ZH"
+        batch = batch.append_column("detected_lang", pa.array(langs))
+        batch = batch.append_column(
+            "detected_score", pa.array(scores, type=pa.float64()))
+        batch = batch.append_column("lang_code", pa.array(upper))
+
+        # --- top-k candidates
+        if self.compute_topk:
+            topk = self.model.predict_batch(texts, k=self.k)
+            batch = batch.append_column("lang_topk", pa.array(
+                [[{"lang": l[len("__label__"):], "score": min(float(s), 1.0)}
+                  for l, s in zip(labels, scs)]
+                 for labels, scs in topk], type=TOPK_TYPE))
+
+        # --- split-by-language segments (batched across all rows)
+        if self.compute_segments:
+            seg_texts: List[List[str]] = [
+                segment_texts(c, self.segment_min_chars, self.segment_cap)
+                for c in contents
+            ]
+            flat = [s for row in seg_texts for s in row]
+            det_inputs = [
+                self.detector._normalize_text(
+                    s[: self.max_input_length].replace("\n", " "),
+                    self.detector.config.normalize_input)
+                for s in flat
+            ]
+            if det_inputs:
+                sidx, sprobs = self.model.top1_batch(det_inputs)
+                slangs = label_arr[sidx]
+                sscores = np.minimum(sprobs, 1.0)
+            else:
+                slangs, sscores = [], []
+            segs, pos = [], 0
+            for row in seg_texts:
+                m = len(row)
+                segs.append([
+                    {"text": row[j], "lang": str(slangs[pos + j]),
+                     "score": float(sscores[pos + j])}
+                    for j in range(m)
+                ])
+                pos += m
+            batch = batch.append_column(
+                "segments", pa.array(segs, type=SEGMENT_TYPE))
+
+        # --- per-language perplexity
+        if self.compute_ppl:
+            ppl = self.ppl_model.score_batch(contents, langs, cap=self.ppl_cap)
+            batch = batch.append_column(
+                "perplexity", pa.array(ppl, type=pa.float64()))
+
+        return batch

@@ -1,0 +1,89 @@
+"""E3 — heuristic keep/drop rules (SURVEY.md §2.2, FIXTURES.md §3).
+
+Stateless ``map_batches`` stage: pure column math over already-computed
+columns (``detected_score``, ``detected_lang``, ``n_chars``,
+``alpha_ratio``, ``perplexity``).  First matching rule wins, evaluated
+in the frozen order:
+
+1. ``low_confidence``   detected_score < min_score (0.30)
+2. ``non_target_lang``  detected_lang ∉ allowlist
+3. ``too_short``        n_chars < min_chars (10)
+4. ``too_long``         n_chars > max_chars (1_000_000)
+5. ``low_alpha_ratio``  alpha_ratio < min_alpha (0.25)
+6. ``high_perplexity``  perplexity > per-language threshold
+
+Adds ``keep: bool`` and ``drop_reason: string|null`` (null when keep).
+All thresholds live in :class:`RuleConfig` — defaults are the frozen
+fixture constants, so goldens are stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.lm import default_perplexity_model
+from ..state.pools import TARGET_LANGS
+
+DROP_REASONS = (
+    "low_confidence", "non_target_lang", "too_short", "too_long",
+    "low_alpha_ratio", "high_perplexity",
+)
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    min_score: float = 0.30
+    allowlist: Tuple[str, ...] = TARGET_LANGS
+    min_chars: int = 10
+    max_chars: int = 1_000_000
+    min_alpha: float = 0.25
+    # None → per-language thresholds from the deterministic LM bundle
+    ppl_thresholds: Optional[Dict[str, float]] = None
+    default_ppl_threshold: float = float("inf")
+
+    def resolved_ppl_thresholds(self) -> Dict[str, float]:
+        if self.ppl_thresholds is not None:
+            return self.ppl_thresholds
+        return default_perplexity_model().thresholds
+
+
+def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
+    """map_batches body — appends ``keep`` / ``drop_reason``."""
+    score = batch["detected_score"].to_numpy(zero_copy_only=False)
+    lang = np.asarray(batch["detected_lang"].to_pylist(), dtype=object)
+    nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+    alpha = batch["alpha_ratio"].to_numpy(zero_copy_only=False)
+    if "perplexity" in batch.column_names:
+        ppl = batch["perplexity"].to_numpy(zero_copy_only=False)
+    else:
+        ppl = np.zeros(len(batch), dtype=np.float64)
+
+    thresholds = config.resolved_ppl_thresholds()
+    allow = set(config.allowlist)
+    in_allow = np.array([l in allow for l in lang], dtype=bool)
+    ppl_limit = np.array(
+        [thresholds.get(l, config.default_ppl_threshold) for l in lang],
+        dtype=np.float64)
+
+    conditions = [
+        score < config.min_score,
+        ~in_allow,
+        nch < config.min_chars,
+        nch > config.max_chars,
+        alpha < config.min_alpha,
+        ppl > ppl_limit,
+    ]
+    reason_idx = np.full(len(batch), -1, dtype=np.int64)
+    for i in range(len(conditions) - 1, -1, -1):  # first match wins
+        reason_idx[conditions[i]] = i
+
+    keep = reason_idx < 0
+    reasons = [None if r < 0 else DROP_REASONS[r] for r in reason_idx]
+    batch = batch.append_column("keep", pa.array(keep))
+    batch = batch.append_column(
+        "drop_reason", pa.array(reasons, type=pa.string()))
+    return batch

@@ -1,0 +1,71 @@
+"""E4 — PII/toxicity scrub + content hashing (SURVEY.md §2.2).
+
+Stateless ``map_batches`` stage over zero-copy Arrow batches.  The
+substitutions run as *ordered* ``pyarrow.compute.replace_substring_regex``
+passes (RE2, fully vectorized in C++) with the frozen FIXTURES.md §3
+pattern order: email → IPv4 → IPv6 → AWS access key → bearer/auth header
+value → phone-like → toxicity lexicon.  Replacement token is
+``[REDACTED:<TAG>]``.
+
+``content_sha256`` is the hex sha256 of the *scrubbed* content — the
+per-row invariant the driver compares against the reference
+(BASELINE.json ``input_hint``).  sha256 is the only per-row Python loop
+here (hashlib releases the GIL per call; ~500 MB/s/core).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.corpus import TOXICITY_LEXICON
+
+# (tag, RE2 pattern) in frozen application order — FIXTURES.md §3.
+SCRUB_PATTERNS: List[Tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("IPV6", r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]{1,4}\b"),
+    ("AWSKEY", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("AUTH", r"(?i)\b(?:bearer|authorization:?)\s+[A-Za-z0-9._~+/-]+=*"),
+    ("PHONE", r"\+?[0-9][0-9\s().-]{7,}[0-9]"),
+    ("TOXIC", r"\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"),
+]
+
+
+def scrub_column(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Apply the ordered redaction passes to a string column."""
+    out = col
+    for tag, pattern in SCRUB_PATTERNS:
+        out = pc.replace_substring_regex(
+            out, pattern=pattern, replacement=f"[REDACTED:{tag}]")
+    return out
+
+
+def sha256_hex(values: Sequence) -> pa.Array:
+    return pa.array(
+        [hashlib.sha256(("" if v is None else v).encode("utf-8")).hexdigest()
+         for v in values],
+        type=pa.string())
+
+
+def scrub_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
+    """map_batches body: adds ``scrubbed`` + ``content_sha256`` and the
+    rule-stage stats (``n_chars``, ``alpha_ratio``) computed on the
+    ORIGINAL content (drop decisions reference the input text; the
+    stored hash references the scrubbed text — FIXTURES.md §2/§3)."""
+    from ..functions.textstats import alpha_ratio, n_chars
+
+    col = batch[text_col]
+    scrubbed = scrub_column(col)
+    if isinstance(scrubbed, pa.ChunkedArray):
+        scrubbed = scrubbed.combine_chunks()
+    batch = batch.append_column("scrubbed", scrubbed)
+    batch = batch.append_column(
+        "content_sha256", sha256_hex(scrubbed.to_pylist()))
+    batch = batch.append_column(
+        "n_chars", pc.cast(n_chars(col), pa.int64()))
+    batch = batch.append_column("alpha_ratio", alpha_ratio(col))
+    return batch

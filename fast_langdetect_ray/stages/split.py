@@ -1,0 +1,93 @@
+"""E1 — split-by-language segmentation (SURVEY.md §2.2).
+
+The reference delegates multilingual splitting to the external
+``split-lang`` project (`/root/reference/README.md:104-107`); this is
+our native equivalent: segment text into runs by Unicode *script class*
+(vectorized numpy ``searchsorted`` over a frozen codepoint-range table),
+merge neutral chars (digits/punct/space) into the surrounding run, then
+language-detect each run of ≥ ``min_chars`` non-neutral chars with the
+same fastText engine (one batched predict for all segments of a batch).
+
+Deterministic, pure function of (text, model).  Segmentation reads at
+most ``cap`` leading codepoints per document (default 2000) — at 100 TB
+scale a bounded prefix is the documented contract, like detection's
+80-char truncation (`infer.py:239-243`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+# (start, end_inclusive, class) — frozen major-script table
+NEUTRAL = 0
+_SCRIPT_RANGES = [
+    (0x0041, 0x005A, 1), (0x0061, 0x007A, 1),            # Latin ASCII
+    (0x00C0, 0x024F, 1),                                 # Latin-1/Ext
+    (0x0370, 0x03FF, 2),                                 # Greek
+    (0x0400, 0x052F, 3),                                 # Cyrillic
+    (0x0590, 0x05FF, 4),                                 # Hebrew
+    (0x0600, 0x06FF, 5), (0x0750, 0x077F, 5),            # Arabic
+    (0x0900, 0x097F, 6),                                 # Devanagari
+    (0x0E00, 0x0E7F, 7),                                 # Thai
+    (0x1100, 0x11FF, 8),                                 # Hangul jamo
+    (0x3041, 0x30FF, 9),                                 # Kana (Hiragana+Katakana)
+    (0x31F0, 0x31FF, 9),                                 # Kana ext
+    (0x3400, 0x4DBF, 10), (0x4E00, 0x9FFF, 10),          # Han
+    (0xF900, 0xFAFF, 10),                                # Han compat
+    (0xAC00, 0xD7AF, 8),                                 # Hangul syllables
+]
+_SCRIPT_RANGES.sort()
+_STARTS = np.array([r[0] for r in _SCRIPT_RANGES], dtype=np.uint32)
+_ENDS = np.array([r[1] for r in _SCRIPT_RANGES], dtype=np.uint32)
+_CLS = np.array([r[2] for r in _SCRIPT_RANGES], dtype=np.int8)
+
+
+def script_classes(text: str) -> np.ndarray:
+    """Per-codepoint script class (0 = neutral)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.searchsorted(_STARTS, cps, side="right") - 1
+    below = idx < 0  # codepoints before the first range are neutral
+    idx = np.clip(idx, 0, len(_STARTS) - 1)
+    cls = np.where(~below & (cps <= _ENDS[idx]), _CLS[idx], NEUTRAL)
+    return cls.astype(np.int8)
+
+
+def segment_spans(text: str, cap: int = 2000) -> List[Tuple[int, int, int]]:
+    """Split ``text[:cap]`` into script runs.
+
+    Returns ``(start, stop, n_script_chars)`` spans; neutral chars never
+    start a new run (they attach to the run in progress; leading
+    neutrals attach to the first run).  A text with no script chars
+    yields a single span covering everything with ``n_script_chars=0``.
+    """
+    if cap is not None and len(text) > cap:
+        text = text[:cap]
+    n = len(text)
+    if n == 0:
+        return []
+    cls = script_classes(text)
+    nz = np.flatnonzero(cls != NEUTRAL)
+    if nz.size == 0:
+        return [(0, n, 0)]
+    c = cls[nz]
+    change = np.flatnonzero(c[1:] != c[:-1]) + 1
+    run_starts = nz[np.concatenate(([0], change))]
+    bounds = np.concatenate((run_starts, [n]))
+    bounds[0] = 0  # leading neutral chars join the first run
+    spans: List[Tuple[int, int, int]] = []
+    run_lengths = np.diff(np.concatenate(([0], change, [c.size])))
+    for i in range(len(run_starts)):
+        start, stop = int(bounds[i]), int(bounds[i + 1])
+        spans.append((start, stop, int(run_lengths[i])))
+    return spans
+
+
+def segment_texts(text: str, min_chars: int = 8, cap: int = 2000) -> List[str]:
+    """Segment strings with ≥ ``min_chars`` script chars, stripped."""
+    return [
+        text[:cap][a:b].strip()
+        for a, b, k in segment_spans(text, cap=cap)
+        if k >= min_chars
+    ]

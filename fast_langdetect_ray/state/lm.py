@@ -1,0 +1,129 @@
+"""KenLM-style per-language character LMs (extension operator E2,
+SURVEY.md §2.2).
+
+The real kenlm binary is unavailable offline, so this is a small,
+deterministic reimplementation of the idea CCNet uses (per-language LM
+perplexity as a quality signal): an add-k-smoothed character *bigram*
+model per target language, trained at build time from the frozen
+fixture pools (:mod:`fast_langdetect_ray.state.pools`).
+
+    ppl(text) = 10 ** ( -(1/N) * Σ_i log10 P(c_i | c_{i-1}) )
+
+Scoring is fully vectorized: text → codepoints (numpy) → char ids via
+``searchsorted`` over the sorted training alphabet (OOV → a dedicated
+id) → one fancy-index gather into the (V+1, V+1) log10-prob matrix →
+mean.  Model tables are a few hundred KB per language and live inside
+the scoring actor (loaded once in ``__init__``).
+
+Per-language ppl thresholds (used by rule E3 ``high_perplexity``) are
+the 95th percentile of per-sentence ppl over the training pool itself —
+computed here deterministically, frozen by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from .pools import TARGET_LANGS, padded_pool
+
+_ADD_K = 0.1
+_BOS = 0x02  # sentinel codepoint for "start of text" context
+
+
+class CharBigramLM:
+    """Add-k smoothed character bigram LM with log10 probabilities."""
+
+    __slots__ = ("alphabet", "logp")
+
+    def __init__(self, alphabet: np.ndarray, logp: np.ndarray):
+        self.alphabet = alphabet  # sorted uint32 codepoints, len V
+        self.logp = logp          # (V+1, V+1) float32 log10 P(cur | prev); idx V = OOV
+
+    @classmethod
+    def train(cls, sentences: Iterable[str]) -> "CharBigramLM":
+        text = "\n".join(sentences)
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        alphabet = np.unique(cps)
+        V = len(alphabet)
+        ids = np.searchsorted(alphabet, cps)
+        prev = np.concatenate(([V], ids[:-1]))  # V = OOV/BOS context id
+        # newline resets context to BOS-ish OOV id — cheap sentence split
+        counts = np.zeros((V + 1, V + 1), dtype=np.float64)
+        np.add.at(counts, (prev, ids), 1.0)
+        smoothed = counts + _ADD_K
+        logp = np.log10(smoothed / smoothed.sum(axis=1, keepdims=True))
+        # OOV column: probability mass of an unseen char given any context
+        oov_col = np.log10(_ADD_K / (counts.sum(axis=1) + _ADD_K * (V + 1)))
+        logp[:, V] = oov_col
+        return cls(alphabet, logp.astype(np.float32))
+
+    def ids(self, text: str) -> np.ndarray:
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        idx = np.searchsorted(self.alphabet, cps)
+        idx = np.clip(idx, 0, len(self.alphabet) - 1)
+        oov = self.alphabet[idx] != cps
+        idx[oov] = len(self.alphabet)
+        return idx
+
+    def perplexity(self, text: str, cap: int = 1024) -> float:
+        """10^(-mean log10 P); empty text → ppl of the OOV→OOV cell."""
+        if cap is not None and len(text) > cap:
+            text = text[:cap]
+        ids = self.ids(text)
+        V = len(self.alphabet)
+        if ids.size == 0:
+            return float(10.0 ** (-self.logp[V, V]))
+        prev = np.concatenate(([V], ids[:-1]))
+        lp = self.logp[prev, ids]
+        return float(10.0 ** (-lp.mean()))
+
+
+class PerplexityModel:
+    """The per-language LM bundle the scoring actor holds."""
+
+    def __init__(self, lms: Dict[str, CharBigramLM],
+                 thresholds: Dict[str, float]):
+        self.lms = lms
+        self.thresholds = thresholds  # per-lang 95th-pct training ppl
+
+    @classmethod
+    def build(cls, langs: Tuple[str, ...] = TARGET_LANGS,
+              min_bytes: int = 10_000) -> "PerplexityModel":
+        lms: Dict[str, CharBigramLM] = {}
+        thresholds: Dict[str, float] = {}
+        for lang in langs:
+            pool = padded_pool(lang, min_bytes)
+            lm = CharBigramLM.train(pool)
+            ppls = np.array([lm.perplexity(s) for s in pool])
+            lms[lang] = lm
+            # 95th pct over the (memorized) training pool is near the
+            # floor; a fixed 10x margin admits same-language unseen text
+            # while rejecting wrong-script/gibberish text (frozen
+            # fixture constant, FIXTURES.md §3)
+            thresholds[lang] = float(np.quantile(ppls, 0.95)) * 10.0
+        return cls(lms, thresholds)
+
+    def score(self, text: str, lang: Optional[str], cap: int = 1024) -> float:
+        """ppl of ``text`` under the LM of ``lang``; languages without an
+        LM fall back to the English LM (documented fixture policy)."""
+        lm = self.lms.get(lang) or self.lms["en"]
+        return lm.perplexity(text, cap=cap)
+
+    def score_batch(self, texts, langs, cap: int = 1024) -> np.ndarray:
+        return np.array(
+            [self.score(t, l, cap=cap) for t, l in zip(texts, langs)],
+            dtype=np.float64,
+        )
+
+
+_cached_model: Optional[PerplexityModel] = None
+
+
+def default_perplexity_model() -> PerplexityModel:
+    """Process-cached deterministic LM bundle (training takes ~ms)."""
+    global _cached_model
+    if _cached_model is None:
+        _cached_model = PerplexityModel.build()
+    return _cached_model

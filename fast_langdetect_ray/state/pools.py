@@ -1,0 +1,120 @@
+"""Frozen per-language sentence pools (FIXTURES.md §1).
+
+Seed sentences come from the reference's own tests
+(`/root/reference/tests/test_detect.py:22-41`,
+`tests/test_real_detection.py:11-24`) so the generated corpus exercises
+the reference goldens; each pool is padded deterministically (template ×
+number-word substitution, zero RNG) to ≥10 KB so the tiny per-language
+char-LMs (E2) have training text.  Everything here is a pure function of
+the literals below — no wall clock, no randomness.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+SEED = 20260817  # FIXTURES.md global seed
+
+BASE_POOLS: Dict[str, List[str]] = {
+    "en": [
+        "Hello world",
+        "hello world",
+        "Life is like a box of chocolates.",
+        "The quick brown fox jumps over the lazy dog.",
+        "This function returns the number of rows in the table.",
+        "Please read the documentation before opening an issue.",
+        "Data pipelines should be deterministic and resumable.",
+        "The weather today is sunny with a gentle breeze.",
+    ],
+    "zh": [
+        "你好世界",
+        "這些機構主辦的課程，多以基本電腦使用為主，例如文書處理、中文輸入、互聯網應用等",
+        "今天的天气很好，我们一起去公园散步吧。",
+        "这个函数返回表中的行数，请注意空值的处理。",
+        "数据处理流水线应当是确定性的并且可以断点续跑。",
+        "请在提交问题之前仔细阅读项目文档。",
+    ],
+    "ja": [
+        "こんにちは世界",
+        "今日はとても良い天気ですね、散歩に行きましょう。",
+        "この関数はテーブルの行数を返します。",
+        "データパイプラインは決定的で再開可能であるべきです。",
+        "問題を報告する前にドキュメントをお読みください。",
+    ],
+    "ko": [
+        "안녕하세요 세계",
+        "오늘 날씨가 정말 좋네요, 같이 산책하러 가요.",
+        "이 함수는 테이블의 행 수를 반환합니다.",
+        "데이터 파이프라인은 결정적이고 재시작 가능해야 합니다.",
+        "문제를 제출하기 전에 문서를 읽어 주세요.",
+    ],
+    "fr": [
+        "Bonjour le monde",
+        "La vie est comme une boîte de chocolats.",
+        "Cette fonction renvoie le nombre de lignes de la table.",
+        "Veuillez lire la documentation avant d'ouvrir un ticket.",
+        "Le temps est magnifique aujourd'hui, allons nous promener.",
+    ],
+    "de": [
+        "Hallo Welt",
+        "Das Leben ist wie eine Schachtel Pralinen.",
+        "Diese Funktion gibt die Anzahl der Zeilen in der Tabelle zurück.",
+        "Bitte lesen Sie die Dokumentation, bevor Sie ein Problem melden.",
+        "Das Wetter ist heute wunderbar, lass uns spazieren gehen.",
+    ],
+    "ru": [
+        "Привет мир",
+        "Привет, мир!",
+        "Жизнь похожа на коробку шоколадных конфет.",
+        "Эта функция возвращает количество строк в таблице.",
+        "Пожалуйста, прочитайте документацию перед созданием задачи.",
+    ],
+    "es": [
+        "Hola mundo",
+        "La vida es como una caja de chocolates.",
+        "Esta función devuelve el número de filas de la tabla.",
+        "Por favor lea la documentación antes de abrir un problema.",
+        "El clima de hoy es maravilloso, vamos a caminar.",
+    ],
+}
+
+MIXED_SAMPLES = [
+    "Hello 世界 こんにちは",
+    "你好 world こんにちは",
+    "Bonjour 世界 hello",
+]
+
+# number words per language for deterministic pool padding
+_NUMBER_WORDS: Dict[str, List[str]] = {
+    "en": ["one", "two", "three", "four", "five", "six", "seven", "eight"],
+    "zh": ["一", "二", "三", "四", "五", "六", "七", "八"],
+    "ja": ["一つ", "二つ", "三つ", "四つ", "五つ", "六つ", "七つ", "八つ"],
+    "ko": ["하나", "둘", "셋", "넷", "다섯", "여섯", "일곱", "여덟"],
+    "fr": ["un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit"],
+    "de": ["eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben", "acht"],
+    "ru": ["один", "два", "три", "четыре", "пять", "шесть", "семь", "восемь"],
+    "es": ["uno", "dos", "tres", "cuatro", "cinco", "seis", "siete", "ocho"],
+}
+
+TARGET_LANGS = tuple(BASE_POOLS)
+
+
+def padded_pool(lang: str, min_bytes: int = 10_000) -> List[str]:
+    """Deterministically padded sentence pool for ``lang``: base
+    sentences tiled with a rotating number-word suffix until the pool
+    exceeds ``min_bytes`` of UTF-8 text."""
+    base = BASE_POOLS[lang]
+    nums = _NUMBER_WORDS[lang]
+    pool = list(base)
+    total = sum(len(s.encode("utf-8")) for s in pool)
+    i = 0
+    while total < min_bytes:
+        s = f"{base[i % len(base)]} {nums[i % len(nums)]} {nums[(i // len(nums)) % len(nums)]}"
+        pool.append(s)
+        total += len(s.encode("utf-8"))
+        i += 1
+    return pool
+
+
+def pool_text(lang: str, min_bytes: int = 10_000) -> str:
+    return "\n".join(padded_pool(lang, min_bytes))

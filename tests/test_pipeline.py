@@ -1,0 +1,103 @@
+"""End-to-end Ray Data pipeline tests: read → scrub → score → rules →
+write, with E6 manifest/resume and E5 metrics (session-scoped Ray)."""
+
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pytest
+
+from fast_langdetect_ray.pipelines.quality_filter import (
+    OUTPUT_COLUMNS, build_pipeline, read_manifest, run_quality_filter)
+from fast_langdetect_ray.sources.corpus import generate_corpus
+
+N_ROWS = 600
+ROWS_PER_FILE = 150
+
+
+@pytest.fixture(scope="module")
+def corpus_paths():
+    return generate_corpus("/tmp/flr_corpus/test600", N_ROWS, ROWS_PER_FILE)
+
+
+def test_corpus_deterministic(corpus_paths):
+    import pyarrow.parquet as pq
+    t1 = pq.read_table(corpus_paths[0])
+    paths2 = generate_corpus("/tmp/flr_corpus/test600b", N_ROWS, ROWS_PER_FILE)
+    t2 = pq.read_table(paths2[0])
+    assert t1.equals(t2)
+
+
+def test_run_quality_filter_and_resume(ray_session, corpus_paths):
+    out = "/tmp/flr_out/test600"
+    shutil.rmtree(out, ignore_errors=True)
+    s = run_quality_filter(
+        corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
+    assert s["shards_total"] == 2
+    assert s["rows_in"] == N_ROWS and s["rows_out"] == N_ROWS
+
+    # manifest carries lineage
+    manifest = read_manifest(out)
+    assert len(manifest) == 2
+    for e in manifest:
+        assert e["rows_in"] == e["rows_out"] == 300
+        assert e["rows_kept"] + sum(e["drop_histogram"].values()) == 300
+        assert e["input_files"] and e["output_files"]
+
+    # output schema is the full declared surface
+    t = pads.dataset(out + "/shard=00000", format="parquet").to_table()
+    assert set(OUTPUT_COLUMNS) == set(t.schema.names)
+
+    # keep ⊕ drop_reason invariant
+    kept = t.filter(pc.field("keep"))
+    dropped = t.filter(~pc.field("keep"))
+    assert kept["drop_reason"].null_count == kept.num_rows
+    assert dropped["drop_reason"].null_count == 0
+
+    # resume skips everything
+    s2 = run_quality_filter(
+        corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
+    assert s2 == {"shards_total": 2, "shards_skipped": 2, "shards_run": 0,
+                  "rows_in": 0, "rows_out": 0}
+
+    # partial resume: drop one manifest line → exactly that shard re-runs
+    mpath = out + "/_manifest/manifest.jsonl"
+    lines = open(mpath).read().strip().splitlines()
+    with open(mpath, "w") as f:
+        f.write(lines[0] + "\n")
+    s3 = run_quality_filter(
+        corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
+    assert s3["shards_run"] == 1 and s3["shards_skipped"] == 1
+
+
+def test_metrics_reduce(ray_session, corpus_paths):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.metrics import reduce_metrics
+
+    ds = rd.read_parquet(list(corpus_paths[:1]))
+    scored = build_pipeline(ds, concurrency=2, batch_size=128)
+    m = reduce_metrics(scored).to_pandas()
+    assert m["n_docs"].sum() == ROWS_PER_FILE
+    assert set(m.columns) == {
+        "detected_lang", "keep", "drop_reason", "n_docs", "n_chars_total"}
+    # kept rows have null reason
+    kept = m[m["keep"]]
+    assert kept["drop_reason"].isna().all()
+
+
+def test_pipeline_determinism(ray_session, corpus_paths):
+    """Same input → byte-identical scored output (retry safety: every
+    stage is a pure function of its batch)."""
+    import ray.data as rd
+
+    ds1 = build_pipeline(
+        rd.read_parquet(list(corpus_paths[:1])), concurrency=2,
+        batch_size=128).to_pandas().sort_values("path").reset_index(drop=True)
+    ds2 = build_pipeline(
+        rd.read_parquet(list(corpus_paths[:1])), concurrency=2,
+        batch_size=128).to_pandas().sort_values("path").reset_index(drop=True)
+    cols = ["content_sha256", "detected_lang", "detected_score",
+            "lang_code", "perplexity", "keep", "drop_reason"]
+    for c in cols:
+        assert ds1[c].equals(ds2[c]), c
