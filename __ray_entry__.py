@@ -1,44 +1,482 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality-filter pipeline on
+/root/testdata/sf0.001; ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 (reference operators
+O1–O8 + extensions E1–E5 + the training-data operators: dedup,
+similarity search, text analysis, multimodal plumbing); for every
+SQL-expressible operator ``oracle_sql()`` carries the DuckDB-equivalent
+statement with IDENTICAL column names and value semantics.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` anywhere in the import graph.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fast_langdetect_ray.stages.rules import RuleConfig, apply_rules
+from fast_langdetect_ray.stages.scrub import SCRUB_PATTERNS, scrub_column, sha256_hex
+from fast_langdetect_ray.state.pools import TARGET_LANGS
+
+_CONC = 4          # actor-pool size for driver-run queries (sf ≤ 0.01)
+_BATCH = 512
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_as_corpus(ds):
+    """Map the documents table into the input_hint corpus shape."""
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": batch["source"],
+            "path": pc.cast(batch["doc_id"], pa.string()),
+            "commit": pc.cast(batch["doc_id"], pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        })
+    return ds.map_batches(to_corpus, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --------------------------------------------------------------- flagship
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (smoke: rows ≥ 0,
+    stable schema)."""
+    from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
+
+    ds = _docs_as_corpus(_read("/root/testdata/sf0.001", "documents"))
+    out = build_pipeline(ds, concurrency=2, batch_size=_BATCH)
+    return out.select_columns([
+        "repo", "path", "lang", "content_sha256", "detected_lang",
+        "detected_score", "lang_code", "perplexity", "n_chars",
+        "alpha_ratio", "keep", "drop_reason",
+    ])
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_token_stats(sf_dir: str):
+    from fast_langdetect_ray.stages.textstats import token_stats
+    return _read(sf_dir, "documents").map_batches(
+        token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality_stats(sf_dir: str):
+    from fast_langdetect_ray.stages.textstats import quality_stats
+    return _read(sf_dir, "documents").map_batches(
+        quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_heuristic_rules(sf_dir: str):
+    """Rules E3 over documents (langid/ppl neutralized so the decision
+    is exactly SQL-expressible: allowlist + length + alpha-ratio)."""
+    from fast_langdetect_ray.functions.textstats import alpha_ratio, n_chars
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "detected_lang": batch["lang"],
+            "detected_score": pa.array([1.0] * len(batch)),
+            "n_chars": pc.cast(n_chars(col), pa.int64()),
+            "alpha_ratio": alpha_ratio(col),
+            "perplexity": pa.array([0.0] * len(batch)),
+        })
+        return t
+
+    cfg = RuleConfig(min_score=0.0, ppl_thresholds={})
+    ds = _read(sf_dir, "documents").map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(apply_rules, batch_format="pyarrow",
+                        zero_copy_batch=True, fn_kwargs={"config": cfg})
+    return ds.select_columns(
+        ["doc_id", "n_chars", "alpha_ratio", "keep", "drop_reason"])
+
+
+def _q_scrub(sf_dir: str):
+    def scrub(batch: pa.Table) -> pa.Table:
+        s = scrub_column(batch["text"])
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "scrubbed": s,
+            "content_sha256": sha256_hex(s.to_pylist()),
+        })
+    return _read(sf_dir, "documents").map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_lang_metrics(sf_dir: str):
+    """Per-lang metrics with in-batch partial aggregation before the
+    shuffle (skew-aware E5 pattern)."""
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.functions.textstats import token_count
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "tokens": pc.cast(token_count(batch["text"]), pa.int64()),
+        })
+        return t.group_by(["lang"], use_threads=False).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"), ("tokens", "sum")]
+        ).rename_columns(["lang", "n_docs", "n_chars_total", "tokens_total"])
+
+    return (
+        _read(sf_dir, "documents")
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars_total", alias_name="n_chars_total"),
+                   Sum("tokens_total", alias_name="tokens_total"))
+    )
+
+
+def _q_exact_dup_groups(sf_dir: str):
+    from fast_langdetect_ray.stages.dedup import exact_dup_groups
+    return exact_dup_groups(_read(sf_dir, "documents"))
+
+
+def _q_exact_dedup_first(sf_dir: str):
+    from fast_langdetect_ray.stages.dedup import exact_dedup
+    ds = exact_dedup(_read(sf_dir, "documents"))
+    return ds.select_columns(
+        ["text_sha256", "doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _q_events_tumbling(sf_dir: str):
+    """Tumbling 1-minute window aggregate over the events stream."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pc.floor_temporal(batch["ts"], unit="minute"),
+            "value": batch["value"],
+        })
+        return t.group_by(["event_type", "window_start"],
+                          use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")]
+        ).rename_columns(
+            ["event_type", "window_start", "n_events", "value_sum"])
+
+    return (
+        _read(sf_dir, "events")
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_sum", alias_name="value_sum"))
+    )
+
+
+_ANN_K = 10
+_ANN_NQ = 5
+
+
+def _load_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, _ANN_NQ)
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k, computed dot/(|a||b|) in float64 and
+    rounded to 6 dp to be bit-comparable with DuckDB's
+    list_cosine_similarity oracle."""
+    import ray
+    q = _load_queries(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(q)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        dots = emb @ qm.T
+        denom = (np.linalg.norm(emb, axis=1, keepdims=True)
+                 * np.linalg.norm(qm, axis=1)[None, :])
+        cos = dots / denom
+        out_q, out_id, out_c = [], [], []
+        k = min(_ANN_K, cos.shape[0])
+        for qi in range(cos.shape[1]):
+            col = cos[:, qi]
+            top = (np.argpartition(-col, k - 1)[:k]
+                   if k < len(col) else np.arange(len(col)))
+            out_q.extend([int(qi)] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_c.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(np.round(out_c, 6), type=pa.float64()),
+        })
+
+    import pandas as pd
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"],
+                             ascending=[False, True]).head(_ANN_K)
+
+    return (
+        _read(sf_dir, "embeddings")
+        .map_batches(topk_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+
+def _q_detect_documents(sf_dir: str):
+    from fast_langdetect_ray.stages.quality import QualityScorer
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_BATCH, concurrency=_CONC,
+        fn_constructor_kwargs=dict(
+            text_col="text", compute_segments=False, compute_topk=False,
+            compute_ppl=False))
+    return ds.select_columns(
+        ["doc_id", "detected_lang", "detected_score", "lang_code"])
+
+
+def _q_detect_topk(sf_dir: str):
+    from fast_langdetect_ray.stages.quality import QualityScorer
+    ds = _read(sf_dir, "documents").map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_BATCH, concurrency=_CONC,
+        fn_constructor_kwargs=dict(
+            text_col="text", k=3, compute_segments=False, compute_ppl=False))
+    return ds.select_columns(["doc_id", "lang_topk"])
+
+
+def _q_split_segments(sf_dir: str):
+    from fast_langdetect_ray.stages.quality import QualityScorer
+    ds = _read(sf_dir, "documents").map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_BATCH, concurrency=_CONC,
+        fn_constructor_kwargs=dict(
+            text_col="text", compute_topk=False, compute_ppl=False))
+    return ds.select_columns(["doc_id", "segments"])
+
+
+def _q_perplexity(sf_dir: str):
+    from fast_langdetect_ray.stages.quality import QualityScorer
+    ds = _read(sf_dir, "documents").map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_BATCH, concurrency=_CONC,
+        fn_constructor_kwargs=dict(
+            text_col="text", compute_topk=False, compute_segments=False))
+    return ds.select_columns(["doc_id", "detected_lang", "perplexity"])
+
+
+def _q_quality_filter_full(sf_dir: str):
+    from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
+    ds = _docs_as_corpus(_read(sf_dir, "documents"))
+    out = build_pipeline(ds, concurrency=_CONC, batch_size=_BATCH)
+    return out.select_columns([
+        "path", "content_sha256", "detected_lang", "detected_score",
+        "lang_code", "perplexity", "n_chars", "alpha_ratio", "keep",
+        "drop_reason",
+    ])
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from fast_langdetect_ray.stages.dedup import minhash_candidate_pairs
+    return minhash_candidate_pairs(
+        _read(sf_dir, "documents"), jaccard_threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from fast_langdetect_ray.stages.dedup import simhash_signatures
+    return simhash_signatures(_read(sf_dir, "documents"))
+
+
+def _q_fingerprints(sf_dir: str):
+    from fast_langdetect_ray.stages.textstats import fingerprints
+    return _read(sf_dir, "documents").map_batches(
+        fingerprints, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_lsh_ann(sf_dir: str):
+    from fast_langdetect_ray.stages.similarity import lsh_topk
+    q = _load_queries(sf_dir).astype(np.float32)
+    return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media table → actor-pool
+    feature extraction (decode kernel stubbed, see stages/multimodal)."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.multimodal import (
+        MediaFeatureExtractor, synth_media_table)
+    ds = rd.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-checked
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "heuristic_rules": _q_heuristic_rules,
+        "scrub_documents": _q_scrub,
+        "lang_metrics": _q_lang_metrics,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dedup_first": _q_exact_dedup_first,
+        "events_tumbling": _q_events_tumbling,
+        "ann_cosine_topk": _q_ann_topk,
+        # rows-only (model / sketch / approximate ops)
+        "detect_documents": _q_detect_documents,
+        "detect_topk": _q_detect_topk,
+        "split_segments": _q_split_segments,
+        "perplexity_scores": _q_perplexity,
+        "quality_filter_full": _q_quality_filter_full,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash,
+        "doc_fingerprints": _q_fingerprints,
+        "lsh_ann_topk": _q_lsh_ann,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+def _sql_token_count(col: str) -> str:
+    return (f"CASE WHEN trim({col}) = '' THEN 0 ELSE "
+            f"array_length(regexp_split_to_array(trim({col}), '\\s+')) END")
+
+
+def _sql_alpha_ratio(col: str) -> str:
+    return (
+        f"coalesce(length(regexp_replace({col}, '[^\\pL\\pN]', '', 'g'))"
+        f" / nullif(length(regexp_replace({col}, '\\s', '', 'g')), 0)"
+        f"::double, 0.0)")
+
+
+def _sql_scrubbed(col: str) -> str:
+    expr = col
+    for tag, pattern in SCRUB_PATTERNS:
+        pat = pattern.replace("'", "''")
+        expr = (f"regexp_replace({expr}, '{pat}', "
+                f"'[REDACTED:{tag}]', 'g')")
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    allow = ", ".join(f"'{l}'" for l in TARGET_LANGS)
+    return {
+        "token_stats": f"""
+            SELECT doc_id,
+                   {_sql_token_count('text')} AS token_count,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "quality_stats": f"""
+            SELECT doc_id,
+                   {_sql_token_count('text')} AS token_count,
+                   {_sql_alpha_ratio('text')} AS alpha_ratio,
+                   CASE WHEN {_sql_token_count('text')} = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text,
+                             '\\b(?:the|and|of|a|to|in|is|that|it|for)\\b'))
+                             / ({_sql_token_count('text')})::double END
+                       AS stopword_ratio,
+                   CASE WHEN {_sql_token_count('text')} = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '\\s', '', 'g'))
+                             / ({_sql_token_count('text')})::double END
+                       AS mean_token_len
+            FROM documents
+        """,
+        "heuristic_rules": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {_sql_alpha_ratio('text')} AS alpha_ratio,
+                   (CASE
+                      WHEN lang NOT IN ({allow}) THEN NULL
+                      WHEN length(text) < 10 THEN NULL
+                      WHEN length(text) > 1000000 THEN NULL
+                      WHEN {_sql_alpha_ratio('text')} < 0.25 THEN NULL
+                      ELSE true END) IS NOT NULL AS keep,
+                   CASE
+                      WHEN lang NOT IN ({allow}) THEN 'non_target_lang'
+                      WHEN length(text) < 10 THEN 'too_short'
+                      WHEN length(text) > 1000000 THEN 'too_long'
+                      WHEN {_sql_alpha_ratio('text')} < 0.25
+                           THEN 'low_alpha_ratio'
+                      ELSE NULL END AS drop_reason
+            FROM documents
+        """,
+        "scrub_documents": f"""
+            SELECT doc_id,
+                   {_sql_scrubbed('text')} AS scrubbed,
+                   sha256({_sql_scrubbed('text')}) AS content_sha256
+            FROM documents
+        """,
+        "lang_metrics": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS n_chars_total,
+                   sum({_sql_token_count('text')}) AS tokens_total
+            FROM documents
+            GROUP BY lang
+        """,
+        "exact_dup_groups": """
+            SELECT sha256(text) AS text_sha256,
+                   count(*) AS n_dups,
+                   min(doc_id) AS rep_id
+            FROM documents
+            GROUP BY sha256(text)
+        """,
+        "exact_dedup_first": """
+            SELECT sha256(text) AS text_sha256, doc_id, text, lang,
+                   source, n_chars
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY text ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
+        """,
+        "events_tumbling": """
+            SELECT event_type,
+                   date_trunc('minute', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(value) AS value_sum
+            FROM events
+            GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "ann_cosine_topk": f"""
+            SELECT query_id, vec_id, cosine FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                           AS cosine,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) DESC, b.vec_id)
+                           AS rn
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id < {_ANN_NQ}
+            ) WHERE rn <= {_ANN_K}
+        """,
+    }

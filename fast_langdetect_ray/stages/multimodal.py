@@ -1,0 +1,89 @@
+"""Multimodal column stages (brief: image/audio/video as opaque
+``binary`` columns with typed metadata).
+
+The decode libraries (PIL/ffmpeg/torchaudio) are not in this container,
+so the *decode kernels* are stubbed — ``DeterministicFakeDecoder``
+(seeded, content-addressed fake features for tests/benchmarks) or
+``NotImplementedError`` in strict mode — while the Ray-side plumbing is
+real and tested: Arrow ``binary`` schema in, actor-pool ``map_batches``
+with small ``batch_size`` (large payloads → few rows per batch), fixed
+``list_(float32)`` feature schema out.
+
+Swap ``decode_fn`` for a real implementation (e.g. PIL + resize +
+CLIP) without touching the pipeline shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # "image" | "audio" | "video"
+    ("payload", pa.binary()),       # opaque encoded bytes
+    ("width", pa.int32()),          # typed metadata (nullable)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+FEATURE_DIM = 16
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Placeholder for the real decode/feature-extract kernel.
+
+    STUB: the decode libraries are unavailable in this container."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg, not available offline; "
+        "use DeterministicFakeDecoder for plumbing tests")
+
+
+def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic content-addressed fake features: blake2b of the
+    payload expanded to FEATURE_DIM floats in [0, 1)."""
+    h = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 2,
+                        person=kind.encode()[:16]).digest()
+    raw = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
+    return raw / 65536.0
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + featurize binary payloads.
+
+    Use ``map_batches(MediaFeatureExtractor, batch_size=small,
+    concurrency=N, num_cpus=1)`` — payloads are large, so batches must
+    stay small (memory-aware: batch_size × payload × concurrency must
+    fit the worker heap)."""
+
+    def __init__(self, decode_fn: Optional[Callable] = None,
+                 strict: bool = False):
+        self.decode = decode_fn or (real_decoder if strict else fake_decoder)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self.decode(p, k).tolist()
+            for p, k in zip(batch["payload"].to_pylist(),
+                            batch["kind"].to_pylist())
+        ]
+        out = batch.select(["media_id", "kind"])
+        return out.append_column(
+            "features", pa.array(feats, type=pa.list_(pa.float32())))
+
+
+def synth_media_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": list(range(n)),
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [hashlib.sha256(f"{seed}:{i}".encode()).digest() * 64
+                    for i in range(n)],
+        "width": [64 if i % 3 == 0 else None for i in range(n)],
+        "height": [48 if i % 3 == 0 else None for i in range(n)],
+        "duration_ms": [None if i % 3 == 0 else 1000 + i for i in range(n)],
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (brief: brute-force
+cosine top-k baseline + an LSH-bucketed scale path).
+
+* **Brute force** — the query matrix (small side) is normalized once
+  and broadcast (``ray.put``); each ``map_batches`` task computes one
+  numpy matmul ``E_batch @ Q.T`` and emits its *batch-local* top-k
+  partials (k rows per query per batch), so the final exact top-k
+  reduce sees only ``k × n_batches`` rows per query — never the full
+  score matrix.
+* **LSH-bucketed (scale path)** — deterministic random-hyperplane
+  signatures assign each vector to a bucket; queries search only their
+  own bucket (plus Hamming-1 probes).  Recall < 1 by design; the
+  partitioning assumption (bucket key distributes ~uniformly under
+  random planes) is the documented trade.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.pools import SEED
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float32)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+class BatchTopK:
+    """map_batches stage: batch-local exact top-k per query."""
+
+    def __init__(self, query_ref, k: int, id_col: str, emb_col: str):
+        import ray
+        self.q = _normalize(ray.get(query_ref))  # (Q, d), once per actor
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, self.emb_col))
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        scores = emb @ self.q.T  # (B, Q)
+        k = min(self.k, scores.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_s.extend(col[top].astype(np.float64).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            self.id_col: pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency: Optional[int] = None):
+    """Exact cosine top-k of every query against the dataset.
+
+    Returns (query_id, vec_id, cosine) — k rows per query, cosine
+    descending, ties broken by ascending vec_id (deterministic).
+    """
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            query_ref=qref, k=k, id_col=id_col, emb_col=emb_col))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", id_col], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------- LSH scale path
+
+def _planes(dim: int, n_planes: int = 8, seed: int = SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket_ids(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (emb @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def add_lsh_buckets(ds, dim: int, n_planes: int = 8,
+                    emb_col: str = "embedding"):
+    """Append a deterministic ``bucket`` column — the co-location key
+    the bucketed ANN search groups on."""
+    planes = _planes(dim, n_planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, emb_col))
+        return batch.append_column(
+            "bucket", pa.array(lsh_bucket_ids(emb, planes), type=pa.int64()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             concurrency=2):
+    """Approximate top-k: each query only scans vectors whose LSH
+    bucket matches its own (single-probe).  Same output schema as
+    :func:`brute_force_topk`; recall measured in tests."""
+    queries = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = _planes(queries.shape[1], n_planes)
+    qbuckets = lsh_bucket_ids(queries, planes)
+
+    bucketed = add_lsh_buckets(ds, queries.shape[1], n_planes, emb_col)
+
+    import ray
+    qref = ray.put((queries, qbuckets))
+
+    class BucketTopK:
+        def __init__(self):
+            self.q, self.qb = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch, emb_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            buckets = np.asarray(batch["bucket"].to_pylist())
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = buckets == self.qb[qi]
+                if not mask.any():
+                    continue
+                scores = emb[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(scores))
+                top = (np.argpartition(-scores, kk - 1)[:kk]
+                       if kk < len(scores) else np.arange(len(scores)))
+                out_q.extend([qi] * len(top))
+                out_id.extend(sub_ids[top].tolist())
+                out_s.extend(scores[top].astype(np.float64).tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = bucketed.map_batches(
+        BucketTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", id_col], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")

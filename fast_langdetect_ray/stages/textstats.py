@@ -1,0 +1,90 @@
+"""Text-analysis operators over a documents table (brief: language-ID
+heuristic, quality scoring, token counting, document fingerprinting).
+
+All are stateless ``map_batches`` bodies over Arrow batches; regexes
+are module-level compiled constants (cheap — no actor pool needed,
+matching FIXTURES.md E4 guidance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import alpha_ratio, n_chars, token_count
+
+# small frozen English stopword list (quality heuristic, Gopher-style)
+STOPWORDS = (
+    "the", "and", "of", "a", "to", "in", "is", "that", "it", "for",
+)
+_STOP_RE = re.compile(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+_WORD_RE = r"[\pL\pN]+"
+
+
+def token_stats(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """(id, token_count, n_chars) — whitespace tokenization."""
+    col = batch[text_col]
+    return pa.table({
+        id_col: batch[id_col],
+        "token_count": pc.cast(token_count(col), pa.int64()),
+        "n_chars": pc.cast(n_chars(col), pa.int64()),
+    })
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-doc quality heuristics (all derivable in the SQL oracle):
+
+    * ``token_count``      whitespace tokens
+    * ``alpha_ratio``      unicode-alnum / non-ws chars
+    * ``stopword_ratio``   stopword occurrences / tokens (0 if none)
+    * ``mean_token_len``   non-ws chars / tokens (0 if none)
+    """
+    col = batch[text_col]
+    toks = pc.cast(token_count(col), pa.float64())
+    stops = pc.cast(pc.count_substring_regex(col, _STOP_RE.pattern),
+                    pa.float64())
+    non_ws = pc.cast(pc.count_substring_regex(col, r"\S"), pa.float64())
+    safe_toks = pc.if_else(pc.equal(toks, 0.0), pa.scalar(1.0), toks)
+    stop_ratio = pc.if_else(pc.equal(toks, 0.0), pa.scalar(0.0),
+                            pc.divide(stops, safe_toks))
+    mean_len = pc.if_else(pc.equal(toks, 0.0), pa.scalar(0.0),
+                          pc.divide(non_ws, safe_toks))
+    return pa.table({
+        id_col: batch[id_col],
+        "token_count": pc.cast(toks, pa.int64()),
+        "alpha_ratio": alpha_ratio(col),
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_len,
+    })
+
+
+def fingerprint64(text: str, window: int = 4) -> str:
+    """Deterministic document fingerprint: blake2b-8 of the sorted set
+    of rolling token-``window``-gram hashes (winnowing-style; order
+    insensitive at the gram level, robust to whitespace changes)."""
+    toks = text.split()
+    if not toks:
+        return "0" * 16
+    grams = [" ".join(toks[i:i + window])
+             for i in range(max(1, len(toks) - window + 1))]
+    hs = sorted(
+        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                       "big") for g in set(grams))
+    acc = hashlib.blake2b(digest_size=8)
+    acc.update(np.asarray(hs, dtype=np.uint64).tobytes())
+    return acc.hexdigest()
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    return pa.table({
+        id_col: batch[id_col],
+        "fingerprint": pa.array(
+            [fingerprint64(t or "") for t in batch[text_col].to_pylist()]),
+    })

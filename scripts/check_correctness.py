@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin at a given sf, and
+compare row count + sorted-column schema + order-insensitive value
+hash.  Usage: python scripts/check_correctness.py [sf_dir]"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: json.dumps(v, sort_keys=True, default=str)
+                if isinstance(v, (list, dict)) else v)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = canonical(df)
+    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
+def main(sf_dir: str):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            ours = to_pandas(fn(sf_dir))
+        except Exception as e:
+            results[name] = {"status": "QUERY_ERROR", "error": str(e)[:300]}
+            print(f"{name:24s} QUERY_ERROR {str(e)[:120]}")
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(ours),
+                             "sec": round(dt, 2)}
+            print(f"{name:24s} ROWS_ONLY  rows={len(ours)}  {dt:.2f}s")
+            continue
+        try:
+            oracle = con.execute(sqls[name]).fetchdf()
+        except Exception as e:
+            results[name] = {"status": "SQL_ERROR", "error": str(e)[:300]}
+            print(f"{name:24s} SQL_ERROR  {str(e)[:120]}")
+            continue
+        ok_rows = len(ours) == len(oracle)
+        ok_schema = sorted(ours.columns) == sorted(oracle.columns)
+        ok_hash = ok_rows and ok_schema and (
+            value_hash(ours) == value_hash(oracle))
+        status = "MATCH" if ok_hash else "MISMATCH"
+        results[name] = {
+            "status": status, "rows": len(ours),
+            "oracle_rows": len(oracle), "schema_ok": ok_schema,
+            "sec": round(dt, 2)}
+        print(f"{name:24s} {status:9s} rows={len(ours)}/{len(oracle)} "
+              f"schema={ok_schema} {dt:.2f}s")
+        if status == "MISMATCH" and ok_rows and ok_schema:
+            a, b = canonical(ours), canonical(oracle)
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("  first diff row ours:  ", a.loc[i].to_dict())
+                print("  first diff row oracle:", b.loc[i].to_dict())
+    n_bad = sum(1 for r in results.values()
+                if r["status"] in ("MISMATCH", "QUERY_ERROR", "SQL_ERROR"))
+    print(f"\n{len(results)} queries, {n_bad} failing")
+    return n_bad
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf) else 0)
