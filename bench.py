@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Headline benchmark for the fast_langdetect_ray engine.
+
+Default mode
+    Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+    ``/root/testdata/sf0.1``) plus the flagship quality-filter job over a
+    deterministic 100k-row synthetic source-code corpus (FIXTURES.md §1,
+    cached under /tmp), with ``ray.init(address="local",
+    num_cpus=$RAY_GRAFT_CPUS)`` (default 32).  Prints ONE JSON line::
+
+        {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {...}, "sf": ..., "num_cpus": N,
+         "corpus_files_per_sec": ..., "corpus_rows": ...}
+
+``--scaling``
+    Runs the flagship quality-filter job twice in FRESH processes —
+    ``ray.init(num_cpus=8)`` then ``ray.init(num_cpus=32)`` — over the same
+    corpus input and reports both throughputs plus the N→4N scaling
+    efficiency (sandbox stand-in for the north rule's N vs 4N node
+    clusters; see BASELINE.md).
+
+``--one-run --num-cpus N``
+    Internal: a single fresh-process run used by ``--scaling``.
+
+This script OWNS its Ray session (the driver contract in
+``__ray_entry__.py`` never calls ray.init; bench.py does, and shuts down).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_CORPUS_ROWS", "100000"))
+CORPUS_DIR = Path(os.environ.get(
+    "GRAFT_BENCH_CORPUS_DIR", f"/tmp/fld_bench_corpus_{CORPUS_ROWS}"))
+
+# sf-dir headline queries benchmarked in default mode (keys of
+# __ray_entry__.queries()); the corpus quality-filter job is added on top.
+HEADLINE = [
+    "quality_filter_full",
+    "detect_documents",
+    "scrub_documents",
+    "heuristic_rules",
+    "lang_metrics",
+    "exact_dedup_first",
+    "minhash_pairs",
+    "ann_cosine_topk",
+    "events_tumbling",
+]
+
+
+def _ensure_corpus() -> Path:
+    """Deterministic bench corpus (pure function of pools.SEED); cached."""
+    marker = CORPUS_DIR / ".complete"
+    if marker.exists() and marker.read_text() == str(CORPUS_ROWS):
+        return CORPUS_DIR
+    import shutil
+    if CORPUS_DIR.exists():
+        shutil.rmtree(CORPUS_DIR)
+    from fast_langdetect_ray.sources.corpus import generate_corpus
+    generate_corpus(CORPUS_DIR, CORPUS_ROWS, rows_per_file=2000)
+    marker.write_text(str(CORPUS_ROWS))
+    return CORPUS_DIR
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    raise TypeError(type(result))
+
+
+def _run_corpus_job(num_cpus: int, out_dir: Path) -> dict:
+    """The flagship job: corpus → scrub → langid/ppl actors → rules →
+    partitioned parquet + manifest.  Returns timing + row counts."""
+    import ray
+
+    from fast_langdetect_ray.pipelines.quality_filter import run_quality_filter
+
+    corpus = _ensure_corpus()
+    import shutil
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    frags = sorted(str(p) for p in corpus.glob("*.parquet"))
+
+    t0 = time.perf_counter()
+    summary = run_quality_filter(
+        frags, str(out_dir),
+        # one shard = one streaming pipeline over every fragment; the
+        # multi-shard path (resume granularity) is exercised by tests
+        files_per_shard=len(frags),
+        # fixed-size pool: the autoscaler ramps too slowly for a short
+        # job (measured: (2, n) stays at 2 actors for a 15 s run)
+        concurrency=num_cpus,
+        batch_size=1024,
+    )
+    elapsed = time.perf_counter() - t0
+    rows = summary["rows_in"]
+    return {
+        "elapsed_sec": round(elapsed, 3),
+        "rows": rows,
+        "files_per_sec": round(rows / elapsed, 1),
+        "rows_out": summary["rows_out"],
+    }
+
+
+def one_run(num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        return _run_corpus_job(num_cpus, Path(f"/tmp/fld_bench_out_{num_cpus}"))
+    finally:
+        ray.shutdown()
+
+
+def default_mode() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    qmap = entrymod.queries()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _consume(qmap[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    corpus_stats = _run_corpus_job(NUM_CPUS, Path("/tmp/fld_bench_out_main"))
+    queries["quality_filter_corpus"] = corpus_stats["elapsed_sec"]
+
+    ray.shutdown()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline pipelines total wall time "
+                  "(langid+quality-filter engine)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": corpus_stats["rows"],
+        "corpus_files_per_sec": corpus_stats["files_per_sec"],
+    }))
+
+
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_CORPUS_ROWS", "400000"))
+
+
+def scaling_mode(lo: int, hi: int) -> None:
+    # larger corpus than the default-mode run so per-job fixed overhead
+    # (ray startup, actor spin-up, manifest write) is amortized and the
+    # measurement reflects streaming throughput
+    env = dict(os.environ, GRAFT_BENCH_CORPUS_ROWS=str(SCALING_ROWS))
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--one-run",
+             "--num-cpus", str(n)],
+            capture_output=True, text=True, check=True, cwd=str(REPO),
+            env=env)
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["elapsed_sec"], results[hi]["elapsed_sec"]
+    ratio = hi / lo
+    efficiency = (t_lo / t_hi) / ratio
+    print(json.dumps({
+        "metric": f"scaling efficiency {lo}->{hi} logical CPUs "
+                  "(fresh ray.init per run, same corpus input)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "corpus_rows": results[lo]["rows"],
+        "runs": {
+            str(lo): results[lo],
+            str(hi): results[hi],
+        },
+        "speedup": round(t_lo / t_hi, 2),
+        "ideal_speedup": ratio,
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-run", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    args = ap.parse_args()
+    if args.one_run:
+        print(json.dumps(one_run(args.num_cpus)))
+    elif args.scaling:
+        scaling_mode(args.scale_lo, args.scale_hi)
+    else:
+        default_mode()
+
+
+if __name__ == "__main__":
+    main()

@@ -375,7 +375,9 @@ class FastTextModel:
             ez = np.exp(z)
             return np.log(ez / ez.sum(axis=1, keepdims=True) + np.float32(1e-5))
         f = hidden @ self.output_matrix[: self.nlabels - 1].T
-        s = 1.0 / (1.0 + np.exp(-f))
+        # clip keeps exp() in range; beyond ±30 the sigmoid saturates far
+        # below the 1e-5 epsilon added next, so log-probs are unchanged
+        s = 1.0 / (1.0 + np.exp(-np.clip(f, -30.0, 30.0)))
         eps = np.float32(1e-5)
         return (
             np.log(s + eps) @ self._path_right.T
@@ -438,6 +440,14 @@ class FastTextModel:
                 "predict processes one line at a time (remove '\\n')")
         labels, scores = self.predict_batch([text], k=k, threshold=threshold)[0]
         return tuple(labels), scores
+
+    def log_probs_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """(n_texts, nlabels) log-prob matrix — the shared pass that
+        top1/topk are both views over (callers avoid recomputing the
+        hidden states when they need both)."""
+        if len(texts) == 0:
+            return np.empty((0, self.nlabels), dtype=np.float64)
+        return self._log_probs(self.hidden_batch(texts))
 
     def top1_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Fast path for k=1 over a batch: returns (label_idx, prob)

@@ -101,8 +101,12 @@ class QualityScorer:
         texts = self._detection_inputs(batch[self.text_col])
         n = len(texts)
 
-        # --- top-1 (detected_lang / detected_score / lang_code)
-        idx, probs = self.model.top1_batch(texts)
+        # --- ONE log-prob pass shared by top-1 and top-k (the hidden
+        # states + output matmul dominate; computing them twice doubled
+        # the stage cost)
+        lp = self.model.log_probs_batch(texts)
+        idx = lp.argmax(axis=1)
+        probs = np.exp(lp[np.arange(lp.shape[0]), idx])
         label_arr = np.array(
             [lbl[len("__label__"):] for lbl in self.model.labels])
         langs = label_arr[idx]
@@ -121,13 +125,28 @@ class QualityScorer:
             "detected_score", pa.array(scores, type=pa.float64()))
         batch = batch.append_column("lang_code", pa.array(upper))
 
-        # --- top-k candidates
+        # --- top-k candidates (derived from the shared lp pass; same
+        # semantics as FastTextModel.predict_batch with threshold=0)
         if self.compute_topk:
-            topk = self.model.predict_batch(texts, k=self.k)
-            batch = batch.append_column("lang_topk", pa.array(
-                [[{"lang": l[len("__label__"):], "score": min(float(s), 1.0)}
-                  for l, s in zip(labels, scs)]
-                 for labels, scs in topk], type=TOPK_TYPE))
+            k_eff = min(self.k, lp.shape[1]) if n else 0
+            cutoff = np.log(1e-5)
+            rows = []
+            if n:
+                part = (np.argpartition(-lp, k_eff - 1, axis=1)[:, :k_eff]
+                        if k_eff < lp.shape[1] else
+                        np.tile(np.arange(lp.shape[1]), (n, 1)))
+                for i in range(n):
+                    cand = part[i]
+                    sc = lp[i, cand]
+                    order = np.argsort(-sc, kind="stable")
+                    cand, sc = cand[order], sc[order]
+                    keep = sc >= cutoff
+                    rows.append([
+                        {"lang": str(label_arr[j]),
+                         "score": min(float(np.exp(s)), 1.0)}
+                        for j, s in zip(cand[keep], sc[keep])])
+            batch = batch.append_column(
+                "lang_topk", pa.array(rows, type=TOPK_TYPE))
 
         # --- split-by-language segments (batched across all rows)
         if self.compute_segments:
