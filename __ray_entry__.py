@@ -321,6 +321,50 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
 
 
+_NEARDUP_TAU = 0.4
+
+
+def _q_embedding_neardup_exact(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs: the whole (small-side)
+    embedding matrix is broadcast once via ray.put and every batch
+    streams against it — no shuffle.  Scale path: the LSH-bucketed
+    variant below."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t["vec_id"].to_pylist())
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ref = ray.put((all_ids, emb))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        a = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        sims = a @ m.T
+        ia, ib = np.nonzero(
+            (sims >= _NEARDUP_TAU) & (ids[:, None] < ids_all[None, :]))
+        return pa.table({
+            "id_a": pa.array(ids[ia], type=pa.int64()),
+            "id_b": pa.array(ids_all[ib], type=pa.int64()),
+            "cosine": pa.array(np.round(sims[ia, ib], 6), type=pa.float64()),
+        })
+
+    return _read(sf_dir, "embeddings").map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (scale path; single-probe recall <1 →
+    rows-only check)."""
+    from fast_langdetect_ray.stages.similarity import embedding_neardup_pairs
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings"), threshold=_NEARDUP_TAU)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media table → actor-pool
     feature extraction (decode kernel stubbed, see stages/multimodal)."""
@@ -346,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_first": _q_exact_dedup_first,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -356,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "doc_fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "media_features": _q_media_features,
     }
 
@@ -462,6 +508,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(value) AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "embedding_neardup_exact": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                >= {_NEARDUP_TAU}
         """,
         "ann_cosine_topk": f"""
             SELECT query_id, vec_id, cosine FROM (

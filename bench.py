@@ -60,8 +60,13 @@ HEADLINE = [
 ]
 
 
+ROWS_PER_FILE = 8000  # ~10 MB fragments: enough blocks for 24 actors,
+                      # small enough driver-side metadata cost
+
+
 def _ensure_corpus() -> Path:
-    """Deterministic bench corpus (pure function of pools.SEED); cached."""
+    """Deterministic bench corpus (pure function of pools.SEED); cached.
+    Parallel generation is byte-identical to serial (row = f(index))."""
     marker = CORPUS_DIR / ".complete"
     if marker.exists() and marker.read_text() == str(CORPUS_ROWS):
         return CORPUS_DIR
@@ -69,7 +74,8 @@ def _ensure_corpus() -> Path:
     if CORPUS_DIR.exists():
         shutil.rmtree(CORPUS_DIR)
     from fast_langdetect_ray.sources.corpus import generate_corpus
-    generate_corpus(CORPUS_DIR, CORPUS_ROWS, rows_per_file=2000)
+    generate_corpus(CORPUS_DIR, CORPUS_ROWS, rows_per_file=ROWS_PER_FILE,
+                    processes=16)
     marker.write_text(str(CORPUS_ROWS))
     return CORPUS_DIR
 
@@ -86,7 +92,8 @@ def _consume(result) -> int:
     raise TypeError(type(result))
 
 
-def _run_corpus_job(num_cpus: int, out_dir: Path) -> dict:
+def _run_corpus_job(num_cpus: int, out_dir: Path,
+                    actors: int | None = None) -> dict:
     """The flagship job: corpus → scrub → langid/ppl actors → rules →
     partitioned parquet + manifest.  Returns timing + row counts."""
     import ray
@@ -105,9 +112,12 @@ def _run_corpus_job(num_cpus: int, out_dir: Path) -> dict:
         # one shard = one streaming pipeline over every fragment; the
         # multi-shard path (resume granularity) is exercised by tests
         files_per_shard=len(frags),
-        # fixed-size pool: the autoscaler ramps too slowly for a short
-        # job (measured: (2, n) stays at 2 actors for a 15 s run)
-        concurrency=num_cpus,
+        # fixed-size pool sized to ~3/4 of the CPUs: the (2, n)
+        # autoscaler stays at 2 actors for a short job, while a pool of
+        # exactly n starves the read/rules/write task ops and stalls the
+        # stream (both measured); --scaling overrides with an exactly
+        # CPU-proportional pool
+        concurrency=actors or max(2, (3 * num_cpus) // 4),
         batch_size=1024,
     )
     elapsed = time.perf_counter() - t0
@@ -120,14 +130,15 @@ def _run_corpus_job(num_cpus: int, out_dir: Path) -> dict:
     }
 
 
-def one_run(num_cpus: int) -> dict:
+def one_run(num_cpus: int, actors: int | None = None) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     try:
-        return _run_corpus_job(num_cpus, Path(f"/tmp/fld_bench_out_{num_cpus}"))
+        return _run_corpus_job(num_cpus, Path(f"/tmp/fld_bench_out_{num_cpus}"),
+                               actors=actors)
     finally:
         ray.shutdown()
 
@@ -171,10 +182,38 @@ def default_mode() -> None:
     }))
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_CORPUS_ROWS", "400000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_CORPUS_ROWS", "1500000"))
+
+
+def _hardware_ceiling(lo_procs: int, hi_procs: int) -> float:
+    """Max speedup this host can physically deliver between the two
+    process counts (pure-CPU burn, no Ray) — context for the N→4N
+    number: beyond ~8-16 workers the sandbox's logical CPUs are SMT
+    siblings / cgroup-throttled, so 4x workers ≠ 4x cycles."""
+    import multiprocessing as mp
+
+    n = 20_000_000
+    out = {}
+    for p in (lo_procs, hi_procs):
+        with mp.Pool(p) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, [n] * p)
+            out[p] = p / (time.perf_counter() - t0)
+    return out[hi_procs] / out[lo_procs]
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
 
 
 def scaling_mode(lo: int, hi: int) -> None:
+    """N→4N scaling evidence: the same job, same input, in fresh
+    processes at ``lo`` and ``hi`` logical CPUs with an exactly
+    CPU-proportional actor pool (cpus//2 actors).  Also reports the
+    host's measured hardware speedup ceiling for the same pair."""
     # larger corpus than the default-mode run so per-job fixed overhead
     # (ray startup, actor spin-up, manifest write) is amortized and the
     # measurement reflects streaming throughput
@@ -183,25 +222,27 @@ def scaling_mode(lo: int, hi: int) -> None:
     for n in (lo, hi):
         proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--one-run",
-             "--num-cpus", str(n)],
+             "--num-cpus", str(n), "--actors", str(max(1, n // 2))],
             capture_output=True, text=True, check=True, cwd=str(REPO),
             env=env)
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
     t_lo, t_hi = results[lo]["elapsed_sec"], results[hi]["elapsed_sec"]
     ratio = hi / lo
-    efficiency = (t_lo / t_hi) / ratio
+    speedup = t_lo / t_hi
+    efficiency = speedup / ratio
+    hw = _hardware_ceiling(lo, hi)
     print(json.dumps({
         "metric": f"scaling efficiency {lo}->{hi} logical CPUs "
-                  "(fresh ray.init per run, same corpus input)",
+                  "(fresh ray.init per run, same corpus input, "
+                  "cpu-proportional actor pool)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "corpus_rows": results[lo]["rows"],
-        "runs": {
-            str(lo): results[lo],
-            str(hi): results[hi],
-        },
-        "speedup": round(t_lo / t_hi, 2),
+        "runs": {str(lo): results[lo], str(hi): results[hi]},
+        "speedup": round(speedup, 2),
         "ideal_speedup": ratio,
+        "hardware_ceiling_speedup": round(hw, 2),
+        "efficiency_vs_hardware": round(speedup / hw, 3),
     }))
 
 
@@ -210,11 +251,12 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--one-run", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
-    ap.add_argument("--scale-lo", type=int, default=8)
-    ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--actors", type=int, default=None)
+    ap.add_argument("--scale-lo", type=int, default=2)
+    ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
     if args.one_run:
-        print(json.dumps(one_run(args.num_cpus)))
+        print(json.dumps(one_run(args.num_cpus, actors=args.actors)))
     elif args.scaling:
         scaling_mode(args.scale_lo, args.scale_hi)
     else:

@@ -107,8 +107,16 @@ def _shard_metrics(shard_dir: Path) -> Dict[str, Any]:
     the tiny metadata columns only)."""
     import pyarrow.dataset as pads
 
+    import pyarrow.compute as pc
+
     dset = pads.dataset(str(shard_dir), format="parquet")
     tbl = dset.to_table(columns=["detected_lang", "keep", "drop_reason", "n_chars"])
+    # fill_null before grouping: pyarrow 16's multi-key grouper
+    # degrades ~10000x when a nullable string key is combined with a
+    # bool key (measured 112s vs 0.02s on 400k rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("drop_reason"), "drop_reason",
+        pc.fill_null(tbl["drop_reason"], ""))
     agg = tbl.group_by(["detected_lang", "keep", "drop_reason"]).aggregate(
         [("n_chars", "count"), ("n_chars", "sum")])
     reasons: Dict[str, int] = {}

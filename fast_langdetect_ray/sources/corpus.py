@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 import random
 from pathlib import Path
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -134,9 +134,11 @@ def _make_content(rng: random.Random, ext: str) -> str:
     return f"{base} {tox} {base}"
 
 
-def iter_rows(n_rows: int) -> Iterator[Tuple[str, str, str, str, str]]:
-    """Yield (repo, path, commit, lang, content) deterministically."""
-    for i in range(n_rows):
+def iter_rows_range(start: int, stop: int) -> Iterator[Tuple[str, str, str, str, str]]:
+    """Yield rows [start, stop) — each row is a pure function of its
+    index (per-row rng seeded from sha256(repo:path:commit)), so any
+    range can be generated independently and in parallel."""
+    for i in range(start, stop):
         org = i % 20
         repo_n = (i // 20) % 50
         repo = f"org{org}/repo{repo_n}"
@@ -149,10 +151,34 @@ def iter_rows(n_rows: int) -> Iterator[Tuple[str, str, str, str, str]]:
         yield repo, path, commit, EXT_TO_LANG[ext], content
 
 
-def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000) -> List[str]:
+def iter_rows(n_rows: int) -> Iterator[Tuple[str, str, str, str, str]]:
+    """Yield (repo, path, commit, lang, content) deterministically."""
+    return iter_rows_range(0, n_rows)
+
+
+def _write_fragment(args) -> str:
+    """One Parquet fragment for row range [start, stop) (pool worker)."""
+    out_dir, file_idx, start, stop = args
+    rows = list(iter_rows_range(start, stop))
+    cols = list(zip(*rows))
+    table = pa.table(
+        {name: pa.array(col, type=pa.string())
+         for name, col in zip(CORPUS_SCHEMA.names, cols)},
+        schema=CORPUS_SCHEMA)
+    p = Path(out_dir) / f"part-{file_idx:05d}.parquet"
+    pq.write_table(table, p)
+    return str(p)
+
+
+def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000,
+                    processes: Optional[int] = None) -> List[str]:
     """Write the corpus as multiple Parquet fragments; returns paths.
     Skips work if the directory already holds a complete corpus of the
-    same size (generation itself is deterministic, so reuse is safe)."""
+    same size (generation itself is deterministic, so reuse is safe).
+
+    ``processes > 1`` generates fragments in a process pool — output is
+    byte-identical to the serial path because every row is a pure
+    function of its index."""
     out_dir = Path(out_dir)
     marker = out_dir / f"_complete_{n_rows}_{rows_per_file}_{SEED}"
     existing = sorted(str(p) for p in out_dir.glob("part-*.parquet"))
@@ -163,29 +189,16 @@ def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000) -> List[str
         stale.unlink()
     for stale in out_dir.glob("_complete_*"):
         stale.unlink()
-    paths: List[str] = []
-    buf: List[Tuple[str, str, str, str, str]] = []
-    file_idx = 0
 
-    def flush():
-        nonlocal file_idx
-        if not buf:
-            return
-        cols = list(zip(*buf))
-        table = pa.table(
-            {name: pa.array(col, type=pa.string())
-             for name, col in zip(CORPUS_SCHEMA.names, cols)},
-            schema=CORPUS_SCHEMA)
-        p = out_dir / f"part-{file_idx:05d}.parquet"
-        pq.write_table(table, p)
-        paths.append(str(p))
-        file_idx += 1
-        buf.clear()
-
-    for row in iter_rows(n_rows):
-        buf.append(row)
-        if len(buf) >= rows_per_file:
-            flush()
-    flush()
+    jobs = [
+        (str(out_dir), idx, start, min(start + rows_per_file, n_rows))
+        for idx, start in enumerate(range(0, n_rows, rows_per_file))
+    ]
+    if processes and processes > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        with mp.Pool(min(processes, len(jobs))) as pool:
+            paths = pool.map(_write_fragment, jobs, chunksize=1)
+    else:
+        paths = [_write_fragment(j) for j in jobs]
     marker.touch()
-    return paths
+    return list(paths)

@@ -158,15 +158,27 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep-first exact dedup: one row (min id) per distinct content."""
+    def pre_dedup(batch: pa.Table) -> pa.Table:
+        """Within-batch keep-first — shrinks the shuffle input for free
+        (at realistic dup rates most duplicates co-occur in a shard)."""
+        batch = add_sha256(batch, text_col=text_col)
+        order = pa.compute.sort_indices(
+            batch, sort_keys=[("text_sha256", "ascending"),
+                              (id_col, "ascending")])
+        batch = batch.take(order)
+        h = batch["text_sha256"].to_pylist()
+        keep = [i == 0 or h[i] != h[i - 1] for i in range(len(h))]
+        return batch.filter(pa.array(keep))
+
+    def first(g: pa.Table) -> pa.Table:
+        if g.num_rows == 1:
+            return g
+        return g.take(pa.compute.sort_indices(g[id_col])[:1])
+
     hashed = ds.map_batches(
-        add_sha256, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"text_col": text_col})
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
+        pre_dedup, batch_format="pyarrow", zero_copy_batch=True)
     return hashed.groupby("text_sha256").map_groups(
-        first, batch_format="pandas")
+        first, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(
@@ -200,22 +212,26 @@ def minhash_candidate_pairs(
         ids = sorted(g[id_col].unique().tolist())[:max_group]
         rows = [(ids[i], ids[j])
                 for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+        return pd.DataFrame(rows, columns=["id_a", "id_b"], dtype="int64")
 
-    # pairs found by several bands collapse to one row
-    cand = (
-        bands.groupby(["band", "band_key"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-    cand_tbl = cand.to_pandas()  # small by assumption (candidates only)
+    # ONE shuffle (band-key groupby); the candidate pair set is tiny by
+    # assumption, so cross-band pair dedup happens on the materialized
+    # pandas frame instead of a second all-to-all — and verify below
+    # runs over from_pandas(cand_tbl) so the groupby lineage is never
+    # re-executed
+    cand = bands.groupby(["band", "band_key"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    cand_tbl = cand.to_pandas().drop_duplicates(
+        ["id_a", "id_b"]).reset_index(drop=True)
     if len(cand_tbl) == 0:
-        import pyarrow as _pa
-        return ray.data.from_arrow(_pa.table(
-            {"id_a": _pa.array([], type=_pa.int64()),
-             "id_b": _pa.array([], type=_pa.int64()),
-             "jaccard": _pa.array([], type=_pa.float64())}))
+        # typed empty result via a pandas block: Ray's to_pandas() on an
+        # empty *arrow* block drops the column schema entirely
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+        return ray.data.from_pandas(empty)
 
     cand_ids = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
     ids_ref = ray.put(cand_ids)
@@ -241,7 +257,8 @@ def minhash_candidate_pairs(
         return out.filter(
             pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return ray.data.from_pandas(cand_tbl).map_batches(
+        verify, batch_format="pyarrow")
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

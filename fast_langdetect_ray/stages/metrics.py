@@ -16,8 +16,17 @@ import pyarrow as pa
 def metrics_partials(batch: pa.Table) -> pa.Table:
     """map_batches body: collapse a scored+ruled batch to per-key
     partial counts/bytes."""
+    import pyarrow.compute as pc
+
     cols = ["detected_lang", "keep", "drop_reason"]
     tbl = batch.select(cols + ["n_chars"])
+    # fill_null before grouping: pyarrow 16's multi-key grouper degrades
+    # ~10000x when a nullable string key joins a bool key (see
+    # quality_filter._shard_metrics); "" is not a legal drop_reason so
+    # the encoding is lossless
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("drop_reason"), "drop_reason",
+        pc.fill_null(tbl["drop_reason"], ""))
     agg = tbl.group_by(cols, use_threads=False).aggregate(
         [("n_chars", "count"), ("n_chars", "sum")])
     return agg.rename_columns(
@@ -26,8 +35,21 @@ def metrics_partials(batch: pa.Table) -> pa.Table:
 
 def reduce_metrics(ds):
     """Reduce the partials Dataset → final per-(lang, keep, reason)
-    metrics.  Returns a Ray Dataset (tiny: ≤ 176 × 7 rows)."""
+    metrics.  Returns a Ray Dataset (tiny: ≤ 176 × 7 rows).  The ""
+    null-stand-in used through the shuffle (see metrics_partials) is
+    mapped back to a true null on output."""
+    import pyarrow.compute as pc
+
     from ray.data.aggregate import Sum
+
+    def restore_null(batch: pa.Table) -> pa.Table:
+        col = batch["drop_reason"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fixed = pc.if_else(pc.equal(col, ""),
+                           pa.scalar(None, type=pa.string()), col)
+        return batch.set_column(
+            batch.schema.get_field_index("drop_reason"), "drop_reason", fixed)
 
     return (
         ds.map_batches(metrics_partials, batch_format="pyarrow")
@@ -36,4 +58,5 @@ def reduce_metrics(ds):
             Sum("n_docs", alias_name="n_docs"),
             Sum("n_chars_total", alias_name="n_chars_total"),
         )
+        .map_batches(restore_null, batch_format="pyarrow")
     )

@@ -80,7 +80,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     qref = ray.put(np.asarray(queries, dtype=np.float32))
     partials = ds.map_batches(
         BatchTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency or 2,
         fn_constructor_kwargs=dict(
             query_ref=qref, k=k, id_col=id_col, emb_col=emb_col))
 
@@ -172,3 +172,66 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            max_bucket: int = 4096):
+    """Embedding-cosine near-duplicate pairs (brief: dedup family).
+
+    Scale shape: vectors are co-located by signed-random-projection LSH
+    bucket (``groupby("bucket")`` — the only shuffle, moving (id,
+    bucket, embedding) after column pruning); each bucket does an
+    in-bucket pairwise cosine and emits (id_a, id_b, cosine ≥ τ) with
+    ``id_a < id_b``.  With ``n_planes`` planes, two vectors at cosine
+    ≥ 0.95 land in the same bucket with prob ≈ (1 - θ/π)^n_planes
+    (θ≈18°) ≈ 0.43 single-probe — callers wanting recall union several
+    plane seeds.  A pathological bucket is truncated at ``max_bucket``
+    ids (documented truncation, not a quadratic blowup).
+
+    Exactness: within a co-located bucket the cosine itself is exact
+    (float64), so at small scale (single bucket probe over few
+    vectors) results are DuckDB-checkable for the recalled subset.
+    """
+    pruned = ds.select_columns([id_col, emb_col])
+    # bucket assignment needs the dim; peek at one row lazily is an
+    # extra pass — instead derive planes per batch from the batch dim
+    # (planes are a pure function of (dim, n_planes, SEED))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch, emb_col))
+        planes = _planes(emb.shape[1], n_planes)
+        return batch.append_column(
+            "bucket", pa.array(lsh_bucket_ids(emb, planes), type=pa.int64()))
+
+    bucketed = pruned.map_batches(bucketize, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def in_bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_pylist())
+        order = np.argsort(ids)[:max_bucket]
+        ids = ids[order]
+        # float64 end-to-end so the 6-dp rounded cosine is
+        # bit-comparable with DuckDB's list_cosine_similarity oracle
+        col = g[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        emb = np.asarray(col.to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        sims = emb @ emb.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pa.table({
+            "id_a": pa.array(ids[ia[keep]], type=pa.int64()),
+            "id_b": pa.array(ids[ib[keep]], type=pa.int64()),
+            "cosine": pa.array(np.round(sims[ia[keep], ib[keep]], 6),
+                               type=pa.float64()),
+        })
+
+    return bucketed.groupby("bucket").map_groups(
+        in_bucket_pairs, batch_format="pyarrow")
