@@ -190,16 +190,22 @@ def minhash_candidate_pairs(
     """MinHash-LSH near-dup detection → verified pairs
     (id_a, id_b, jaccard), id_a < id_b, each pair emitted once.
 
-    Scale shape: the band explode + groupby shuffle moves only
-    (id, band, band_key) rows — never text.  Candidate pairs coming
-    out of colliding buckets are assumed ≪ corpus (realistic dup
-    rates); their texts are fetched with a broadcast **semi-join**
-    (candidate-id set → ``ray.put`` → filter inside ``map_batches``),
-    so only colliding documents' texts are ever materialized.  A hot
-    bucket (adversarial skew) is truncated at ``max_group`` ids —
-    documented truncation rather than quadratic blowup.
+    Scale shape: the band explode moves only (id, band, band_key) rows
+    — never text.  Colliding band keys are found with ONE vectorized
+    ``groupby.aggregate(Count)`` shuffle (no per-group Python: with
+    realistic dup rates almost every band group is a singleton, so a
+    map_groups here would pay per-group overhead ~n_docs × n_bands
+    times); the ≥2-count keys (tiny) are broadcast and the band rows
+    semi-joined against them, then pairs are emitted from that small
+    colliding subset.  Candidate texts are likewise fetched with a
+    broadcast semi-join (candidate-id set → ``ray.put`` → filter inside
+    ``map_batches``), so only colliding documents' texts are ever
+    materialized.  A hot bucket (adversarial skew) is truncated at
+    ``max_group`` ids — documented truncation rather than a quadratic
+    blowup.
     """
     import ray
+    from ray.data.aggregate import Count
 
     bands = ds.map_batches(
         MinHashBands, batch_format="pyarrow", zero_copy_batch=True,
@@ -207,22 +213,39 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, n_perm=n_perm,
             n_bands=n_bands, width=width))
+    # signatures are cheap to hold ((id, band, key) ≈ tens of bytes) and
+    # read twice below — materialize so MinHashBands runs once
+    bands = bands.materialize()
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())[:max_group]
-        rows = [(ids[i], ids[j])
-                for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(rows, columns=["id_a", "id_b"], dtype="int64")
+    counts = bands.groupby(["band", "band_key"]).aggregate(
+        Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").to_pandas()  # tiny at real dup rates
+    hot_keys = (set(zip(hot["band"].tolist(), hot["band_key"].tolist()))
+                if len(hot) else set())  # empty to_pandas drops columns
 
-    # ONE shuffle (band-key groupby); the candidate pair set is tiny by
-    # assumption, so cross-band pair dedup happens on the materialized
-    # pandas frame instead of a second all-to-all — and verify below
-    # runs over from_pandas(cand_tbl) so the groupby lineage is never
-    # re-executed
-    cand = bands.groupby(["band", "band_key"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    cand_tbl = cand.to_pandas().drop_duplicates(
-        ["id_a", "id_b"]).reset_index(drop=True)
+    if hot_keys:
+        keys_ref = ray.put(hot_keys)
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(keys_ref)
+            bs = batch["band"].to_pylist()
+            ks = batch["band_key"].to_pylist()
+            mask = pa.array([(b, k) in wanted for b, k in zip(bs, ks)])
+            return batch.filter(mask)
+
+        colliding = bands.map_batches(
+            only_hot, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        pairs = []
+        for _, g in colliding.groupby(["band", "band_key"], sort=False):
+            ids = sorted(g[id_col].unique().tolist())[:max_group]
+            pairs.extend(
+                (ids[i], ids[j])
+                for i in range(len(ids)) for j in range(i + 1, len(ids)))
+        cand_tbl = pd.DataFrame(
+            sorted(set(pairs)), columns=["id_a", "id_b"], dtype="int64")
+    else:
+        cand_tbl = pd.DataFrame(columns=["id_a", "id_b"], dtype="int64")
     if len(cand_tbl) == 0:
         # typed empty result via a pandas block: Ray's to_pandas() on an
         # empty *arrow* block drops the column schema entirely
