@@ -1,0 +1,113 @@
+"""Command-line entry points.
+
+``python -m fast_langdetect_ray.cli detect`` mirrors the reference's
+only driver program (`/root/reference/examples/memory_usage_check.py:92-126`):
+argparse over ``--model --limit-mb --text --k``, optional RLIMIT_AS cap
+(`:41-45`), exit code 2 on MemoryError (`:110-112`), and an ru_maxrss
+report with the same OS-dependent units (`:48-59`).
+
+``python -m fast_langdetect_ray.cli filter`` runs the Ray Data
+quality-filter pipeline over Parquet fragments (resumable, lineage
+manifest) — the engine's native driver.
+
+Only these CLI mains own a Ray session (repo rule: library code never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _rss_mb() -> float:
+    """ru_maxrss in MB — KB on Linux, bytes on macOS (reference
+    `examples/memory_usage_check.py:48-59`)."""
+    import resource
+    ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    if sys.platform == "darwin":
+        return ru / (1024 * 1024)
+    return ru / 1024
+
+
+def cmd_detect(args: argparse.Namespace) -> int:
+    if args.limit_mb:
+        import resource
+        cap = args.limit_mb * 1024 * 1024
+        resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
+    before = _rss_mb()
+    try:
+        from .detect import detect
+        result = detect(args.text, model=args.model, k=args.k)
+    except MemoryError:
+        print("MemoryError: model did not fit under the RLIMIT_AS cap",
+              file=sys.stderr)
+        return 2
+    after = _rss_mb()
+    print(json.dumps({
+        "result": result,
+        "model": args.model,
+        "rss_before_mb": round(before, 1),
+        "rss_after_mb": round(after, 1),
+    }))
+    return 0
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.quality_filter import run_quality_filter
+
+    inp = Path(args.input)
+    frags = (sorted(str(p) for p in inp.glob("*.parquet"))
+             if inp.is_dir() else [str(inp)])
+    if not frags:
+        print(f"no parquet fragments under {inp}", file=sys.stderr)
+        return 1
+    summary = run_quality_filter(
+        frags, args.output,
+        files_per_shard=args.files_per_shard,
+        concurrency=args.concurrency,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="single-text detect + RSS report")
+    d.add_argument("--text", default="Hello world")
+    d.add_argument("--model", default="auto",
+                   choices=["lite", "full", "auto"])
+    d.add_argument("--k", type=int, default=1)
+    d.add_argument("--limit-mb", type=int, default=None)
+    d.set_defaults(fn=cmd_detect)
+
+    f = sub.add_parser("filter", help="run the quality-filter pipeline")
+    f.add_argument("input", help="parquet file or directory of fragments")
+    f.add_argument("output", help="output directory (shards + manifest)")
+    f.add_argument("--files-per-shard", type=int, default=16)
+    f.add_argument("--concurrency", type=int, default=4)
+    f.add_argument("--batch-size", type=int, default=1024)
+    f.add_argument("--num-cpus", type=int, default=8)
+    f.add_argument("--no-resume", action="store_true")
+    f.set_defaults(fn=cmd_filter)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure operator kernels —
+no Ray needed; these pin the invariants retries/resume rely on
+(determinism, idempotence, bounds)."""
+
+import hashlib
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS, st.integers(min_value=1, max_value=5))
+def test_detect_total_function(text, k):
+    """detect() never raises on arbitrary unicode (incl. newlines) and
+    returns ≤k results, scores clamped to (0, 1], sorted descending —
+    reference infer.py:344-351 semantics."""
+    from fast_langdetect_ray.detect import detect
+    res = detect(text, k=k)
+    assert len(res) <= k
+    scores = [r["score"] for r in res]
+    assert all(0.0 < s <= 1.0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(not r["lang"].startswith("__label__") for r in res)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_detect_deterministic(text):
+    from fast_langdetect_ray.detect import detect
+    assert detect(text, k=3) == detect(text, k=3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_scrub_deterministic_and_idempotent(texts):
+    """Scrub is a pure function and a fixpoint: redaction tokens never
+    re-match any pattern, so scrub(scrub(x)) == scrub(x) — required for
+    safe task retries."""
+    from fast_langdetect_ray.stages.scrub import scrub_column
+    col = pa.chunked_array([pa.array(texts, type=pa.string())])
+    once = scrub_column(col).combine_chunks()
+    again = scrub_column(scrub_column(col)).combine_chunks()
+    assert once.to_pylist() == again.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_fingerprint_stable_and_hex(text):
+    from fast_langdetect_ray.stages.textstats import fingerprint64
+    f = fingerprint64(text)
+    assert f == fingerprint64(text)
+    assert len(f) == 16 and int(f, 16) >= 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_simhash_is_64bit(text):
+    from fast_langdetect_ray.stages.dedup import simhash64
+    h = simhash64(text)
+    assert 0 <= h < (1 << 64)
+    assert h == simhash64(text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXTS, min_size=2, max_size=6))
+def test_minhash_jaccard_bounds(texts):
+    from fast_langdetect_ray.stages.dedup import ngram_jaccard
+    a, b = texts[0], texts[1]
+    j = ngram_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert ngram_jaccard(a, a) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_rules_keep_xor_reason(texts):
+    """Exactly one of (keep, drop_reason) holds per row, first-match
+    ordering (E3)."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.functions.textstats import alpha_ratio, n_chars
+    from fast_langdetect_ray.stages.rules import RuleConfig, apply_rules
+    n = len(texts)
+    col = pa.chunked_array([pa.array(texts, type=pa.string())])
+    batch = pa.table({
+        "detected_lang": pa.array(["en"] * n),
+        "detected_score": pa.array([0.9] * n),
+        "n_chars": pc.cast(n_chars(col), pa.int64()),
+        "alpha_ratio": alpha_ratio(col),
+        "perplexity": pa.array([1.0] * n),
+    })
+    out = apply_rules(batch, config=RuleConfig())
+    for keep, reason in zip(out["keep"].to_pylist(),
+                            out["drop_reason"].to_pylist()):
+        assert keep == (reason is None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_sha256_matches_hashlib(texts):
+    from fast_langdetect_ray.stages.scrub import sha256_hex
+    got = sha256_hex(texts).to_pylist()
+    want = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+    assert got == want

@@ -1,0 +1,64 @@
+"""Wide-row robustness: multi-MB documents through the full pipeline.
+
+The 100 TB design assumption is that per-row content can be huge while
+detection still reads only the first 80 chars; scrub / sha / ppl(capped)
+touch the full text but must not blow worker heap (SURVEY.md §7 "Wide
+rows").  This exercises that shape at test scale: 24 docs × 2 MB with a
+small batch_size so multiple batches are in flight."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def wide_corpus(tmp_path_factory):
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("wide")
+    base = ("The quick brown fox jumps over the lazy dog. "
+            "contact me at wide@example.com please. ")
+    rows = []
+    for i in range(24):
+        content = base * (2_000_000 // len(base))
+        rows.append((f"org0/repo{i}", f"src/big{i}.txt",
+                     f"{i:040x}", "text", content))
+    cols = list(zip(*rows))
+    t = pa.table({n: pa.array(c) for n, c in zip(
+        ("repo", "path", "commit", "lang", "content"), cols)})
+    paths = []
+    for j in range(3):
+        p = d / f"part-{j}.parquet"
+        pq.write_table(t.slice(j * 8, 8), p)
+        paths.append(str(p))
+    return paths
+
+
+def test_wide_rows_full_pipeline(ray_session, wide_corpus, tmp_path):
+    from fast_langdetect_ray.pipelines.quality_filter import (
+        read_manifest, run_quality_filter)
+
+    summary = run_quality_filter(
+        wide_corpus, tmp_path / "out", files_per_shard=3,
+        concurrency=2, batch_size=4)
+    assert summary["rows_in"] == 24
+    assert summary["rows_out"] == 24
+
+    import pyarrow.dataset as pads
+    out = pads.dataset(str(tmp_path / "out" / "shard=00000"),
+                       format="parquet").to_table(
+        columns=["path", "detected_lang", "content_sha256", "keep",
+                 "n_chars"])
+    assert out.num_rows == 24
+    # detection read only the head: english regardless of 2MB body
+    assert set(out["detected_lang"].to_pylist()) == {"en"}
+    assert all(n >= 1_900_000 for n in out["n_chars"].to_pylist())
+    # scrub redacted the email everywhere → sha equals local recompute
+    row = out.to_pylist()[0]
+    base = ("The quick brown fox jumps over the lazy dog. "
+            "contact me at wide@example.com please. ")
+    content = base * (2_000_000 // len(base))
+    scrubbed = content.replace("wide@example.com", "[REDACTED:EMAIL]")
+    want = hashlib.sha256(scrubbed.encode()).hexdigest()
+    assert row["content_sha256"] == want
+    assert len(read_manifest(tmp_path / "out")) == 1
