@@ -321,6 +321,33 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
 
 
+def _q_top_docs_global(sf_dir: str):
+    """Global sort + limit: 10 longest docs (ties by doc_id asc)."""
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "lang", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Windowed top-N per group: 3 longest docs per lang — the
+    groupby+sort composition Ray Data expresses as map_groups."""
+    import pandas as pd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(3)
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
 _NEARDUP_TAU = 0.4
 
 
@@ -391,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "top_docs_global": _q_top_docs_global,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -508,6 +537,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(value) AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "top_docs_global": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
         "embedding_neardup_exact": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,103 @@
+"""The dense (non-quantized, `lid.176.bin`-style) load path.
+
+The full model can't be downloaded offline, so this builds a tiny
+synthetic fastText v12 file with a DENSE input and output matrix and a
+plain-softmax loss, then checks load + predict against a direct NumPy
+recomputation from the same arrays (reference semantics at
+`/root/reference/src/fast_langdetect/infer.py:343`)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def _build_bin(tmp_path, dim=4, bucket=10):
+    words = ["</s>", "hello", "bye"]
+    labels = ["__label__aa", "__label__bb"]
+    nwords, nlabels = len(words), len(labels)
+    rng = np.random.RandomState(0)
+    input_m = rng.randn(nwords + bucket, dim).astype(np.float32)
+    output_m = rng.randn(nlabels, dim).astype(np.float32)
+
+    out = bytearray()
+    out += struct.pack("<ii", 793712314, 12)          # magic, version
+    # args: dim ws epoch minCount neg wordNgrams loss model bucket minn
+    # maxn lrUpdateRate (12i) + t (d); loss=2 (softmax), model=3
+    out += struct.pack("<12i", dim, 5, 5, 1, 5, 1, 2, 3, bucket, 0, 0, 100)
+    out += struct.pack("<d", 1e-4)
+    # dictionary
+    out += struct.pack("<iii", nwords + nlabels, nwords, nlabels)
+    out += struct.pack("<qq", 1000, -1)               # ntokens, pruneidx=-1
+    counts = [500, 300, 200, 60, 40]
+    for w, cnt, typ in zip(
+            words + labels, counts, [0] * nwords + [1] * nlabels):
+        out += w.encode() + b"\x00"
+        out += struct.pack("<qB", cnt, typ)
+    # dense input matrix
+    out += struct.pack("<B", 0)
+    out += struct.pack("<qq", nwords + bucket, dim)
+    out += input_m.tobytes()
+    # dense output matrix
+    out += struct.pack("<B", 0)
+    out += struct.pack("<qq", nlabels, dim)
+    out += output_m.tobytes()
+
+    p = tmp_path / "tiny.bin"
+    p.write_bytes(bytes(out))
+    return p, input_m, output_m
+
+
+def test_dense_bin_load_and_predict(tmp_path):
+    from fast_langdetect_ray.ftz import FastTextModel
+    p, input_m, output_m = _build_bin(tmp_path)
+    m = FastTextModel.load(str(p))
+    assert m.dim == 4 and m.nwords == 3 and m.nlabels == 2
+    assert m._softmax  # loss=2 → plain softmax path
+    np.testing.assert_array_equal(m.input_matrix, input_m)
+    np.testing.assert_array_equal(m.output_matrix, output_m)
+
+    # NumPy reference: hidden = mean(rows for "hello", "</s>") — maxn=0
+    # means no char-ngram rows, just vocab rows (+ EOS terminator)
+    hidden = input_m[[1, 0]].mean(axis=0)
+    z = hidden @ output_m.T
+    z = z - z.max()
+    probs = np.exp(z) / np.exp(z).sum()
+
+    labels, scores = m.predict("hello", k=2)
+    want_order = np.argsort(-probs)
+    assert list(labels) == [f"__label__{'ab'[i]*2}" for i in want_order]
+    # loader applies the +1e-5 std_log quirk; compare loosely
+    np.testing.assert_allclose(
+        np.sort(scores)[::-1], np.sort(probs)[::-1], atol=1e-4)
+
+
+def test_dense_bin_oov_uses_no_rows(tmp_path):
+    """An OOV token with maxn=0 contributes nothing; only EOS remains."""
+    from fast_langdetect_ray.ftz import FastTextModel
+    p, input_m, output_m = _build_bin(tmp_path)
+    m = FastTextModel.load(str(p))
+    labels_oov, scores_oov = m.predict("zzzz", k=2)
+    hidden = input_m[0]  # EOS row only
+    z = hidden @ output_m.T
+    z = z - z.max()
+    probs = np.exp(z) / np.exp(z).sum()
+    np.testing.assert_allclose(
+        np.sort(scores_oov)[::-1], np.sort(probs)[::-1], atol=1e-4)
+
+
+def test_trailing_bytes_rejected(tmp_path):
+    from fast_langdetect_ray.ftz import FastTextModel
+    p, _, _ = _build_bin(tmp_path)
+    p2 = tmp_path / "garbage.bin"
+    p2.write_bytes(p.read_bytes() + b"\x00\x01")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        FastTextModel.load(str(p2))
+
+
+def test_bad_magic_rejected(tmp_path):
+    from fast_langdetect_ray.ftz import FastTextModel
+    p = tmp_path / "bad.bin"
+    p.write_bytes(struct.pack("<ii", 1234, 12) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        FastTextModel.load(str(p))
