@@ -1,0 +1,56 @@
+"""Frozen keep/drop + sha goldens for the fixture corpus.
+
+The north rule requires keep/drop F1 ≥ 0.99 against reference labels
+and content_sha256 equality on scrubbed text (BASELINE.json).  The
+labels in ``tests/goldens/quality_filter_600.parquet`` were produced by
+this engine's frozen semantics (FIXTURES.md thresholds + scrub order);
+this test pins them so any semantic drift — threshold, regex order,
+model numerics, rule ordering — fails loudly instead of silently
+shifting decisions between rounds."""
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = Path(__file__).parent / "goldens" / "quality_filter_600.parquet"
+
+
+def test_quality_filter_matches_goldens(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
+    from fast_langdetect_ray.sources.corpus import generate_corpus
+
+    paths = generate_corpus("/tmp/flr_corpus/golden600", 600,
+                            rows_per_file=150)
+    out = build_pipeline(
+        rd.read_parquet(paths), concurrency=2, batch_size=128)
+    got = out.select_columns(
+        ["repo", "path", "commit", "content_sha256", "detected_lang",
+         "detected_score", "lang_code", "perplexity", "keep",
+         "drop_reason"]).to_pandas()
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    want = pq.read_table(GOLDEN).to_pandas()
+
+    assert len(got) == len(want) == 600
+
+    # per-row invariant: content sha equality on scrubbed text
+    assert (got["content_sha256"] == want["content_sha256"]).all()
+    # langid decisions identical
+    assert (got["detected_lang"] == want["detected_lang"]).all()
+    assert (got["lang_code"] == want["lang_code"]).all()
+
+    # keep/drop F1 must be ≥ 0.99 (north rule); frozen semantics give 1.0
+    tp = int(((got["keep"]) & (want["keep"])).sum())
+    fp = int(((got["keep"]) & (~want["keep"])).sum())
+    fn = int(((~got["keep"]) & (want["keep"])).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1} < 0.99"
+    assert (got["drop_reason"].fillna("") == want["drop_reason"].fillna("")).all()
+
+    import numpy as np
+    np.testing.assert_allclose(
+        got["detected_score"], want["detected_score"], atol=1e-9)
+    np.testing.assert_allclose(
+        got["perplexity"], want["perplexity"], atol=1e-9)

@@ -69,6 +69,25 @@ def test_run_quality_filter_and_resume(ray_session, corpus_paths):
         corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
     assert s3["shards_run"] == 1 and s3["shards_skipped"] == 1
 
+    # killed-run debris: shard dir gone, stale _tmp- left behind,
+    # manifest truncated → exactly that shard re-runs and the tmp dir
+    # is cleared (atomic tmp-write + rename contract)
+    import os
+    from pathlib import Path
+    shutil.rmtree(out + "/shard=00001")
+    Path(out + "/_tmp-shard=00001").mkdir()
+    (Path(out + "/_tmp-shard=00001") / "partial.parquet").write_bytes(b"junk")
+    lines = open(mpath).read().strip().splitlines()
+    keep_lines = [l for l in lines if '"shard_id": 1' not in l]
+    with open(mpath, "w") as f:
+        f.write("\n".join(keep_lines) + "\n")
+    s4 = run_quality_filter(
+        corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
+    assert s4["shards_run"] == 1 and s4["shards_skipped"] == 1
+    assert not os.path.exists(out + "/_tmp-shard=00001")
+    t2 = pads.dataset(out + "/shard=00001", format="parquet").to_table()
+    assert t2.num_rows == 300
+
 
 def test_metrics_reduce(ray_session, corpus_paths):
     import ray.data as rd
