@@ -60,8 +60,10 @@ HEADLINE = [
 ]
 
 
-ROWS_PER_FILE = 8000  # ~10 MB fragments: enough blocks for 24 actors,
-                      # small enough driver-side metadata cost
+def _rows_per_file(n_rows: int) -> int:
+    """Fragment size: ≥48 fragments so a 24-actor pool never starves,
+    but ≥2000 rows (~2.5 MB) each so driver metadata stays cheap."""
+    return max(2000, min(8000, n_rows // 48))
 
 
 def _ensure_corpus() -> Path:
@@ -74,8 +76,8 @@ def _ensure_corpus() -> Path:
     if CORPUS_DIR.exists():
         shutil.rmtree(CORPUS_DIR)
     from fast_langdetect_ray.sources.corpus import generate_corpus
-    generate_corpus(CORPUS_DIR, CORPUS_ROWS, rows_per_file=ROWS_PER_FILE,
-                    processes=16)
+    generate_corpus(CORPUS_DIR, CORPUS_ROWS,
+                    rows_per_file=_rows_per_file(CORPUS_ROWS), processes=16)
     marker.write_text(str(CORPUS_ROWS))
     return CORPUS_DIR
 

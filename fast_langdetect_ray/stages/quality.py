@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 from ..detect import LITE_MODEL_PATH, LangDetector, LangDetectConfig
 from ..state.lm import PerplexityModel, default_perplexity_model
-from .split import segment_texts
+from .split import segment_texts, segment_texts_many
 
 TOPK_TYPE = pa.list_(pa.struct([("lang", pa.string()), ("score", pa.float64())]))
 SEGMENT_TYPE = pa.list_(pa.struct(
@@ -150,10 +150,8 @@ class QualityScorer:
 
         # --- split-by-language segments (batched across all rows)
         if self.compute_segments:
-            seg_texts: List[List[str]] = [
-                segment_texts(c, self.segment_min_chars, self.segment_cap)
-                for c in contents
-            ]
+            seg_texts: List[List[str]] = segment_texts_many(
+                contents, self.segment_min_chars, self.segment_cap)
             flat = [s for row in seg_texts for s in row]
             det_inputs = [
                 self.detector._normalize_text(

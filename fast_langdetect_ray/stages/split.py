@@ -91,3 +91,98 @@ def segment_texts(text: str, min_chars: int = 8, cap: int = 2000) -> List[str]:
         for a, b, k in segment_spans(text, cap=cap)
         if k >= min_chars
     ]
+
+
+def segment_texts_many(texts: List[str], min_chars: int = 8,
+                       cap: int = 2000) -> List[List[str]]:
+    """Vectorized :func:`segment_texts` over a whole batch.
+
+    One concatenated codepoint pass (script classes, neutral
+    forward-fill, run-change detection, per-run script-char counts via
+    ``reduceat``) instead of ~10 small numpy calls per row.  Output is
+    identical to ``[segment_texts(t, min_chars, cap) for t in texts]``
+    (asserted in tests).
+    """
+    capped = [t[:cap] if cap is not None and len(t) > cap else t
+              for t in texts]
+    enc = [t.encode("utf-32-le") for t in capped]
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    total = int(lens.sum())
+    out: List[List[str]] = [[] for _ in texts]
+    if total == 0:
+        return out
+    cps = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    idx = np.searchsorted(_STARTS, cps, side="right") - 1
+    below = idx < 0
+    idx = np.clip(idx, 0, len(_STARTS) - 1)
+    cls = np.where(~below & (cps <= _ENDS[idx]), _CLS[idx],
+                   NEUTRAL).astype(np.int16)
+
+    text_start = np.zeros(total, dtype=bool)
+    starts_of_nonempty = np.concatenate(([0], np.cumsum(lens)[:-1]))[lens > 0]
+    text_start[starts_of_nonempty] = True
+    text_id = np.cumsum(text_start) - 1  # index into the nonempty list
+
+    # forward-fill script class over neutrals, reset at text starts:
+    # positions carry the index of the last non-neutral position in the
+    # same text (or the text start)
+    nonneutral = cls != NEUTRAL
+    pos = np.arange(total, dtype=np.int64)
+    anchor = np.where(nonneutral | text_start, pos, -1)
+    anchor = np.maximum.accumulate(anchor)
+    filled = cls[anchor]  # text_start anchors may be neutral → class 0
+
+    # a new run starts where the filled class changes or a text begins;
+    # leading-neutral stretches (filled == NEUTRAL at a text head) are
+    # merged into the following run afterwards, matching the scalar
+    # "leading neutrals attach to the first run" rule
+    prev_filled = np.empty_like(filled)
+    prev_filled[0] = -1
+    prev_filled[1:] = filled[:-1]
+    run_start_mask = text_start | (filled != prev_filled)
+    run_starts = np.flatnonzero(run_start_mask)
+    run_text = text_id[run_starts]
+    run_cls = filled[run_starts]
+
+    # merge a leading NEUTRAL run into the next run of the same text
+    leading_neutral = (run_cls == NEUTRAL) & text_start[run_starts]
+    next_same_text = np.empty(len(run_starts), dtype=bool)
+    next_same_text[:-1] = run_text[:-1] == run_text[1:]
+    next_same_text[-1] = False
+    drop = leading_neutral & next_same_text
+    # after dropping, the following run inherits the dropped start
+    keep_starts = run_starts.copy()
+    keep_mask = ~drop
+    inherit = np.flatnonzero(drop) + 1
+    keep_starts[inherit] = keep_starts[inherit - 1]
+    run_starts2 = keep_starts[keep_mask]
+    run_text2 = run_text[keep_mask]
+
+    # run stop = next kept run start within the same text, else text end
+    text_ends = np.cumsum(lens)  # per original text index
+    nonempty_idx = np.flatnonzero(lens > 0)
+    run_stop = np.empty(len(run_starts2), dtype=np.int64)
+    run_stop[:-1] = run_starts2[1:]
+    run_stop[-1] = total
+    same = np.empty(len(run_starts2), dtype=bool)
+    same[:-1] = run_text2[:-1] == run_text2[1:]
+    same[-1] = False
+    run_stop[~same] = text_ends[nonempty_idx[run_text2[~same]]]
+
+    # per-run script-char count
+    nn = nonneutral.astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(nn)))
+    run_script = cum[run_stop] - cum[run_starts2]
+
+    ok = run_script >= min_chars
+    g_starts = run_starts2[ok]
+    g_stops = run_stop[ok]
+    g_text = nonempty_idx[run_text2[ok]]
+    text_offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    for s, e, ti in zip(g_starts.tolist(), g_stops.tolist(),
+                        g_text.tolist()):
+        off = int(text_offsets[ti])
+        seg = capped[ti][s - off:e - off].strip()
+        if seg:
+            out[ti].append(seg)
+    return out

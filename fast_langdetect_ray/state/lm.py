@@ -35,11 +35,19 @@ _BOS = 0x02  # sentinel codepoint for "start of text" context
 class CharBigramLM:
     """Add-k smoothed character bigram LM with log10 probabilities."""
 
-    __slots__ = ("alphabet", "logp")
+    __slots__ = ("alphabet", "logp", "_lut", "_logp64")
 
     def __init__(self, alphabet: np.ndarray, logp: np.ndarray):
         self.alphabet = alphabet  # sorted uint32 codepoints, len V
         self.logp = logp          # (V+1, V+1) float32 log10 P(cur | prev); idx V = OOV
+        V = len(alphabet)
+        # direct codepoint→id LUT (≤128 KiB): one gather replaces
+        # searchsorted+clip+compare in the batch path
+        size = int(alphabet[-1]) + 1 if V else 1
+        lut = np.full(size, V, dtype=np.int32)
+        lut[alphabet.astype(np.int64)] = np.arange(V, dtype=np.int32)
+        self._lut = lut
+        self._logp64 = logp.astype(np.float64)
 
     @classmethod
     def train(cls, sentences: Iterable[str]) -> "CharBigramLM":
@@ -79,6 +87,35 @@ class CharBigramLM:
         lp = self.logp[prev, ids]
         return float(10.0 ** (-lp.mean()))
 
+    def perplexity_many(self, texts, cap: int = 1024) -> np.ndarray:
+        """Vectorized :meth:`perplexity` over many texts: one
+        concatenated codepoint array, one table gather, per-text means
+        via ``reduceat`` — identical values to the scalar path."""
+        V = len(self.alphabet)
+        enc = [(t[:cap] if cap is not None and len(t) > cap else t)
+               .encode("utf-32-le") for t in texts]
+        lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+        out = np.full(len(texts), 10.0 ** (-float(self.logp[V, V])),
+                      dtype=np.float64)
+        nz = lens > 0
+        if not nz.any():
+            return out
+        cps = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.int64)
+        lut = self._lut
+        in_range = cps < lut.size
+        idx = lut[np.where(in_range, cps, 0)]
+        idx[~in_range] = V
+        prev = np.empty_like(idx)
+        prev[0] = V
+        prev[1:] = idx[:-1]
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        prev[starts] = V  # each text starts from the BOS/OOV context
+        lp = self._logp64[prev, idx]
+        sums = np.add.reduceat(lp, starts)
+        means = sums / lens[nz]
+        out[nz] = 10.0 ** (-means)
+        return out
+
 
 class PerplexityModel:
     """The per-language LM bundle the scoring actor holds."""
@@ -112,10 +149,19 @@ class PerplexityModel:
         return lm.perplexity(text, cap=cap)
 
     def score_batch(self, texts, langs, cap: int = 1024) -> np.ndarray:
-        return np.array(
-            [self.score(t, l, cap=cap) for t, l in zip(texts, langs)],
-            dtype=np.float64,
-        )
+        """Vectorized scoring: group rows by (resolved) LM, one
+        ``perplexity_many`` pass per language present in the batch."""
+        texts = list(texts)
+        out = np.empty(len(texts), dtype=np.float64)
+        by_lm: Dict[str, list] = {}
+        for i, l in enumerate(langs):
+            key = l if l in self.lms else "en"
+            by_lm.setdefault(key, []).append(i)
+        for key, idxs in by_lm.items():
+            vals = self.lms[key].perplexity_many(
+                [texts[i] or "" for i in idxs], cap=cap)
+            out[np.asarray(idxs)] = vals
+        return out
 
 
 _cached_model: Optional[PerplexityModel] = None

@@ -106,3 +106,25 @@ def test_sha256_matches_hashlib(texts):
     got = sha256_hex(texts).to_pylist()
     want = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=10))
+def test_segment_many_matches_scalar(texts):
+    """The vectorized batch segmentation is exactly the scalar map."""
+    from fast_langdetect_ray.stages.split import (
+        segment_texts, segment_texts_many)
+    assert segment_texts_many(texts) == [segment_texts(t) for t in texts]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=10))
+def test_perplexity_many_matches_scalar(texts):
+    import numpy as np
+
+    from fast_langdetect_ray.state.lm import default_perplexity_model
+    pm = default_perplexity_model()
+    lm = pm.lms["en"]
+    batch = lm.perplexity_many(texts)
+    scalar = np.array([lm.perplexity(t) for t in texts])
+    np.testing.assert_allclose(batch, scalar, rtol=1e-5)
