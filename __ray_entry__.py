@@ -321,6 +321,77 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
 
 
+_SESSION_GAP_MIN = 30
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (streaming-window custom op): per user,
+    a new session starts after a >30 min gap.  Partitioning: one
+    shuffle on user_id; per-group work is a vectorized sort + gap scan.
+    Session stats are order-insensitive, so ts ties don't matter."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
+        seq = gap.cumsum() + 1  # first session = 1 (matches SQL sum)
+        out = g.assign(session_seq=seq).groupby(
+            "session_seq", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            value_sum=("value", "sum"))
+        return out[["user_id", "session_seq", "session_start",
+                    "session_end", "n_events", "value_sum"]]
+
+    return (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer ⋈ nation): both small
+    sides are read once, composed into one custkey→nation dict,
+    ray.put ONCE and looked up inside map_batches — no shuffle of the
+    big side; per-batch partial aggregation before the tiny final
+    groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    cmap = dict(zip(cust["c_custkey"].to_pylist(),
+                    (nmap[k] for k in cust["c_nationkey"].to_pylist())))
+    ref = ray.put(cmap)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup[k] for k in batch["o_custkey"].to_pylist()]
+        t = pa.table({"n_name": pa.array(names),
+                      "o_totalprice": batch["o_totalprice"]})
+        agg = t.group_by(["n_name"], use_threads=False).aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return agg.rename_columns(["n_name", "n_orders", "total_price"])
+
+    return (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_price", alias_name="total_price"))
+    )
+
+
 def _q_top_docs_global(sf_dir: str):
     """Global sort + limit: 10 longest docs (ties by doc_id asc)."""
     return (
@@ -420,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "top_docs_global": _q_top_docs_global,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "sessionize_events": _q_sessionize,
+        "orders_by_nation": _q_orders_by_nation,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -537,6 +610,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(value) AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "sessionize_events": f"""
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, sum(value) AS value_sum
+            FROM (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM (
+                    SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w
+                                     > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                )
+            )
+            GROUP BY user_id, session_seq
+        """,
+        "orders_by_nation": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "top_docs_global": """
             SELECT doc_id, lang, n_chars FROM documents
