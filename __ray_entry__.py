@@ -321,6 +321,45 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
 
 
+_SLIDE_WIN_MIN = 5   # sliding window length
+_SLIDE_HOP_MIN = 1   # hop
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (5 min window, 1 min hop): each event
+    belongs to 5 windows → vectorized explode inside map_batches,
+    per-batch partial agg, then the tiny (type, window) groupby."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch["ts"], unit="minute")
+        n_win = _SLIDE_WIN_MIN // _SLIDE_HOP_MIN
+        parts = []
+        for k in range(n_win):
+            shift = pa.scalar(k * _SLIDE_HOP_MIN * 60_000_000, type=pa.int64())
+            ws = pc.subtract(pc.cast(base, pa.int64()), shift)
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "window_start": pc.cast(ws, pa.timestamp("us")),
+                "value": batch["value"],
+            }))
+        t = pa.concat_tables(parts)
+        return t.group_by(["event_type", "window_start"],
+                          use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")]
+        ).rename_columns(
+            ["event_type", "window_start", "n_events", "value_sum"])
+
+    return (
+        _read(sf_dir, "events")
+        .select_columns(["event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_sum", alias_name="value_sum"))
+    )
+
+
 _SESSION_GAP_MIN = 30
 
 
@@ -492,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_global": _q_top_docs_global,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sessionize_events": _q_sessionize,
+        "events_sliding": _q_events_sliding,
         "orders_by_nation": _q_orders_by_nation,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
@@ -610,6 +650,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(value) AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "events_sliding": f"""
+            SELECT event_type,
+                   date_trunc('minute', ts)
+                       - k * (INTERVAL {_SLIDE_HOP_MIN} MINUTE)
+                       AS window_start,
+                   count(*) AS n_events,
+                   sum(value) AS value_sum
+            FROM events
+            CROSS JOIN range(0, {_SLIDE_WIN_MIN // _SLIDE_HOP_MIN}) AS t(k)
+            GROUP BY event_type, window_start
         """,
         "sessionize_events": f"""
             SELECT user_id, session_seq,
