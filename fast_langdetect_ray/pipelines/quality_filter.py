@@ -175,7 +175,15 @@ def run_quality_filter(
         if final_dir.exists():
             shutil.rmtree(final_dir)  # incomplete prior attempt
 
-        ds = rd.read_parquet(files)
+        # explicit repartitioning: when a shard has fewer fragments than
+        # the scorer pool has actors, ask the read to split blocks so no
+        # actor idles (north rule: partitioning handled explicitly)
+        n_actors = (concurrency if isinstance(concurrency, int)
+                    else (concurrency[1] if concurrency else 0))
+        read_kwargs = {}
+        if n_actors and len(files) < n_actors:
+            read_kwargs["override_num_blocks"] = 2 * n_actors
+        ds = rd.read_parquet(files, **read_kwargs)
         ds = build_pipeline(
             ds, rule_config=rule_config, scorer_kwargs=scorer_kwargs,
             concurrency=concurrency, batch_size=batch_size)

@@ -111,7 +111,9 @@ class QualityScorer:
             [lbl[len("__label__"):] for lbl in self.model.labels])
         langs = label_arr[idx]
         scores = np.minimum(probs, 1.0)  # clamp (infer.py:347)
-        upper = np.char.upper(langs.astype("U8"))
+        # U16 covers every fastText label tag (lid.176 max is 3 chars;
+        # headroom for custom models with long BCP-47 tags)
+        upper = np.char.upper(langs.astype("U16"))
         # JA→ZH correction on the ORIGINAL content (reference applies it
         # to the full input sentence, __init__.py:30-31)
         contents = [t or "" for t in batch[self.text_col].to_pylist()]
@@ -126,27 +128,33 @@ class QualityScorer:
         batch = batch.append_column("lang_code", pa.array(upper))
 
         # --- top-k candidates (derived from the shared lp pass; same
-        # semantics as FastTextModel.predict_batch with threshold=0)
+        # semantics as FastTextModel.predict_batch with threshold=0) —
+        # assembled as native Arrow List<Struct> (no per-row Python)
         if self.compute_topk:
-            k_eff = min(self.k, lp.shape[1]) if n else 0
-            cutoff = np.log(1e-5)
-            rows = []
             if n:
+                k_eff = min(self.k, lp.shape[1])
+                cutoff = np.log(1e-5)
                 part = (np.argpartition(-lp, k_eff - 1, axis=1)[:, :k_eff]
                         if k_eff < lp.shape[1] else
                         np.tile(np.arange(lp.shape[1]), (n, 1)))
-                for i in range(n):
-                    cand = part[i]
-                    sc = lp[i, cand]
-                    order = np.argsort(-sc, kind="stable")
-                    cand, sc = cand[order], sc[order]
-                    keep = sc >= cutoff
-                    rows.append([
-                        {"lang": str(label_arr[j]),
-                         "score": min(float(np.exp(s)), 1.0)}
-                        for j, s in zip(cand[keep], sc[keep])])
-            batch = batch.append_column(
-                "lang_topk", pa.array(rows, type=TOPK_TYPE))
+                sc = np.take_along_axis(lp, part, axis=1)
+                order = np.argsort(-sc, axis=1, kind="stable")
+                part = np.take_along_axis(part, order, axis=1)
+                sc = np.take_along_axis(sc, order, axis=1)
+                keep = sc >= cutoff
+                counts = keep.sum(axis=1)
+                flat_idx = part[keep]          # row-major → per-row order kept
+                flat_sc = np.minimum(np.exp(sc[keep]), 1.0)
+                offsets = np.zeros(n + 1, dtype=np.int32)
+                np.cumsum(counts, out=offsets[1:])
+                struct = pa.StructArray.from_arrays(
+                    [pa.array(label_arr[flat_idx]),
+                     pa.array(flat_sc, type=pa.float64())],
+                    names=["lang", "score"])
+                col = pa.ListArray.from_arrays(pa.array(offsets), struct)
+            else:
+                col = pa.array([], type=TOPK_TYPE)
+            batch = batch.append_column("lang_topk", col)
 
         # --- split-by-language segments (batched across all rows)
         if self.compute_segments:
@@ -163,19 +171,18 @@ class QualityScorer:
                 sidx, sprobs = self.model.top1_batch(det_inputs)
                 slangs = label_arr[sidx]
                 sscores = np.minimum(sprobs, 1.0)
+                struct = pa.StructArray.from_arrays(
+                    [pa.array(flat), pa.array(slangs),
+                     pa.array(sscores, type=pa.float64())],
+                    names=["text", "lang", "score"])
             else:
-                slangs, sscores = [], []
-            segs, pos = [], 0
-            for row in seg_texts:
-                m = len(row)
-                segs.append([
-                    {"text": row[j], "lang": str(slangs[pos + j]),
-                     "score": float(sscores[pos + j])}
-                    for j in range(m)
-                ])
-                pos += m
+                struct = pa.array([], type=SEGMENT_TYPE.value_type)
+            counts = np.array([len(r) for r in seg_texts], dtype=np.int32)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
             batch = batch.append_column(
-                "segments", pa.array(segs, type=SEGMENT_TYPE))
+                "segments",
+                pa.ListArray.from_arrays(pa.array(offsets), struct))
 
         # --- per-language perplexity
         if self.compute_ppl:
