@@ -318,7 +318,14 @@ def _q_fingerprints(sf_dir: str):
 def _q_lsh_ann(sf_dir: str):
     from fast_langdetect_ray.stages.similarity import lsh_topk
     q = _load_queries(sf_dir).astype(np.float32)
-    return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K)
+    return lsh_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K, probes=2)
+
+
+def _q_ivf_ann(sf_dir: str):
+    from fast_langdetect_ray.stages.similarity import ivf_topk
+    q = _load_queries(sf_dir).astype(np.float32)
+    return ivf_topk(_read(sf_dir, "embeddings"), q, k=_ANN_K,
+                    n_centroids=16, n_probe=4)
 
 
 _SLIDE_WIN_MIN = 5   # sliding window length
@@ -543,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "doc_fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "media_features": _q_media_features,
     }

@@ -122,13 +122,23 @@ def add_lsh_buckets(ds, dim: int, n_planes: int = 8,
 
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             concurrency=2):
-    """Approximate top-k: each query only scans vectors whose LSH
-    bucket matches its own (single-probe).  Same output schema as
-    :func:`brute_force_topk`; recall measured in tests."""
+             concurrency=2, probes: int = 1):
+    """Approximate top-k: each query scans vectors whose LSH bucket is
+    within Hamming distance ``probes-1`` of its own (``probes=1`` →
+    single-probe, ``probes=2`` → own bucket + all n_planes Hamming-1
+    neighbours, sharply raising recall at (n_planes+1)x scan cost).
+    Same output schema as :func:`brute_force_topk`."""
     queries = _normalize(np.asarray(queries, dtype=np.float32))
     planes = _planes(queries.shape[1], n_planes)
-    qbuckets = lsh_bucket_ids(queries, planes)
+    qb0 = lsh_bucket_ids(queries, planes)
+    if probes >= 2:
+        flips = (1 << np.arange(n_planes, dtype=np.int64))
+        # (Q, 1+n_planes) probe buckets per query
+        qprobe = np.concatenate(
+            [qb0[:, None], qb0[:, None] ^ flips[None, :]], axis=1)
+    else:
+        qprobe = qb0[:, None]
+    qbuckets = qprobe
 
     bucketed = add_lsh_buckets(ds, queries.shape[1], n_planes, emb_col)
 
@@ -145,7 +155,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
             buckets = np.asarray(batch["bucket"].to_pylist())
             out_q, out_id, out_s = [], [], []
             for qi in range(self.q.shape[0]):
-                mask = buckets == self.qb[qi]
+                mask = np.isin(buckets, self.qb[qi])
                 if not mask.any():
                     continue
                 scores = emb[mask] @ self.q[qi]
@@ -235,3 +245,89 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
 
     return bucketed.groupby("bucket").map_groups(
         in_bucket_pairs, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- IVF scale path
+
+def _kmeans(data: np.ndarray, k: int, iters: int = 12,
+            seed: int = SEED) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's on normalized vectors,
+    fixed-seed init, fixed iteration count — no RNG at query time)."""
+    data = _normalize(data)
+    rng = np.random.RandomState(seed)
+    k = min(k, len(data))
+    cent = data[rng.choice(len(data), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(data @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = data[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, train_sample: int = 4096,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             concurrency=2):
+    """IVF approximate top-k: a coarse spherical-k-means quantizer is
+    trained on a bounded head sample (``ds.limit(train_sample)`` — the
+    only driver-side materialization, size-capped), centroids broadcast
+    via ``ray.put``; every batch assigns its vectors to the nearest
+    centroid (one matmul) and each query scans only its ``n_probe``
+    nearest centroid cells.  Same output schema as
+    :func:`brute_force_topk`.  Scale shape: assignment is embarrassingly
+    parallel; no shuffle — cells are scanned in place per batch and the
+    per-query reduce sees ≤ k rows per batch (like the brute-force
+    partial pattern, but each batch only scores its probed-cell rows).
+    """
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    data = np.asarray(sample[emb_col].tolist(), dtype=np.float32)
+    cent = _kmeans(data, n_centroids)
+    queries = _normalize(np.asarray(queries, dtype=np.float32))
+    n_probe = min(n_probe, len(cent))
+    qcells = np.argsort(-(queries @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((queries, qcells, cent))
+
+    class CellTopK:
+        def __init__(self):
+            self.q, self.qc, self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch, emb_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            cells = np.argmax(emb @ self.cent.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(cells, self.qc[qi])
+                if not mask.any():
+                    continue
+                scores = emb[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(scores))
+                top = (np.argpartition(-scores, kk - 1)[:kk]
+                       if kk < len(scores) else np.arange(len(scores)))
+                out_q.extend([qi] * len(top))
+                out_id.extend(sub_ids[top].tolist())
+                out_s.extend(scores[top].astype(np.float64).tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        CellTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", id_col], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")

@@ -177,3 +177,58 @@ def test_media_feature_extractor(ray_session):
     from fast_langdetect_ray.stages.multimodal import real_decoder
     with pytest.raises(NotImplementedError):
         real_decoder(b"\x00", "image")
+
+
+def test_lsh_multiprobe_recall(ray_session):
+    """Hamming-1 multi-probe recall ≥ single-probe recall, and all
+    returned cosines stay exact."""
+    import ray.data as rd
+    from fast_langdetect_ray.stages.similarity import brute_force_topk, lsh_topk
+    tbl, emb = _emb_table(n=120, dim=16, seed=9)
+    q = emb[:4].astype(np.float32)
+    ds = rd.from_arrow(tbl)
+    truth = brute_force_topk(ds, q, k=5).to_pandas()
+    r1 = lsh_topk(ds, q, k=5, probes=1).to_pandas()
+    r2 = lsh_topk(ds, q, k=5, probes=2).to_pandas()
+
+    def recall(df):
+        hits = 0
+        for qi in range(4):
+            want = set(truth[truth.query_id == qi]["vec_id"])
+            got = set(df[df.query_id == qi]["vec_id"])
+            hits += len(want & got)
+        return hits / (4 * 5)
+
+    assert recall(r2) >= recall(r1)
+    assert recall(r2) > 0.25  # multi-probe finds a meaningful share
+    for _, row in r2.iterrows():
+        a = emb[int(row.vec_id)]
+        b = q[int(row.query_id)]
+        want = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(row.cosine - want) < 1e-4
+
+
+def test_ivf_topk(ray_session):
+    import ray.data as rd
+    from fast_langdetect_ray.stages.similarity import brute_force_topk, ivf_topk
+    tbl, emb = _emb_table(n=120, dim=16, seed=11)
+    q = emb[:4].astype(np.float32)
+    ds = rd.from_arrow(tbl)
+    truth = brute_force_topk(ds, q, k=5).to_pandas()
+    got = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4).to_pandas()
+    hits = 0
+    for qi in range(4):
+        want = set(truth[truth.query_id == qi]["vec_id"])
+        g = got[got.query_id == qi]
+        # self-retrieval: the query vector's own id ranks first
+        assert int(g.iloc[0]["vec_id"]) == qi
+        hits += len(want & set(g["vec_id"]))
+    assert hits / (4 * 5) >= 0.5  # probing half the cells
+    for _, row in got.iterrows():
+        a = emb[int(row.vec_id)]
+        b = q[int(row.query_id)]
+        want = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(row.cosine - want) < 1e-4
+    # deterministic end to end
+    again = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4).to_pandas()
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
