@@ -1,0 +1,77 @@
+"""A custom Ray Data Datasource: the deterministic synthetic corpus
+generated AT READ TIME inside read tasks — no Parquet staging.
+
+Demonstrates the engine's source-extension surface (the reference has
+no sources at all; SURVEY.md §2.1 note).  Each ReadTask produces one
+row range ``[start, stop)`` of the corpus (row = pure function of its
+index, sources/corpus.py), so the source is:
+
+* embarrassingly parallel — tasks share nothing;
+* deterministic — same (n_rows, rows_per_block) → same blocks;
+* resumable/retry-safe — a retried task regenerates identical bytes;
+* infinitely scalable — 10^12 rows is just 10^12/rows_per_block tasks,
+  no staged input data to distribute.
+
+Usage::
+
+    from fast_langdetect_ray.sources.synthetic import read_synthetic_corpus
+    ds = read_synthetic_corpus(100_000, rows_per_block=2000)
+    # → Dataset with (repo, path, commit, lang, content), streams
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pyarrow as pa
+
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
+
+from .corpus import CORPUS_SCHEMA, iter_rows_range
+
+
+def _make_block(start: int, stop: int) -> pa.Table:
+    rows = list(iter_rows_range(start, stop))
+    cols = list(zip(*rows)) if rows else [[]] * len(CORPUS_SCHEMA.names)
+    return pa.table(
+        {name: pa.array(list(col), type=pa.string())
+         for name, col in zip(CORPUS_SCHEMA.names, cols)},
+        schema=CORPUS_SCHEMA)
+
+
+class SyntheticCorpusDatasource(Datasource):
+    """Row ranges of the deterministic corpus as independent ReadTasks."""
+
+    def __init__(self, n_rows: int, rows_per_block: int = 2000):
+        self._n_rows = n_rows
+        self._rows_per_block = rows_per_block
+
+    def estimate_inmemory_data_size(self) -> Optional[int]:
+        return self._n_rows * 900  # measured ≈0.9 KB/row
+
+    def get_read_tasks(self, parallelism: int) -> List[ReadTask]:
+        span = max(self._rows_per_block,
+                   -(-self._n_rows // max(parallelism, 1)))
+        tasks: List[ReadTask] = []
+        for start in range(0, self._n_rows, span):
+            stop = min(start + span, self._n_rows)
+
+            def gen(start=start, stop=stop) -> Iterator[pa.Table]:
+                yield _make_block(start, stop)
+
+            meta = BlockMetadata(
+                num_rows=stop - start,
+                size_bytes=(stop - start) * 900,
+                input_files=None,
+                exec_stats=None,
+            )
+            tasks.append(ReadTask(gen, meta, schema=CORPUS_SCHEMA))
+        return tasks
+
+
+def read_synthetic_corpus(n_rows: int, rows_per_block: int = 2000,
+                          **read_args):
+    import ray.data as rd
+    return rd.read_datasource(
+        SyntheticCorpusDatasource(n_rows, rows_per_block), **read_args)

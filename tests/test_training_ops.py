@@ -232,3 +232,20 @@ def test_ivf_topk(ray_session):
     # deterministic end to end
     again = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4).to_pandas()
     assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_synthetic_datasource(ray_session):
+    """Generate-at-read custom Datasource == the parquet-staged corpus."""
+    from fast_langdetect_ray.sources.corpus import generate_corpus
+    from fast_langdetect_ray.sources.synthetic import read_synthetic_corpus
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    ds = read_synthetic_corpus(2000, rows_per_block=500)
+    assert ds.schema().names == ["repo", "path", "commit", "lang", "content"]
+    a = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    paths = generate_corpus("/tmp/flr_corpus/synth2000", 2000,
+                            rows_per_file=500)
+    b = pd.concat([pq.read_table(p).to_pandas() for p in paths]).sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b)
