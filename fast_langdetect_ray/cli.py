@@ -77,6 +77,7 @@ def cmd_filter(args: argparse.Namespace) -> int:
         concurrency=args.concurrency,
         batch_size=args.batch_size,
         resume=not args.no_resume,
+        partition_cols=args.partition_by.split(",") if args.partition_by else None,
     )
     print(json.dumps(summary))
     ray.shutdown()
@@ -103,6 +104,8 @@ def main(argv=None) -> int:
     f.add_argument("--batch-size", type=int, default=1024)
     f.add_argument("--num-cpus", type=int, default=8)
     f.add_argument("--no-resume", action="store_true")
+    f.add_argument("--partition-by", default=None,
+                   help="comma-separated Hive partition columns, e.g. lang_code")
     f.set_defaults(fn=cmd_filter)
 
     args = ap.parse_args(argv)

@@ -145,9 +145,14 @@ def run_quality_filter(
     concurrency=None,
     batch_size: int = 1024,
     resume: bool = True,
+    partition_cols: Optional[List[str]] = None,
 ) -> Dict[str, Any]:
     """Run the full pipeline resumably over ``input_paths`` (parquet
-    fragments).  Returns a run summary (shards done/skipped, rows)."""
+    fragments).  Returns a run summary (shards done/skipped, rows).
+
+    ``partition_cols`` (e.g. ``["lang_code"]``) adds Hive-style
+    key=value subdirectories inside each shard — the lang-partitioned
+    layout downstream per-language consumers read selectively."""
     import ray.data as rd
 
     out_dir = Path(out_dir)
@@ -187,11 +192,11 @@ def run_quality_filter(
         ds = build_pipeline(
             ds, rule_config=rule_config, scorer_kwargs=scorer_kwargs,
             concurrency=concurrency, batch_size=batch_size)
-        ds.write_parquet(str(tmp_dir))
+        ds.write_parquet(str(tmp_dir), partition_cols=partition_cols)
         os.rename(tmp_dir, final_dir)
 
         rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        out_files = sorted(str(p) for p in final_dir.glob("*.parquet"))
+        out_files = sorted(str(p) for p in final_dir.rglob("*.parquet"))
         rows_out = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
         entry = {
             "shard_id": shard_id,

@@ -120,3 +120,20 @@ def test_pipeline_determinism(ray_session, corpus_paths):
             "lang_code", "perplexity", "keep", "drop_reason"]
     for c in cols:
         assert ds1[c].equals(ds2[c]), c
+
+
+def test_partitioned_sink(ray_session, corpus_paths):
+    """partition_cols writes Hive-style lang_code=XX subdirs; manifest
+    row accounting still exact over the nested layout."""
+    import shutil as sh
+    out = "/tmp/flr_out/partitioned"
+    sh.rmtree(out, ignore_errors=True)
+    s = run_quality_filter(
+        corpus_paths[:2], out, files_per_shard=2, concurrency=2,
+        batch_size=128, partition_cols=["lang_code"])
+    assert s["rows_in"] == s["rows_out"] == 300
+    from pathlib import Path
+    subdirs = [p.name for p in Path(out, "shard=00000").iterdir()]
+    assert subdirs and all(d.startswith("lang_code=") for d in subdirs)
+    m = read_manifest(out)[0]
+    assert m["rows_kept"] + sum(m["drop_histogram"].values()) == 300
