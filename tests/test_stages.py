@@ -174,3 +174,25 @@ def test_quality_scorer_ja_zh_correction():
     codes = out["lang_code"].to_pylist()
     assert codes[0] == "ZH"  # detected ja-ish but no kana → ZH
     assert codes[1] == "JA"
+
+
+def test_metrics_partials_bound_shuffle_rows():
+    """Skew-awareness (E5): a 10k-row single-language batch collapses to
+    O(distinct keys) partial rows before the shuffle — the all-to-all
+    never moves O(input) rows."""
+    import pyarrow as pa
+
+    from fast_langdetect_ray.stages.metrics import metrics_partials
+    n = 10_000
+    batch = pa.table({
+        "detected_lang": pa.array(["en"] * n),
+        "keep": pa.array([i % 3 != 0 for i in range(n)]),
+        "drop_reason": pa.array(
+            [None if i % 3 != 0 else "low_confidence" for i in range(n)]),
+        "n_chars": pa.array([100] * n, type=pa.int64()),
+    })
+    out = metrics_partials(batch)
+    assert out.num_rows == 2  # (en, True, "") and (en, False, low_confidence)
+    assert out["n_docs"].to_pylist() == [6666, 3334] or \
+           sorted(out["n_docs"].to_pylist()) == [3334, 6666]
+    assert sum(out["n_chars_total"].to_pylist()) == 100 * n
