@@ -298,6 +298,21 @@ def _q_quality_filter_full(sf_dir: str):
     ])
 
 
+def _q_dedup_then_filter(sf_dir: str):
+    """Composed pipeline: exact dedup first (duplicates scored once),
+    then the full quality filter."""
+    from fast_langdetect_ray.pipelines.quality_filter import (
+        dedup_quality_pipeline)
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"])
+    ds = dedup_quality_pipeline(
+        ds, text_col="text", id_col="doc_id",
+        concurrency=_CONC, batch_size=_BATCH)
+    return ds.select_columns(
+        ["doc_id", "content_sha256", "detected_lang", "detected_score",
+         "perplexity", "keep", "drop_reason"])
+
+
 def _q_minhash_pairs(sf_dir: str):
     from fast_langdetect_ray.stages.dedup import minhash_candidate_pairs
     return minhash_candidate_pairs(
@@ -546,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_segments": _q_split_segments,
         "perplexity_scores": _q_perplexity,
         "quality_filter_full": _q_quality_filter_full,
+        "dedup_then_filter": _q_dedup_then_filter,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
         "doc_fingerprints": _q_fingerprints,

@@ -59,6 +59,11 @@ def scrub_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
     from ..functions.textstats import alpha_ratio, n_chars
 
     col = batch[text_col]
+    # replace (not duplicate) any pre-existing output columns so inputs
+    # that already carry e.g. an n_chars column stay valid
+    for c in ("scrubbed", "content_sha256", "n_chars", "alpha_ratio"):
+        if c in batch.schema.names:
+            batch = batch.drop_columns([c])
     scrubbed = scrub_column(col)
     if isinstance(scrubbed, pa.ChunkedArray):
         scrubbed = scrubbed.combine_chunks()

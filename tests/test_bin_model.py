@@ -101,3 +101,27 @@ def test_bad_magic_rejected(tmp_path):
     p.write_bytes(struct.pack("<ii", 1234, 12) + b"\x00" * 64)
     with pytest.raises(ValueError, match="magic"):
         FastTextModel.load(str(p))
+
+
+def test_quality_scorer_with_custom_model(tmp_path, ray_session):
+    """custom_model_path flows through the actor ctor (the reference's
+    LangDetectConfig.custom_model_path, README.md:225-237) — scoring
+    works end-to-end with a user-supplied dense .bin."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.quality import QualityScorer
+
+    p, _, _ = _build_bin(tmp_path)
+    ds = rd.from_arrow(pa.table({
+        "content": pa.array(["hello hello", "bye bye bye", "zzzz"]),
+    }))
+    out = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", batch_size=8, concurrency=1,
+        fn_constructor_kwargs=dict(
+            text_col="content", model_path=str(p), compute_ppl=False,
+            compute_segments=False)).to_pandas()
+    assert len(out) == 3
+    assert set(out["detected_lang"]) <= {"aa", "bb"}
+    assert (out["detected_score"] > 0).all()
+    assert all(len(t) <= 2 for t in out["lang_topk"])
