@@ -26,8 +26,14 @@ from fast_langdetect_ray.stages.rules import RuleConfig, apply_rules
 from fast_langdetect_ray.stages.scrub import SCRUB_PATTERNS, scrub_column, sha256_hex
 from fast_langdetect_ray.state.pools import TARGET_LANGS
 
-_CONC = 4          # actor-pool size for driver-run queries (sf ≤ 0.01)
 _BATCH = 512
+
+
+def _conc() -> int:
+    """Actor-pool size for driver-run queries, clamped so the task ops
+    (read/rules/write) keep ≥2 CPUs (see pools.safe_pool_size)."""
+    from fast_langdetect_ray.state.pools import safe_pool_size
+    return safe_pool_size(4)
 
 
 def _read(sf_dir: str, table: str):
@@ -249,7 +255,7 @@ def _q_detect_documents(sf_dir: str):
     ds = _read(sf_dir, "documents")
     ds = ds.map_batches(
         QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=_BATCH, concurrency=_CONC,
+        batch_size=_BATCH, concurrency=_conc(),
         fn_constructor_kwargs=dict(
             text_col="text", compute_segments=False, compute_topk=False,
             compute_ppl=False))
@@ -261,7 +267,7 @@ def _q_detect_topk(sf_dir: str):
     from fast_langdetect_ray.stages.quality import QualityScorer
     ds = _read(sf_dir, "documents").map_batches(
         QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=_BATCH, concurrency=_CONC,
+        batch_size=_BATCH, concurrency=_conc(),
         fn_constructor_kwargs=dict(
             text_col="text", k=3, compute_segments=False, compute_ppl=False))
     return ds.select_columns(["doc_id", "lang_topk"])
@@ -271,7 +277,7 @@ def _q_split_segments(sf_dir: str):
     from fast_langdetect_ray.stages.quality import QualityScorer
     ds = _read(sf_dir, "documents").map_batches(
         QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=_BATCH, concurrency=_CONC,
+        batch_size=_BATCH, concurrency=_conc(),
         fn_constructor_kwargs=dict(
             text_col="text", compute_topk=False, compute_ppl=False))
     return ds.select_columns(["doc_id", "segments"])
@@ -281,7 +287,7 @@ def _q_perplexity(sf_dir: str):
     from fast_langdetect_ray.stages.quality import QualityScorer
     ds = _read(sf_dir, "documents").map_batches(
         QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=_BATCH, concurrency=_CONC,
+        batch_size=_BATCH, concurrency=_conc(),
         fn_constructor_kwargs=dict(
             text_col="text", compute_topk=False, compute_segments=False))
     return ds.select_columns(["doc_id", "detected_lang", "perplexity"])
@@ -290,7 +296,7 @@ def _q_perplexity(sf_dir: str):
 def _q_quality_filter_full(sf_dir: str):
     from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
     ds = _docs_as_corpus(_read(sf_dir, "documents"))
-    out = build_pipeline(ds, concurrency=_CONC, batch_size=_BATCH)
+    out = build_pipeline(ds, concurrency=_conc(), batch_size=_BATCH)
     return out.select_columns([
         "path", "content_sha256", "detected_lang", "detected_score",
         "lang_code", "perplexity", "n_chars", "alpha_ratio", "keep",
@@ -307,7 +313,7 @@ def _q_dedup_then_filter(sf_dir: str):
         ["doc_id", "text", "lang"])
     ds = dedup_quality_pipeline(
         ds, text_col="text", id_col="doc_id",
-        concurrency=_CONC, batch_size=_BATCH)
+        concurrency=_conc(), batch_size=_BATCH)
     return ds.select_columns(
         ["doc_id", "content_sha256", "detected_lang", "detected_score",
          "perplexity", "keep", "drop_reason"])

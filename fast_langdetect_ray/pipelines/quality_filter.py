@@ -155,6 +155,13 @@ def run_quality_filter(
     layout downstream per-language consumers read selectively."""
     import ray.data as rd
 
+    from ..state.pools import safe_pool_size
+
+    if isinstance(concurrency, int):
+        concurrency = safe_pool_size(concurrency)
+    elif isinstance(concurrency, tuple):
+        concurrency = (concurrency[0], safe_pool_size(concurrency[1]))
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     input_paths = sorted(str(p) for p in input_paths)

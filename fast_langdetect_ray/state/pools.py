@@ -118,3 +118,23 @@ def padded_pool(lang: str, min_bytes: int = 10_000) -> List[str]:
 
 def pool_text(lang: str, min_bytes: int = 10_000) -> str:
     return "\n".join(padded_pool(lang, min_bytes))
+
+
+def safe_pool_size(requested: int) -> int:
+    """Clamp a fixed actor-pool size so at least 2 CPUs stay free for
+    the task ops (read / rules / write) sharing the cluster.
+
+    A fixed pool of exactly ``num_cpus`` actors starves every TaskPool
+    operator and stalls the stream indefinitely (observed: the pipeline
+    deadlocks with 0 progress) — Ray Data does not reserve CPUs for
+    non-actor operators when a fixed-size pool claims them all."""
+    try:
+        import ray
+        if not ray.is_initialized():
+            return requested
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return requested
+    if cpus <= 0:
+        return requested
+    return max(1, min(requested, cpus - 2))
