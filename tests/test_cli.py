@@ -1,0 +1,45 @@
+"""CLI smoke tests (reference Entry-3 parity: examples/
+memory_usage_check.py semantics).  The filter subcommand spawns its own
+Ray instance in a subprocess, so these run independent of the
+session-scoped fixture."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(*args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "fast_langdetect_ray.cli", *args],
+        capture_output=True, text=True, timeout=timeout, cwd=str(REPO))
+
+
+def test_cli_detect():
+    p = _run("detect", "--text", "Bonjour le monde", "--k", "2")
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["result"][0]["lang"] == "fr"
+    assert 0 < out["result"][0]["score"] <= 1
+    assert out["rss_after_mb"] >= out["rss_before_mb"]
+
+
+def test_cli_detect_memory_cap_exits_2():
+    p = _run("detect", "--text", "hello", "--limit-mb", "8")
+    assert p.returncode == 2
+    assert "MemoryError" in p.stderr
+
+
+def test_cli_filter(tmp_path):
+    from fast_langdetect_ray.sources.corpus import generate_corpus
+    corpus = tmp_path / "corpus"
+    generate_corpus(corpus, 200, rows_per_file=100)
+    out = tmp_path / "out"
+    p = _run("filter", str(corpus), str(out), "--files-per-shard", "1",
+             "--concurrency", "2", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == summary["rows_out"] == 200
+    assert (out / "_manifest" / "manifest.jsonl").exists()
