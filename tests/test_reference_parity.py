@@ -214,3 +214,29 @@ def test_detect_batch_matches_detect():
         for b, s in zip(br, single):
             # f32 summation order differs between batch layouts
             assert b["score"] == pytest.approx(s["score"], abs=1e-5)
+
+
+def test_k_larger_than_label_space():
+    """k > nlabels: no error; every label with prob ≥ 1e-5 is returned
+    (fastText's dfs prunes below log(threshold + 1e-5) even at
+    threshold=0 — the same quirk the C++ engine has), sorted desc."""
+    from fast_langdetect_ray.detect import detect
+    res = detect("hello world", k=1000)
+    assert 100 < len(res) <= 176
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 1e-5 for s in scores)
+    assert len({r["lang"] for r in res}) == len(res)  # unique labels
+
+
+def test_detect_with_config_uses_fresh_detector():
+    """detect(config=...) constructs a throwaway LangDetector honoring
+    that config per call (reference infer.py:358-367)."""
+    from fast_langdetect_ray.detect import LangDetectConfig, detect
+    cfg = LangDetectConfig(normalize_input=False, max_input_length=5)
+    # truncation to 5 chars: "Bonjour le monde" -> "Bonjo"
+    res_trunc = detect("Bonjour le monde", config=cfg)
+    res_full = detect("Bonjour le monde")
+    assert res_full[0]["lang"] == "fr"
+    # the 5-char input scores differently than the full sentence
+    assert res_trunc[0] != res_full[0]

@@ -249,3 +249,21 @@ def test_synthetic_datasource(ray_session):
     b = pd.concat([pq.read_table(p).to_pandas() for p in paths]).sort_values(
         ["repo", "path"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_minhash_all_identical_hot_bucket(ray_session):
+    """Adversarial skew: 100 identical docs collapse into one hot band
+    bucket; max_group truncation bounds the pair explosion (documented
+    truncation, not a quadratic blowup)."""
+    import ray.data as rd
+    from fast_langdetect_ray.stages.dedup import minhash_candidate_pairs
+    n = 100
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["the same document text repeated verbatim"] * n),
+    }))
+    out = minhash_candidate_pairs(
+        ds, jaccard_threshold=0.9, max_group=16).to_pandas()
+    # truncated: at most C(16,2) pairs, never C(100,2)
+    assert 0 < len(out) <= 16 * 15 // 2
+    assert (out["jaccard"] == 1.0).all()
