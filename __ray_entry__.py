@@ -349,6 +349,80 @@ def _q_ivf_ann(sf_dir: str):
                     n_centroids=16, n_probe=4)
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary: column-pruned read of the widest
+    table, per-batch partial aggregation (sums/counts only — avg is
+    derived after the reduce so partials stay mergeable), tiny final
+    groupby on (returnflag, linestatus)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": batch["l_quantity"],
+            "price": batch["l_extendedprice"],
+            "disc_price": disc_price,
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"],
+                          use_threads=False).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+             ("qty", "count")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_price", "sum_disc_price", "count_order"])
+
+    agg = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice", "l_discount"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Sum("sum_disc_price", alias_name="sum_disc_price"),
+                   Sum("count_order", alias_name="count_order"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(batch["sum_qty"],
+                            pc.cast(batch["count_order"], pa.float64()))
+        batch = batch.append_column(
+            "avg_qty", pc.round(avg_qty, ndigits=6))
+        return batch.set_column(
+            batch.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.round(batch["sum_qty"], ndigits=4))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_recent_by_priority(sf_dir: str):
+    """Prune at the read: only 2 columns leave storage and the date
+    predicate is pushed into the parquet scan (row-group/page skip)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    expr = pc.field("o_orderdate") >= pa.scalar(
+        pd_timestamp("1997-01-01"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+        filter=expr)
+    return (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+    )
+
+
+def pd_timestamp(s: str):
+    import pandas as pd
+    return pd.Timestamp(s)
+
+
 _SLIDE_WIN_MIN = 5   # sliding window length
 _SLIDE_HOP_MIN = 1   # hop
 
@@ -560,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sessionize_events": _q_sessionize,
         "events_sliding": _q_events_sliding,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_recent_by_priority": _q_orders_recent_by_priority,
         "orders_by_nation": _q_orders_by_nation,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
@@ -680,6 +756,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(value) AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   sum(l_extendedprice) AS sum_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_recent_by_priority": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS total_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
         """,
         "events_sliding": f"""
             SELECT event_type,
