@@ -57,6 +57,9 @@ HEADLINE = [
     "minhash_pairs",
     "ann_cosine_topk",
     "events_tumbling",
+    "lineitem_pricing",
+    "sessionize_events",
+    "orders_by_nation",
 ]
 
 
