@@ -225,6 +225,7 @@ class FastTextModel:
         self._path_left: Optional[np.ndarray] = None
         self._softmax = False
         self._subword_cache: Dict[str, np.ndarray] = {}
+        self._line_cache: Dict[str, np.ndarray] = {}
 
     # ---------------------------------------------------------- loading
 
@@ -349,10 +350,15 @@ class FastTextModel:
     def _line_rows(self, text: str) -> np.ndarray:
         """Row ids for a whole input line: whitespace-split tokens (up
         to the first newline, matching one-line predict semantics) plus
-        the EOS terminator."""
+        the EOS terminator.  Whole-line results are memoized (bounded):
+        detection inputs are ≤ ~80 chars and repeat heavily in real
+        corpora (duplicate documents, shared prefixes)."""
         nl = text.find("\n")
         if nl >= 0:
             text = text[:nl]
+        cached = self._line_cache.get(text)
+        if cached is not None:
+            return cached
         parts: List[np.ndarray] = []
         for token in text.split():
             if token.startswith(LABEL_PREFIX) and token in self.word2id:
@@ -361,7 +367,10 @@ class FastTextModel:
             if r.size:
                 parts.append(r)
         parts.append(self._token_rows(EOS))
-        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+        out = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        if len(self._line_cache) < 200_000:
+            self._line_cache[text] = out
+        return out
 
     # -------------------------------------------------------- inference
 
