@@ -79,6 +79,24 @@ def _q_token_stats(sf_dir: str):
         token_stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-ish piece counts next to whitespace tokens (brief: token
+    counting = whitespace + a BPE-ish regex)."""
+    from fast_langdetect_ray.functions.textstats import (
+        bpe_piece_count, token_count)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ws_tokens": pc.cast(token_count(col), pa.int64()),
+            "bpe_pieces": pc.cast(bpe_piece_count(col), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents").map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_quality_stats(sf_dir: str):
     from fast_langdetect_ray.stages.textstats import quality_stats
     return _read(sf_dir, "documents").map_batches(
@@ -621,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
         "token_stats": _q_token_stats,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_stats": _q_quality_stats,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
@@ -680,6 +699,13 @@ def _sql_scrubbed(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     allow = ", ".join(f"'{l}'" for l in TARGET_LANGS)
     return {
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   {_sql_token_count('text')} AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[\pL]+|[\pN]+|[^\pL\pN\s]+')) AS bpe_pieces
+            FROM documents
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    {_sql_token_count('text')} AS token_count,

@@ -38,3 +38,17 @@ def alpha_ratio(col: pa.ChunkedArray) -> pa.ChunkedArray:
 def token_count(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Whitespace tokens: runs of \\S+ — count of matches."""
     return pc.count_substring_regex(col, r"\S+")
+
+
+# BPE-ish pre-tokenizer pieces (GPT-2-style pre-tokenization shape):
+# letter runs | digit runs | non-space-non-alnum runs.  RE2 syntax —
+# identical semantics in pyarrow (count_substring_regex) and DuckDB
+# (regexp_extract_all), so the count is oracle-checkable.
+BPE_PIECE_PATTERN = r"[\pL]+|[\pN]+|[^\pL\pN\s]+"
+
+
+def bpe_piece_count(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Pre-tokenizer piece count — the BPE-ish token estimate a
+    training-data pipeline budgets with (whitespace tokens undercount
+    CJK and punctuation-heavy text)."""
+    return pc.count_substring_regex(col, BPE_PIECE_PATTERN)
