@@ -128,3 +128,29 @@ def test_perplexity_many_matches_scalar(texts):
     batch = lm.perplexity_many(texts)
     scalar = np.array([lm.perplexity(t) for t in texts])
     np.testing.assert_allclose(batch, scalar, rtol=1e-5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10_000),
+                min_size=2, max_size=40),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_huffman_paths_form_distribution(counts, seed):
+    """For ANY label-count vector (sorted desc, as fastText dictionaries
+    are), the flattened Huffman path matrices yield leaf probabilities
+    that sum to 1 — i.e. the tree is a valid prefix code and the
+    path-indicator flattening is consistent."""
+    import numpy as np
+
+    from fast_langdetect_ray.ftz import _build_huffman_paths
+    counts = sorted(counts, reverse=True)
+    right, left = _build_huffman_paths(counts)
+    osz = len(counts)
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    f = rng.randn(3, osz - 1).astype(np.float32)
+    s = 1.0 / (1.0 + np.exp(-f))
+    # exact log-probs (no +1e-5 quirk) must normalize
+    lp = np.log(s) @ right.T + np.log(1.0 - s) @ left.T
+    total = np.exp(lp).sum(axis=1)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+    # each leaf has a nonempty path (except the degenerate 1-leaf tree)
+    assert ((right + left).sum(axis=1) >= 1).all()
