@@ -15,7 +15,6 @@ Ray is initialised by the driver BEFORE this module is imported — no
 from __future__ import annotations
 
 from collections.abc import Callable
-from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -419,7 +418,6 @@ def _q_lineitem_pricing(sf_dir: str):
 def _q_orders_recent_by_priority(sf_dir: str):
     """Prune at the read: only 2 columns leave storage and the date
     predicate is pushed into the parquet scan (row-group/page skip)."""
-    import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 

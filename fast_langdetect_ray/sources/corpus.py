@@ -23,7 +23,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..state.pools import BASE_POOLS, MIXED_SAMPLES, SEED, padded_pool
+from ..state.pools import BASE_POOLS, MIXED_SAMPLES, SEED
 
 EXT_TO_LANG = {
     "py": "python", "js": "javascript", "md": "markdown", "txt": "text",

@@ -25,7 +25,7 @@ documented truncation, not an OOM.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd
