@@ -16,6 +16,7 @@ from .detect import (  # noqa: F401
     ModelLoadError,
     detect,
     detect_language,
+    detect_multilingual,
     is_japanese,
 )
 from .ftz import FastTextModel  # noqa: F401

@@ -298,3 +298,19 @@ def detect_language(sentence: str, *, low_memory: bool = True) -> str:
     if lang_code == "JA" and not is_japanese(sentence):
         lang_code = "ZH"
     return lang_code
+
+
+def detect_multilingual(
+    text: str,
+    *,
+    low_memory: bool = True,
+    k: int = 5,
+    threshold: float = 0.0,
+    config: Optional[LangDetectConfig] = None,
+) -> List[Dict[str, Any]]:
+    """Legacy-compatible top-k detection (the pre-1.x fast-langdetect
+    API the north star names; v1.x folded it into ``detect(k>1)`` —
+    reference README.md:73).  Returns the same candidate list as
+    ``detect(text, k=k)`` with the historical ``low_memory`` knob."""
+    model = "lite" if low_memory else "full"
+    return detect(text, model=model, k=k, threshold=threshold, config=config)

@@ -240,3 +240,14 @@ def test_detect_with_config_uses_fresh_detector():
     assert res_full[0]["lang"] == "fr"
     # the 5-char input scores differently than the full sentence
     assert res_trunc[0] != res_full[0]
+
+
+def test_detect_multilingual_alias():
+    """Legacy API shape (pre-1.x): list of ≤k candidates sorted desc,
+    equal to detect(k=k) on the lite model."""
+    from fast_langdetect_ray import detect, detect_multilingual
+    res = detect_multilingual("Hello 世界 こんにちは", k=3)
+    assert 1 <= len(res) <= 3
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert res == detect("Hello 世界 こんにちは", model="lite", k=3)
