@@ -189,20 +189,21 @@ def _q_events_tumbling(sf_dir: str):
         t = pa.table({
             "event_type": batch["event_type"],
             "window_start": pc.floor_temporal(batch["ts"], unit="minute"),
-            "value": batch["value"],
+            "v6": _fixed6(batch["value"]),
         })
         return t.group_by(["event_type", "window_start"],
                           use_threads=False).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("v6", "count"), ("v6", "sum")]
         ).rename_columns(
-            ["event_type", "window_start", "n_events", "value_sum"])
+            ["event_type", "window_start", "n_events", "v6"])
 
     return (
         _read(sf_dir, "events")
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("value_sum", alias_name="value_sum"))
+                   Sum("v6", alias_name="v6"))
+        .map_batches(_finish_v6, batch_format="pyarrow")
     )
 
 
@@ -366,6 +367,22 @@ def _q_ivf_ann(sf_dir: str):
                     n_centroids=16, n_probe=4)
 
 
+def _fixed6(col):
+    """Exact fixed-point micros: floor(x*1e6 + 0.5) as int64 — the same
+    IEEE double ops in numpy/pyarrow and DuckDB, so per-row values are
+    bit-identical and integer sums are order-independent (float sums
+    differ ~1e-15 rel between engines/partitionings, which breaks the
+    driver's exact value hash)."""
+    return pc.cast(pc.floor(pc.add(
+        pc.multiply(col, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64())
+
+
+def _finish_v6(batch: pa.Table) -> pa.Table:
+    batch = batch.append_column("value_sum", pc.divide(
+        pc.cast(batch["v6"], pa.float64()), pa.scalar(1e6)))
+    return batch.drop_columns(["v6"])
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing summary: column-pruned read of the widest
     table, per-batch partial aggregation (sums/counts only — avg is
@@ -374,22 +391,30 @@ def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        # exact integer accumulation: per-row doubles are bit-identical
+        # in numpy and DuckDB, and int64 sums are order-independent —
+        # float sums differ ~1e-15 rel between engines/partitionings,
+        # which breaks the driver's exact value hash
         disc_price = pc.multiply(
             batch["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            disc_price, pa.scalar(10000.0))), pa.int64())
         t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "qty": batch["l_quantity"],
-            "price": batch["l_extendedprice"],
-            "disc_price": disc_price,
+            "price_c": price_c,
+            "disc_c": disc_c,
         })
         return t.group_by(["l_returnflag", "l_linestatus"],
                           use_threads=False).aggregate(
-            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+            [("qty", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
              ("qty", "count")]
         ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
-                          "sum_price", "sum_disc_price", "count_order"])
+                          "price_c", "disc_c", "count_order"])
 
     agg = (
         _read(sf_dir, "lineitem")
@@ -398,8 +423,8 @@ def _q_lineitem_pricing(sf_dir: str):
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_price", alias_name="sum_price"),
-                   Sum("sum_disc_price", alias_name="sum_disc_price"),
+                   Sum("price_c", alias_name="price_c"),
+                   Sum("disc_c", alias_name="disc_c"),
                    Sum("count_order", alias_name="count_order"))
     )
 
@@ -408,6 +433,11 @@ def _q_lineitem_pricing(sf_dir: str):
                             pc.cast(batch["count_order"], pa.float64()))
         batch = batch.append_column(
             "avg_qty", pc.round(avg_qty, ndigits=6))
+        batch = batch.append_column("sum_price", pc.divide(
+            pc.cast(batch["price_c"], pa.float64()), pa.scalar(100.0)))
+        batch = batch.append_column("sum_disc_price", pc.divide(
+            pc.cast(batch["disc_c"], pa.float64()), pa.scalar(10000.0)))
+        batch = batch.drop_columns(["price_c", "disc_c"])
         return batch.set_column(
             batch.schema.get_field_index("sum_qty"), "sum_qty",
             pc.round(batch["sum_qty"], ndigits=4))
@@ -427,11 +457,26 @@ def _q_orders_recent_by_priority(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
         filter=expr)
-    return (
-        ds.groupby("o_orderpriority")
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "cents": cents})
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price"))
+                   Sum("cents", alias_name="cents"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("total_price", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def pd_timestamp(s: str):
@@ -459,14 +504,14 @@ def _q_events_sliding(sf_dir: str):
             parts.append(pa.table({
                 "event_type": batch["event_type"],
                 "window_start": pc.cast(ws, pa.timestamp("us")),
-                "value": batch["value"],
+                "v6": _fixed6(batch["value"]),
             }))
         t = pa.concat_tables(parts)
         return t.group_by(["event_type", "window_start"],
                           use_threads=False).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("v6", "count"), ("v6", "sum")]
         ).rename_columns(
-            ["event_type", "window_start", "n_events", "value_sum"])
+            ["event_type", "window_start", "n_events", "v6"])
 
     return (
         _read(sf_dir, "events")
@@ -474,7 +519,8 @@ def _q_events_sliding(sf_dir: str):
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("value_sum", alias_name="value_sum"))
+                   Sum("v6", alias_name="v6"))
+        .map_batches(_finish_v6, batch_format="pyarrow")
     )
 
 
@@ -489,16 +535,19 @@ def _q_sessionize(sf_dir: str):
     import pandas as pd
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         g = g.sort_values("ts")
         gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
         seq = gap.cumsum() + 1  # first session = 1 (matches SQL sum)
-        out = g.assign(session_seq=seq).groupby(
+        v6 = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype("int64")
+        out = g.assign(session_seq=seq, v6=v6).groupby(
             "session_seq", as_index=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
-            value_sum=("value", "sum"))
+            v6=("v6", "sum"))
+        out["value_sum"] = out["v6"] / 1e6
         return out[["user_id", "session_seq", "session_start",
                     "session_end", "n_events", "value_sum"]]
 
@@ -533,20 +582,28 @@ def _q_orders_by_nation(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
         names = [lookup[k] for k in batch["o_custkey"].to_pylist()]
-        t = pa.table({"n_name": pa.array(names),
-                      "o_totalprice": batch["o_totalprice"]})
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"n_name": pa.array(names), "cents": cents})
         agg = t.group_by(["n_name"], use_threads=False).aggregate(
-            [("o_totalprice", "count"), ("o_totalprice", "sum")])
-        return agg.rename_columns(["n_name", "n_orders", "total_price"])
+            [("cents", "count"), ("cents", "sum")])
+        return agg.rename_columns(["n_name", "n_orders", "cents"])
 
-    return (
+    agg = (
         _read(sf_dir, "orders")
         .select_columns(["o_custkey", "o_totalprice"])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("total_price", alias_name="total_price"))
+                   Sum("cents", alias_name="cents"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("total_price", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_top_docs_global(sf_dir: str):
@@ -777,15 +834,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    date_trunc('minute', ts) AS window_start,
                    count(*) AS n_events,
-                   sum(value) AS value_sum
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS value_sum
             FROM events
             GROUP BY event_type, date_trunc('minute', ts)
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
-                   sum(l_extendedprice) AS sum_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS sum_disc_price,
                    count(*) AS count_order,
                    round(sum(l_quantity) / count(*), 6) AS avg_qty
             FROM lineitem
@@ -794,7 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_recent_by_priority": """
             SELECT o_orderpriority,
                    count(*) AS n_orders,
-                   sum(o_totalprice) AS total_price
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
             GROUP BY o_orderpriority
@@ -805,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
                        - k * (INTERVAL {_SLIDE_HOP_MIN} MINUTE)
                        AS window_start,
                    count(*) AS n_events,
-                   sum(value) AS value_sum
+                   sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS value_sum
             FROM events
             CROSS JOIN range(0, {_SLIDE_WIN_MIN // _SLIDE_HOP_MIN}) AS t(k)
             GROUP BY event_type, window_start
@@ -813,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": f"""
             SELECT user_id, session_seq,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events, sum(value) AS value_sum
+                   count(*) AS n_events, sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS value_sum
             FROM (
                 SELECT user_id, ts, value,
                        sum(new_sess) OVER (
@@ -834,7 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": """
             SELECT n_name,
                    count(*) AS n_orders,
-                   sum(o_totalprice) AS total_price
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
