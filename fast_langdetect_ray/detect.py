@@ -198,8 +198,9 @@ class LangDetector:
 
     def _select_backend(self, model: Optional[str]) -> FastTextModel:
         sel = self.config.model if model is None else model
-        if model is not None and model not in _VALID_MODELS:
-            raise FastLangdetectError(f"Invalid model: {model}")
+        if sel not in _VALID_MODELS:  # validates the RESOLVED selection,
+            # so an invalid config.model default raises too (infer.py:324-331)
+            raise FastLangdetectError(f"Invalid model: {sel}")
         if sel == "lite":
             return self._get_model(low_memory=True)
         if sel == "full":

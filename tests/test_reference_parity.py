@@ -251,3 +251,12 @@ def test_detect_multilingual_alias():
     scores = [r["score"] for r in res]
     assert scores == sorted(scores, reverse=True)
     assert res == detect("Hello 世界 こんにちは", model="lite", k=3)
+
+
+def test_invalid_config_model_raises():
+    """An invalid config-default model raises the same error as an
+    invalid per-call model (resolved-selection validation)."""
+    cfg = LangDetectConfig(model="bogus")
+    det = LangDetector(cfg)
+    with pytest.raises(FastLangdetectError):
+        det.detect("Hello world")
