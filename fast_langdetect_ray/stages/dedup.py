@@ -157,7 +157,13 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep-first exact dedup: one row (min id) per distinct content."""
+    """Keep-first exact dedup: one row (min id) per distinct content.
+
+    Skew bound: the within-batch pre-dedup leaves at most ONE row per
+    (hash, input block), so even an adversarial corpus of a billion
+    identical documents produces shuffle groups of ≤ n_blocks rows —
+    the hot-key group can never exceed the block count, and the
+    all-to-all moves at most (distinct contents × blocks) rows."""
     def pre_dedup(batch: pa.Table) -> pa.Table:
         """Within-batch keep-first — shrinks the shuffle input for free
         (at realistic dup rates most duplicates co-occur in a shard)."""
