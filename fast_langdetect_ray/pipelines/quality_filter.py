@@ -152,7 +152,11 @@ def run_quality_filter(
 
     ``partition_cols`` (e.g. ``["lang_code"]``) adds Hive-style
     key=value subdirectories inside each shard — the lang-partitioned
-    layout downstream per-language consumers read selectively."""
+    layout downstream per-language consumers read selectively.
+    File-count trade (measured: 1.5M rows → 46 partitions × ~120
+    files): each output block fans out into one file per partition
+    value it contains; if small files matter more than avoiding a
+    shuffle, repartition/sort by the partition key before writing."""
     import ray.data as rd
 
     from ..state.pools import safe_pool_size
