@@ -56,10 +56,16 @@ def cmd_detect(args: argparse.Namespace) -> int:
 
 
 def cmd_filter(args: argparse.Namespace) -> int:
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # local by default; under `ray job submit` / an existing cluster,
+        # RAY_ADDRESS points at the cluster and num_cpus is ignored
+        addr = os.getenv("RAY_ADDRESS", "local")
+        kwargs = {} if addr not in ("local", "") else {
+            "num_cpus": args.num_cpus, "include_dashboard": False}
+        ray.init(address=addr, logging_level="ERROR", **kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
