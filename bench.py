@@ -127,10 +127,19 @@ def _run_corpus_job(num_cpus: int, out_dir: Path,
     )
     elapsed = time.perf_counter() - t0
     rows = summary["rows_in"]
+
+    def _uncompressed(f):
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(f).metadata
+        return sum(md.row_group(g).total_byte_size
+                   for g in range(md.num_row_groups))
+
+    data_bytes = sum(_uncompressed(f) for f in frags)
     return {
         "elapsed_sec": round(elapsed, 3),
         "rows": rows,
         "files_per_sec": round(rows / elapsed, 1),
+        "mb_per_sec": round(data_bytes / elapsed / 1e6, 1),
         "rows_out": summary["rows_out"],
     }
 
