@@ -175,7 +175,15 @@ def run_quality_filter(
     ]
     done_ids = set()
     if resume:
-        done_ids = {e["shard_id"] for e in read_manifest(out_dir)}
+        # a shard counts as done only if the manifest entry's input
+        # fragment list matches the CURRENT shard assignment — if the
+        # input set changed between runs, shard ids shift and a stale
+        # manifest must not skip the wrong work
+        by_id = {e["shard_id"]: e for e in read_manifest(out_dir)}
+        for sid, files in enumerate(shards):
+            entry = by_id.get(sid)
+            if entry is not None and entry.get("input_files") == files:
+                done_ids.add(sid)
 
     summary = {"shards_total": len(shards), "shards_skipped": 0,
                "shards_run": 0, "rows_in": 0, "rows_out": 0}

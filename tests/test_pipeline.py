@@ -137,3 +137,23 @@ def test_partitioned_sink(ray_session, corpus_paths):
     assert subdirs and all(d.startswith("lang_code=") for d in subdirs)
     m = read_manifest(out)[0]
     assert m["rows_kept"] + sum(m["drop_histogram"].values()) == 300
+
+
+def test_resume_detects_changed_input_set(ray_session, corpus_paths, tmp_path):
+    """A stale manifest must not skip shards when the input fragment
+    list changed between runs (shard ids shift)."""
+    out = tmp_path / "changed"
+    s1 = run_quality_filter(
+        corpus_paths, out, files_per_shard=2, concurrency=2, batch_size=128)
+    assert s1["shards_run"] == 2
+    # drop the first fragment → every shard's file list shifts
+    s2 = run_quality_filter(
+        corpus_paths[1:], out, files_per_shard=2, concurrency=2,
+        batch_size=128)
+    assert s2["shards_skipped"] == 0 and s2["shards_run"] == 2
+    assert s2["rows_in"] == 450  # 3 remaining fragments of 150
+    # rerun with the same (new) list → manifest now has fresh entries
+    s3 = run_quality_filter(
+        corpus_paths[1:], out, files_per_shard=2, concurrency=2,
+        batch_size=128)
+    assert s3["shards_run"] == 0 and s3["shards_skipped"] == 2
