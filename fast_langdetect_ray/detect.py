@@ -146,11 +146,15 @@ class LangDetector:
         letters and the string is longer than 5 chars."""
         if not should_normalize:
             return text
-        if text.isupper() or (
-            len(_UPPER_RE.findall(text)) > 0.8 * len(_ALPHA_RE.findall(text))
-            and len(text) > 5
-        ):
+        if text.isupper():
             return text.lower()
+        # early-outs before the two full regex counts: the ratio branch
+        # can only trigger when len > 5 AND at least one [A-Z] exists —
+        # exactly equivalent to the reference condition
+        if len(text) > 5 and _UPPER_RE.search(text):
+            if (len(_UPPER_RE.findall(text))
+                    > 0.8 * len(_ALPHA_RE.findall(text))):
+                return text.lower()
         return text
 
     # ----------------------------------------------------- model loading
