@@ -193,6 +193,7 @@ def default_mode() -> None:
         "num_cpus": NUM_CPUS,
         "corpus_rows": corpus_stats["rows"],
         "corpus_files_per_sec": corpus_stats["files_per_sec"],
+        "corpus_mb_per_sec": corpus_stats["mb_per_sec"],
     }))
 
 
