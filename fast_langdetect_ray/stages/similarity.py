@@ -189,7 +189,8 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                             id_col: str = "vec_id",
                             emb_col: str = "embedding",
-                            max_bucket: int = 4096):
+                            max_bucket: int = 4096,
+                            n_tables: int = 1):
     """Embedding-cosine near-duplicate pairs (brief: dedup family).
 
     Scale shape: vectors are co-located by signed-random-projection LSH
@@ -212,10 +213,20 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     # (planes are a pure function of (dim, n_planes, SEED))
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        # n_tables independent plane seeds (LSH-forest style): a pair
+        # at cosine τ is recalled by ≥1 table with prob
+        # 1-(1-p)^n_tables, at n_tables× explode cost
         emb = _normalize(_embedding_matrix(batch, emb_col))
-        planes = _planes(emb.shape[1], n_planes)
-        return batch.append_column(
-            "bucket", pa.array(lsh_bucket_ids(emb, planes), type=pa.int64()))
+        parts = []
+        for t_i in range(n_tables):
+            planes = _planes(emb.shape[1], n_planes, seed=SEED + t_i)
+            part = batch.append_column(
+                "lsh_table", pa.array([t_i] * batch.num_rows,
+                                      type=pa.int32()))
+            parts.append(part.append_column(
+                "bucket",
+                pa.array(lsh_bucket_ids(emb, planes), type=pa.int64())))
+        return pa.concat_tables(parts)
 
     bucketed = pruned.map_batches(bucketize, batch_format="pyarrow",
                                   zero_copy_batch=True)
@@ -243,8 +254,15 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                                type=pa.float64()),
         })
 
-    return bucketed.groupby("bucket").map_groups(
+    pairs = bucketed.groupby(["lsh_table", "bucket"]).map_groups(
         in_bucket_pairs, batch_format="pyarrow")
+    if n_tables > 1:
+        # a pair found by several tables has the IDENTICAL exact cosine
+        # → vectorized Max-aggregate dedup, no per-group Python
+        from ray.data.aggregate import Max
+        pairs = pairs.groupby(["id_a", "id_b"]).aggregate(
+            Max("cosine", alias_name="cosine"))
+    return pairs
 
 
 # ----------------------------------------------------------- IVF scale path

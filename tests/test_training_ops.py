@@ -267,3 +267,33 @@ def test_minhash_all_identical_hot_bucket(ray_session):
     # truncated: at most C(16,2) pairs, never C(100,2)
     assert 0 < len(out) <= 16 * 15 // 2
     assert (out["jaccard"] == 1.0).all()
+
+
+def test_embedding_neardup_multitable_recall(ray_session):
+    """LSH-forest tables: recall is monotone in n_tables, cosines exact,
+    and multi-table results never duplicate a pair."""
+    import ray.data as rd
+    from fast_langdetect_ray.stages.similarity import embedding_neardup_pairs
+    rng = np.random.RandomState(21)
+    base = rng.randn(30, 16)
+    # plant near-dups: 10 perturbed copies
+    dups = base[:10] + 0.02 * rng.randn(10, 16)
+    emb = np.vstack([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(emb)), type=pa.int64()),
+        "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl)
+    p1 = embedding_neardup_pairs(ds, threshold=0.95, n_tables=1).to_pandas()
+    p4 = embedding_neardup_pairs(ds, threshold=0.95, n_tables=4).to_pandas()
+    assert len(p4) >= len(p1)
+    assert len(p4) == len(p4.drop_duplicates(["id_a", "id_b"]))
+    # all found pairs are genuinely above threshold
+    for _, r in p4.iterrows():
+        a, b = emb[int(r.id_a)], emb[int(r.id_b)]
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos >= 0.95 - 1e-9
+    # the planted pairs should mostly be recalled with 4 tables
+    planted = {(i, 30 + i) for i in range(10)}
+    found = set(map(tuple, p4[["id_a", "id_b"]].values.tolist()))
+    assert len(planted & found) >= 6
