@@ -24,6 +24,10 @@ import pyarrow.compute as pc
 from ..sources.corpus import TOXICITY_LEXICON
 
 # (tag, RE2 pattern) in frozen application order — FIXTURES.md §3.
+# Known over-redactions (accepted, deterministic, oracle-matched): the
+# IPV6 pattern also matches clock strings like "03:00:00"; PHONE also
+# matches long digit runs.  Recall-over-precision is the usual choice
+# for PII scrubbing; tightening would invalidate frozen goldens.
 SCRUB_PATTERNS: List[Tuple[str, str]] = [
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("IPV4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
