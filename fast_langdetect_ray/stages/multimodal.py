@@ -2,8 +2,8 @@
 ``binary`` columns with typed metadata).
 
 The decode libraries (PIL/ffmpeg/torchaudio) are not in this container,
-so the *decode kernels* are stubbed — ``DeterministicFakeDecoder``
-(seeded, content-addressed fake features for tests/benchmarks) or
+so the *decode kernels* are stubbed — ``fake_decoder`` (deterministic,
+content-addressed fake features for tests/benchmarks) or
 ``NotImplementedError`` in strict mode — while the Ray-side plumbing is
 real and tested: Arrow ``binary`` schema in, actor-pool ``map_batches``
 with small ``batch_size`` (large payloads → few rows per batch), fixed
