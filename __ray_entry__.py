@@ -608,47 +608,9 @@ def _q_orders_by_nation(sf_dir: str):
 
 def _q_top_tokens_per_lang(sf_dir: str):
     """Vocabulary analysis: top-5 most frequent lowercased word tokens
-    per language.  Scale shape: tokens are counted INSIDE each batch
-    (vectorized pyarrow extract + group_by) so the shuffle moves only
-    (lang, token, partial_count) rows — never the token stream; final
-    per-lang top-k via a tiny map_groups.  Ties broken by token text
-    so the result is deterministic."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
-    def token_partials(batch: pa.Table) -> pa.Table:
-        # vectorized RE2 tokenization — the SAME pattern DuckDB's
-        # regexp_split_to_array uses, so token sets match exactly
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lang = batch["lang"]
-        if isinstance(lang, pa.ChunkedArray):
-            lang = lang.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(col), r"[^\pL\pN]+")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks)
-        t = pa.table({"lang": lang.take(parent), "token": flat})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        agg = t.group_by(["lang", "token"], use_threads=False).aggregate(
-            [("token", "count")])
-        return agg.rename_columns(["lang", "token", "n"])
-
-    def top5(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n", "token"],
-                             ascending=[False, True]).head(5)
-
-    return (
-        _read(sf_dir, "documents")
-        .select_columns(["lang", "text"])
-        .map_batches(token_partials, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby(["lang", "token"])
-        .aggregate(Sum("n", alias_name="n"))
-        .groupby("lang")
-        .map_groups(top5, batch_format="pandas")
-    )
+    per language (stages/textstats.top_tokens_per_lang)."""
+    from fast_langdetect_ray.stages.textstats import top_tokens_per_lang
+    return top_tokens_per_lang(_read(sf_dir, "documents"), k=5)
 
 
 def _q_top_docs_global(sf_dir: str):

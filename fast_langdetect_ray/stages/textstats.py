@@ -88,3 +88,47 @@ def fingerprints(batch: pa.Table, text_col: str = "text",
         "fingerprint": pa.array(
             [fingerprint64(t or "") for t in batch[text_col].to_pylist()]),
     })
+
+
+def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
+                        lang_col: str = "lang"):
+    """Top-``k`` most frequent lowercased word tokens per language.
+
+    Scale shape: tokens are counted INSIDE each batch (vectorized RE2
+    ``split_pattern_regex`` + ``list_parent_indices`` + Arrow group_by)
+    so the shuffle moves only (lang, token, partial_count) rows — never
+    the token stream; the per-lang top-k reduce sees one row per
+    distinct (lang, token).  Ties broken by token text so the result is
+    deterministic."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def token_partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lang = batch[lang_col]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"[^\pL\pN]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"lang": lang.take(parent), "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        agg = t.group_by(["lang", "token"], use_threads=False).aggregate(
+            [("token", "count")])
+        return agg.rename_columns(["lang", "token", "n"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    return (
+        ds.select_columns([lang_col, text_col])
+        .map_batches(token_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
