@@ -297,3 +297,19 @@ def test_embedding_neardup_multitable_recall(ray_session):
     planted = {(i, 30 + i) for i in range(10)}
     found = set(map(tuple, p4[["id_a", "id_b"]].values.tolist()))
     assert len(planted & found) >= 6
+
+
+def test_top_tokens_per_lang(ray_session):
+    import ray.data as rd
+    from fast_langdetect_ray.stages.textstats import top_tokens_per_lang
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", "fr"]),
+        "text": pa.array(["the cat the dog THE bird",
+                          "a cat and a dog", "le chat le chien"]),
+    }))
+    out = top_tokens_per_lang(ds, k=2).to_pandas()
+    en = out[out.lang == "en"].reset_index(drop=True)
+    assert list(en["token"]) == ["the", "a"]  # 'THE' lowercased in
+    assert list(en["n"]) == [3, 2]
+    fr = out[out.lang == "fr"].reset_index(drop=True)
+    assert list(fr["token"]) == ["le", "chat"]  # tie (1) broken by text
