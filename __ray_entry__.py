@@ -159,6 +159,17 @@ def _q_lang_metrics(sf_dir: str):
             [("n_chars", "count"), ("n_chars", "sum"), ("tokens", "sum")]
         ).rename_columns(["lang", "n_docs", "n_chars_total", "tokens_total"])
 
+    def finish(batch: pa.Table) -> pa.Table:
+        # float64 to match the oracle's dtype: DuckDB sum(BIGINT) is
+        # HUGEINT, which fetchdf() lowers to float64 — the driver's
+        # value hash is dtype-sensitive (round-1 hash_match:false was
+        # this cast alone, values identical)
+        for c in ("n_chars_total", "tokens_total"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c,
+                pc.cast(batch[c], pa.float64()))
+        return batch
+
     return (
         _read(sf_dir, "documents")
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
@@ -166,6 +177,7 @@ def _q_lang_metrics(sf_dir: str):
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("n_chars_total", alias_name="n_chars_total"),
                    Sum("tokens_total", alias_name="tokens_total"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -548,6 +560,10 @@ def _q_sessionize(sf_dir: str):
             n_events=("ts", "size"),
             v6=("v6", "sum"))
         out["value_sum"] = out["v6"] / 1e6
+        # float64 to match the oracle: DuckDB's windowed sum(INTEGER)
+        # is HUGEINT → float64 in fetchdf; the driver's value hash is
+        # dtype-sensitive (round-1 hash_match:false, values identical)
+        out["session_seq"] = out["session_seq"].astype("float64")
         return out[["user_id", "session_seq", "session_start",
                     "session_end", "n_events", "value_sum"]]
 

@@ -46,12 +46,13 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_DIR = Path(tempfile.gettempdir()) / "fasttext-langdetect"
 CACHE_DIRECTORY = os.getenv("FTLANG_CACHE", str(DEFAULT_CACHE_DIR))
 FULL_MODEL_NAME = "lid.176.bin"
-# The reference bundles the lite model; we read it straight from the
-# reference checkout (read-only) — it is a public artifact, not code.
+# The lite model is vendored with the package (a public CC-BY-SA 3.0
+# artifact — see resources/NOTICE.md), so the engine is self-contained;
+# the reference-checkout path is only a fallback for stripped installs.
+_VENDORED_LITE = Path(__file__).parent / "resources" / "lid.176.ftz"
 LITE_MODEL_PATH = (
-    Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz")
-    if Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz").exists()
-    else Path(__file__).parent / "resources" / "lid.176.ftz"
+    _VENDORED_LITE if _VENDORED_LITE.exists()
+    else Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz")
 )
 
 _VALID_MODELS = ("lite", "full", "auto")

@@ -84,9 +84,22 @@ def main(sf_dir: str):
             continue
         ok_rows = len(ours) == len(oracle)
         ok_schema = sorted(ours.columns) == sorted(oracle.columns)
-        ok_hash = ok_rows and ok_schema and (
+        # the DRIVER's value hash is dtype-sensitive (round 1: int64 vs
+        # DuckDB HUGEINT→float64 flipped hash_match with identical
+        # values, which the %.9g hash below normalizes away) — so also
+        # require matching dtype kinds per column (datetime units loose)
+        ok_dtypes = ok_schema and all(
+            (str(ours[c].dtype) == str(oracle[c].dtype))
+            or (ours[c].dtype.kind == oracle[c].dtype.kind == "M")
+            for c in ours.columns)
+        ok_hash = ok_rows and ok_schema and ok_dtypes and (
             value_hash(ours) == value_hash(oracle))
         status = "MATCH" if ok_hash else "MISMATCH"
+        if not ok_dtypes and ok_schema:
+            bad_d = {c: (str(ours[c].dtype), str(oracle[c].dtype))
+                     for c in ours.columns
+                     if str(ours[c].dtype) != str(oracle[c].dtype)}
+            print(f"  dtype mismatch (ours, oracle): {bad_d}")
         results[name] = {
             "status": status, "rows": len(ours),
             "oracle_rows": len(oracle), "schema_ok": ok_schema,
