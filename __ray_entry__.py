@@ -507,7 +507,11 @@ def _q_events_sliding(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(batch["ts"], unit="minute")
+        # cast to timestamp[us] BEFORE the int64 shift arithmetic: a
+        # timestamp[ns] input would otherwise be silently reinterpreted
+        # as microseconds (wrong windows, no error)
+        base = pc.cast(pc.floor_temporal(batch["ts"], unit="minute"),
+                       pa.timestamp("us"))
         n_win = _SLIDE_WIN_MIN // _SLIDE_HOP_MIN
         parts = []
         for k in range(n_win):
@@ -589,18 +593,26 @@ def _q_orders_by_nation(sf_dir: str):
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
-                    nation["n_name"].to_pylist()))
-    cmap = dict(zip(cust["c_custkey"].to_pylist(),
-                    (nmap[k] for k in cust["c_nationkey"].to_pylist())))
-    ref = ray.put(cmap)
+    # vectorized lookup tables: sorted custkeys → nationkey, and a
+    # dense nationkey → name index (nation keys are small ints)
+    ckeys = cust["c_custkey"].to_numpy()
+    cnk = cust["c_nationkey"].to_numpy()
+    order = np.argsort(ckeys)
+    ckeys_s, cnk_s = ckeys[order], cnk[order]
+    nnk = nation["n_nationkey"].to_numpy()
+    names_by_nk = np.empty(int(nnk.max()) + 1, dtype=object)
+    names_by_nk[nnk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    ref = ray.put((ckeys_s, cnk_s, names_by_nk))
 
     def partials(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        names = [lookup[k] for k in batch["o_custkey"].to_pylist()]
+        keys_s, nk_s, names = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys_s, ck)
+        nation_names = names[nk_s[pos]]
         cents = pc.cast(pc.round(pc.multiply(
             batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
-        t = pa.table({"n_name": pa.array(names), "cents": cents})
+        t = pa.table({"n_name": pa.array(nation_names, type=pa.string()),
+                      "cents": cents})
         agg = t.group_by(["n_name"], use_threads=False).aggregate(
             [("cents", "count"), ("cents", "sum")])
         return agg.rename_columns(["n_name", "n_orders", "cents"])
@@ -640,17 +652,25 @@ def _q_top_docs_global(sf_dir: str):
 
 
 def _q_top_docs_per_lang(sf_dir: str):
-    """Windowed top-N per group: 3 longest docs per lang — the
-    groupby+sort composition Ray Data expresses as map_groups."""
+    """Windowed top-N per group: 3 longest docs per lang.  Per-batch
+    top-3 partials run BEFORE the shuffle, so the per-lang reduce sees
+    ≤ 3 × n_batches rows — a web-scale language ('en' = billions of
+    rows) never materializes as one group."""
     import pandas as pd
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["n_chars", "doc_id"],
                              ascending=[False, True]).head(3)
 
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["n_chars", "doc_id"],
+                                  ascending=[False, True])
+                .groupby("lang", sort=False).head(3))
+
     return (
         _read(sf_dir, "documents")
         .select_columns(["doc_id", "lang", "n_chars"])
+        .map_batches(partials, batch_format="pandas")
         .groupby("lang")
         .map_groups(top3, batch_format="pandas")
     )

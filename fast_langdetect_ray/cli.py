@@ -77,16 +77,21 @@ def cmd_filter(args: argparse.Namespace) -> int:
     if not frags:
         print(f"no parquet fragments under {inp}", file=sys.stderr)
         return 1
-    summary = run_quality_filter(
-        frags, args.output,
-        files_per_shard=args.files_per_shard,
-        concurrency=args.concurrency,
-        batch_size=args.batch_size,
-        resume=not args.no_resume,
-        partition_cols=args.partition_by.split(",") if args.partition_by else None,
-    )
-    print(json.dumps(summary))
-    ray.shutdown()
+    try:
+        summary = run_quality_filter(
+            frags, args.output,
+            files_per_shard=args.files_per_shard,
+            concurrency=args.concurrency,
+            batch_size=args.batch_size,
+            resume=not args.no_resume,
+            partition_cols=(args.partition_by.split(",")
+                            if args.partition_by else None),
+        )
+        print(json.dumps(summary))
+    finally:
+        # shut down the session we initialized even when the pipeline
+        # raises, so a failed CLI run doesn't leak a live Ray cluster
+        ray.shutdown()
     return 0
 
 

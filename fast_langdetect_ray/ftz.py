@@ -226,6 +226,7 @@ class FastTextModel:
         self._softmax = False
         self._subword_cache: Dict[str, np.ndarray] = {}
         self._line_cache: Dict[str, np.ndarray] = {}
+        self._line_cache_bytes = 0
 
     # ---------------------------------------------------------- loading
 
@@ -368,8 +369,15 @@ class FastTextModel:
                 parts.append(r)
         parts.append(self._token_rows(EOS))
         out = np.concatenate(parts) if len(parts) > 1 else parts[0]
-        if len(self._line_cache) < 200_000:
+        # bounded by BYTES as well as entries: callers that bypass the
+        # 80-char detection truncation (predict_batch on raw lines)
+        # must not grow per-actor caches without limit; lines above 256
+        # chars are rare one-offs and not worth caching at all
+        if (len(text) <= 256
+                and len(self._line_cache) < 200_000
+                and self._line_cache_bytes < 64 * 1024 * 1024):
             self._line_cache[text] = out
+            self._line_cache_bytes += len(text) * 4 + out.nbytes + 64
         return out
 
     # -------------------------------------------------------- inference

@@ -184,6 +184,33 @@ def run_quality_filter(
             entry = by_id.get(sid)
             if entry is not None and entry.get("input_files") == files:
                 done_ids.add(sid)
+        # purge orphans: shard directories / manifest entries whose id
+        # is beyond the current shard count, or whose recorded inputs
+        # no longer match — a consumer globbing the output directory
+        # must never read stale rows next to fresh ones
+        stale_ids = [sid for sid in by_id
+                     if sid >= len(shards) or sid not in done_ids]
+        for p in sorted(out_dir.glob("shard=*")):
+            try:
+                sid = int(p.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid >= len(shards):
+                stale_ids.append(sid)
+        if stale_ids:
+            for sid in sorted(set(stale_ids)):
+                d = out_dir / f"shard={sid:05d}"
+                if d.exists():
+                    shutil.rmtree(d)
+            kept = [e for e in read_manifest(out_dir)
+                    if e["shard_id"] in done_ids]
+            mp = _manifest_path(out_dir)
+            if mp.exists():
+                tmp = mp.with_suffix(".tmp")
+                with open(tmp, "w") as f:
+                    for e in kept:
+                        f.write(json.dumps(e, sort_keys=True) + "\n")
+                os.replace(tmp, mp)
 
     summary = {"shards_total": len(shards), "shards_skipped": 0,
                "shards_run": 0, "rows_in": 0, "rows_out": 0}

@@ -3,14 +3,16 @@ MinHash+LSH, SimHash, n-gram Jaccard).  All Ray-Data-native:
 
 * **exact** — sha256 content hash added per batch (vectorizable C
   hashing), then either a tiny ``groupby(hash).aggregate`` (dup-group
-  stats) or ``groupby(hash).map_groups(first)`` (keep-first dataset).
-  The shuffle moves only (hash, doc_id) after column pruning.
+  stats) or, for the keep-first dataset, ``aggregate(Min(id))`` plus a
+  distributed hash-join back on (hash, min_id) — no per-group Python.
+  The stats shuffle moves only (hash, doc_id) after column pruning.
 * **MinHash+LSH** — per batch: char-shingle rolling hashes (numpy
   uint64) → 64 minhashes via universal hashing → ``n_bands`` banded
-  keys, exploded to (band, band_key, doc_id) rows → ``groupby`` on the
-  band key co-locates candidates → pairs verified with true n-gram
-  Jaccard inside ``map_groups``.  Only candidate groups (tiny at
-  realistic dup rates) pass through the verify stage.
+  keys, exploded to (band, band_key, doc_id) rows → a vectorized count
+  shuffle finds colliding keys → a hash-join co-locates only the
+  colliding rows → pairs emitted per hot bucket, deduped with a
+  vectorized groupby, and verified with true n-gram Jaccard after a
+  join-based text fetch.  Nothing dup-count-sized touches the driver.
 * **SimHash** — 64-bit signature per doc from token hashes; near-dup
   buckets by Hamming-ball band keys.
 
@@ -134,7 +136,9 @@ class MinHashBands:
                 out_key.append(k)
         return pa.table({
             self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
+            # int64: Ray's groupby aggregate emits int64 keys and the
+            # hash-join requires exactly matching key dtypes
+            "band": pa.array(out_band, type=pa.int64()),
             "band_key": pa.array(out_key),
         })
 
@@ -156,62 +160,103 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None):
     """Keep-first exact dedup: one row (min id) per distinct content.
 
-    Skew bound: the within-batch pre-dedup leaves at most ONE row per
-    (hash, input block), so even an adversarial corpus of a billion
-    identical documents produces shuffle groups of ≤ n_blocks rows —
-    the hot-key group can never exceed the block count, and the
-    all-to-all moves at most (distinct contents × blocks) rows."""
+    Scale shape (no per-group Python anywhere):
+
+    1. within-batch keep-first pre-dedup — at most ONE row per (hash,
+       input block) survives, so even a billion identical documents
+       produce ≤ n_blocks rows per hash downstream;
+    2. a column-pruned ``groupby(hash).aggregate(Min(id))`` computes the
+       representative id per distinct content — a vectorized shuffle of
+       (hash, id) pairs only;
+    3. an inner hash-join of the pre-deduped rows against the
+       (hash, min_id) reps on BOTH key columns keeps exactly the
+       keep-first rows — a distributed exchange, never a broadcast (the
+       reps side is O(distinct contents), far too big for ``ray.put``
+       at corpus scale).
+
+    Trade (documented): the pre-dedup stage runs twice (once feeding the
+    Min aggregate, once feeding the join) because both consumers re-run
+    the lazy lineage; pass 1 is column-pruned to (hash, id) right after
+    hashing.  That re-read beats one Python ``map_groups`` call per
+    distinct document (10⁹ tiny group invocations at web scale)."""
+    from ray.data.aggregate import Min
+
+    from ..state.pools import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
     def pre_dedup(batch: pa.Table) -> pa.Table:
-        """Within-batch keep-first — shrinks the shuffle input for free
-        (at realistic dup rates most duplicates co-occur in a shard)."""
         batch = add_sha256(batch, text_col=text_col)
         order = pa.compute.sort_indices(
             batch, sort_keys=[("text_sha256", "ascending"),
                               (id_col, "ascending")])
         batch = batch.take(order)
-        h = batch["text_sha256"].to_pylist()
-        keep = [i == 0 or h[i] != h[i - 1] for i in range(len(h))]
-        return batch.filter(pa.array(keep))
-
-    def first(g: pa.Table) -> pa.Table:
-        if g.num_rows == 1:
-            return g
-        return g.take(pa.compute.sort_indices(g[id_col])[:1])
+        h = batch["text_sha256"]
+        # vectorized first-of-run mask: row i survives iff h[i] != h[i-1]
+        if batch.num_rows <= 1:
+            return batch
+        neq = pa.compute.not_equal(h.slice(1), h.slice(0, len(h) - 1))
+        keep = pa.chunked_array([pa.array([True]), neq.combine_chunks()])
+        return batch.filter(keep)
 
     hashed = ds.map_batches(
         pre_dedup, batch_format="pyarrow", zero_copy_batch=True)
-    return hashed.groupby("text_sha256").map_groups(
-        first, batch_format="pyarrow")
+    reps = (
+        hashed.select_columns(["text_sha256", id_col])
+        .groupby("text_sha256")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+    return hashed.join(reps, join_type="inner",
+                       on=("text_sha256", id_col),
+                       num_partitions=num_partitions)
 
 
 def minhash_candidate_pairs(
     ds, text_col: str = "text", id_col: str = "doc_id",
     n_perm: int = 64, n_bands: int = 8, width: int = 5,
     jaccard_threshold: float = 0.7, max_group: int = 64,
-    concurrency=2,
+    concurrency=2, num_partitions: int | None = None,
 ):
     """MinHash-LSH near-dup detection → verified pairs
     (id_a, id_b, jaccard), id_a < id_b, each pair emitted once.
 
-    Scale shape: the band explode moves only (id, band, band_key) rows
-    — never text.  Colliding band keys are found with ONE vectorized
-    ``groupby.aggregate(Count)`` shuffle (no per-group Python: with
-    realistic dup rates almost every band group is a singleton, so a
-    map_groups here would pay per-group overhead ~n_docs × n_bands
-    times); the ≥2-count keys (tiny) are broadcast and the band rows
-    semi-joined against them, then pairs are emitted from that small
-    colliding subset.  Candidate texts are likewise fetched with a
-    broadcast semi-join (candidate-id set → ``ray.put`` → filter inside
-    ``map_batches``), so only colliding documents' texts are ever
-    materialized.  A hot bucket (adversarial skew) is truncated at
-    ``max_group`` ids — documented truncation rather than a quadratic
-    blowup.
+    Scale shape — fully distributed, nothing dup-count-sized ever
+    touches the driver:
+
+    1. band explode moves only (id, band, band_key) rows — never text;
+       the band dataset is materialized once (distributed object-store
+       blocks of ~tens of bytes per row, spillable — NOT driver memory)
+       because two consumers read it (the count pass and the join).
+    2. colliding band keys come from ONE vectorized
+       ``groupby.aggregate(Count)`` shuffle; with realistic dup rates
+       almost every band group is a singleton, so a ``map_groups`` over
+       all groups would pay Python per-group overhead n_docs × n_bands
+       times.  The ≥2-count keys flow back via a distributed inner
+       hash-join against the band rows (no driver key set).
+    3. pair emission runs inside ``groupby(band, band_key).map_groups``
+       over the colliding subset only — the group count equals the
+       number of hot buckets, not the number of documents; a hot bucket
+       (adversarial skew) is truncated at ``max_group`` sorted ids —
+       documented truncation rather than a quadratic blowup.
+    4. cross-band duplicate pairs are collapsed with a vectorized
+       ``groupby(id_a, id_b).aggregate(Count)``.
+    5. candidate texts are fetched with two distributed hash-joins of
+       the pair ids against the column-pruned (id, text) projection of
+       the input — no driver text dict; the join shuffles the pruned
+       doc side once per end of the pair.
     """
-    import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
+
+    from ..state.pools import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
 
     bands = ds.map_batches(
         MinHashBands, batch_format="pyarrow", zero_copy_batch=True,
@@ -219,75 +264,80 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, n_perm=n_perm,
             n_bands=n_bands, width=width))
-    # signatures are cheap to hold ((id, band, key) ≈ tens of bytes) and
-    # read twice below — materialize so MinHashBands runs once
     bands = bands.materialize()
 
-    counts = bands.groupby(["band", "band_key"]).aggregate(
-        Count(alias_name="n"))
-    hot = counts.filter(expr="n >= 2").to_pandas()  # tiny at real dup rates
-    hot_keys = (set(zip(hot["band"].tolist(), hot["band_key"].tolist()))
-                if len(hot) else set())  # empty to_pandas drops columns
-
-    if hot_keys:
-        keys_ref = ray.put(hot_keys)
-
-        def only_hot(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(keys_ref)
-            bs = batch["band"].to_pylist()
-            ks = batch["band_key"].to_pylist()
-            mask = pa.array([(b, k) in wanted for b, k in zip(bs, ks)])
-            return batch.filter(mask)
-
-        colliding = bands.map_batches(
-            only_hot, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()
-        pairs = []
-        for _, g in colliding.groupby(["band", "band_key"], sort=False):
-            ids = sorted(g[id_col].unique().tolist())[:max_group]
-            pairs.extend(
-                (ids[i], ids[j])
-                for i in range(len(ids)) for j in range(i + 1, len(ids)))
-        cand_tbl = pd.DataFrame(
-            sorted(set(pairs)), columns=["id_a", "id_b"], dtype="int64")
-    else:
-        cand_tbl = pd.DataFrame(columns=["id_a", "id_b"], dtype="int64")
-    if len(cand_tbl) == 0:
-        # typed empty result via a pandas block: Ray's to_pandas() on an
-        # empty *arrow* block drops the column schema entirely
-        empty = pd.DataFrame({
+    def _empty_result() -> "rd.Dataset":
+        # typed 0-row pandas block: Ray's to_pandas() on a block-less
+        # dataset drops the column schema entirely
+        return rd.from_pandas(pd.DataFrame({
             "id_a": pd.Series([], dtype="int64"),
             "id_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64"),
+        }))
+
+    hot = (bands.groupby(["band", "band_key"])
+           .aggregate(Count(alias_name="n"))
+           .filter(expr="n >= 2"))
+    # no-dup short-circuit: a dataset whose every block was filtered
+    # away loses its schema, which breaks the hash-join's key
+    # resolution.  take(1) streams with early-out (first hot bucket
+    # stops the scan), so this probe is O(1) result size on the driver;
+    # when a hot bucket exists, every downstream stage is non-empty by
+    # construction (n>=2 distinct ids → ≥1 pair).
+    if not hot.take(1):
+        return _empty_result()
+    colliding = bands.join(hot, join_type="inner",
+                           on=("band", "band_key"),
+                           num_partitions=num_partitions)
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g[id_col].to_numpy())[:max_group]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({
+            "id_a": pa.array(ids[ia], type=pa.int64()),
+            "id_b": pa.array(ids[ib], type=pa.int64()),
         })
-        return ray.data.from_pandas(empty)
 
-    cand_ids = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
-    ids_ref = ray.put(cand_ids)
+    pairs = (
+        colliding.groupby(["band", "band_key"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands_hit"))
+        .drop_columns(["n_bands_hit"])
+    )
 
-    def project_candidates(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
+    def rename(batch: pa.Table, mapping: dict) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
 
-    small = ds.map_batches(
-        project_candidates, batch_format="pyarrow", zero_copy_batch=True)
-    texts = dict(zip(*[small.to_pandas()[c] for c in (id_col, text_col)]))
-    texts_ref = ray.put(texts)
+    docs = ds.select_columns([id_col, text_col])
+    docs_a = docs.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"mapping": {id_col: "id_a", text_col: "_text_a"}})
+    docs_b = docs.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"mapping": {id_col: "id_b", text_col: "_text_b"}})
+    withtext = (
+        pairs.join(docs_a, join_type="inner", on=("id_a",),
+                   num_partitions=num_partitions)
+        .join(docs_b, join_type="inner", on=("id_b",),
+              num_partitions=num_partitions)
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        ia = batch["id_a"].to_pylist()
-        ib = batch["id_b"].to_pylist()
-        jac = [ngram_jaccard(lookup.get(a) or "", lookup.get(b) or "", width)
-               for a, b in zip(ia, ib)]
+        ta = batch["_text_a"].to_pylist()
+        tb = batch["_text_b"].to_pylist()
+        jac = [ngram_jaccard(a or "", b or "", width)
+               for a, b in zip(ta, tb)]
         out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
                         "jaccard": pa.array(jac, type=pa.float64())})
         return out.filter(
             pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
 
-    return ray.data.from_pandas(cand_tbl).map_batches(
-        verify, batch_format="pyarrow")
+    verified = withtext.map_batches(verify, batch_format="pyarrow")
+    # typed 0-row head: keeps the schema visible even if every pair
+    # fails jaccard verification
+    return _empty_result().union(verified)
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -42,12 +42,17 @@ SEGMENT_TYPE = pa.list_(pa.struct(
 
 def _kana_present(texts: List[str]) -> np.ndarray:
     """Vectorized is_japanese (`__init__.py:13-17`): any codepoint
-    strictly inside (0x3040, 0x30FF)."""
-    out = np.zeros(len(texts), dtype=bool)
-    for i, t in enumerate(texts):
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-        out[i] = bool(((cps > 0x3040) & (cps < 0x30FF)).any())
-    return out
+    strictly inside (0x3040, 0x30FF).  One UTF-32 decode of the whole
+    batch + a prefix-sum range count per row — no per-row numpy calls."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    kana = ((cps > 0x3040) & (cps < 0x30FF)).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(kana)))
+    bounds = np.concatenate(
+        ([0], np.cumsum([len(t) for t in texts])))
+    return (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
 
 
 class QualityScorer:

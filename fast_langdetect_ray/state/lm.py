@@ -76,16 +76,22 @@ class CharBigramLM:
         return idx
 
     def perplexity(self, text: str, cap: int = 1024) -> float:
-        """10^(-mean log10 P); empty text → ppl of the OOV→OOV cell."""
+        """10^(-mean log10 P); empty text → ppl of the OOV→OOV cell.
+
+        Uses the float64 table and the same sequential ``reduceat``
+        summation as :meth:`perplexity_many`, so scalar and batch
+        paths agree bit-for-bit (a rules threshold can therefore never
+        flip keep/drop between the two)."""
         if cap is not None and len(text) > cap:
             text = text[:cap]
         ids = self.ids(text)
         V = len(self.alphabet)
         if ids.size == 0:
-            return float(10.0 ** (-self.logp[V, V]))
+            return float(10.0 ** (-float(self.logp[V, V])))
         prev = np.concatenate(([V], ids[:-1]))
-        lp = self.logp[prev, ids]
-        return float(10.0 ** (-lp.mean()))
+        lp = self._logp64[prev, ids]
+        s = np.add.reduceat(lp, np.array([0], dtype=np.int64))[0]
+        return float(10.0 ** (-(s / lp.size)))
 
     def perplexity_many(self, texts, cap: int = 1024) -> np.ndarray:
         """Vectorized :meth:`perplexity` over many texts: one

@@ -138,3 +138,25 @@ def safe_pool_size(requested: int) -> int:
     if cpus <= 0:
         return requested
     return max(1, min(requested, cpus - 2))
+
+
+def default_join_partitions(cap: int = 64) -> int:
+    """Hash-join / hash-shuffle partition count sized to the cluster.
+
+    Ray's JoinOperator gives its aggregator actors a CPU budget of
+    roughly (operator budget / num_partitions) EACH and waits for ALL
+    of them to start; a pipeline with several joins and a partition
+    count larger than the CPU pool deadlocks at startup (observed:
+    3 joins × 16 partitions on 8 CPUs never starts).  cpus//2 keeps two
+    concurrent joins schedulable alongside the task ops.  On a real
+    multi-node cluster this returns ~half the total cores (capped), and
+    callers with known output skew should pass ``num_partitions``
+    explicitly instead."""
+    try:
+        import ray
+        if not ray.is_initialized():
+            return max(2, min(cap, 4))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return max(2, min(cap, 4))
+    return max(2, min(cap, cpus // 2))
