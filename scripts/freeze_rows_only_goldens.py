@@ -1,0 +1,57 @@
+"""Freeze golden parquet fixtures for the deterministic rows-only
+queries (VERDICT round-1 item 6): queries the driver can't oracle-check
+in SQL still get a hard, driver-style regression gate in pytest.
+
+Every frozen query is a pure deterministic function of the input
+parquet + the frozen SEED (no RNG, no wall clock), so a byte-level
+fixture is stable across runs and rounds.  Regenerate ONLY after an
+intentional semantic change:
+
+    python scripts/freeze_rows_only_goldens.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "goldens", "rows_only")
+
+# query name -> sort keys (canonical row order for the fixture)
+FROZEN = {
+    "simhash_signatures": ["doc_id"],
+    "doc_fingerprints": ["doc_id"],
+    "detect_documents": ["doc_id"],
+    "perplexity_scores": ["doc_id"],
+    "minhash_pairs": ["id_a", "id_b"],
+}
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    qs = entrymod.queries()
+    for name, keys in FROZEN.items():
+        df = qs[name](SF_DIR).to_pandas()
+        df = df.sort_values(keys).reset_index(drop=True)
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        print(f"{name}: {len(df)} rows -> {path}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

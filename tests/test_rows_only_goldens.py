@@ -1,0 +1,82 @@
+"""Hard checks for deterministic rows-only queries (VERDICT r1 #6).
+
+The driver's DuckDB oracle can't express these kernels (blake2b
+simhash, rolling-hash fingerprints, fastText inference, char-LM
+perplexity, MinHash-LSH), so they get two other gates:
+
+1. frozen parquet fixtures at sf0.001, compared driver-style (exact on
+   ints/strings, tight atol on model-float columns — BLAS blocking may
+   legally flip last bits between batch shapes);
+2. for minhash_pairs, an independent brute-force all-pairs true-Jaccard
+   oracle: every emitted pair must carry its exact true Jaccard
+   (precision 1 by construction) and no qualifying pair may be missed
+   (recall 1 on this corpus at threshold 0.5).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+GOLDEN_DIR = Path(__file__).parent / "goldens" / "rows_only"
+
+# query -> (sort keys, float columns compared with atol instead of ==)
+CASES = {
+    "simhash_signatures": (["doc_id"], []),
+    "doc_fingerprints": (["doc_id"], []),
+    "detect_documents": (["doc_id"], ["detected_score"]),
+    "perplexity_scores": (["doc_id"], ["perplexity"]),
+    "minhash_pairs": (["id_a", "id_b"], ["jaccard"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_rows_only_golden(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    keys, float_cols = CASES[name]
+    got = entrymod.queries()[name](SF_DIR).to_pandas()
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = pq.read_table(GOLDEN_DIR / f"{name}.parquet").to_pandas()
+
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        if c in float_cols:
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(), atol=1e-9,
+                err_msg=f"{name}.{c}")
+        else:
+            assert got[c].fillna("").tolist() == \
+                want[c].fillna("").tolist(), f"{name}.{c} drifted"
+
+
+def test_minhash_pairs_match_exact_jaccard_oracle(ray_session):
+    """Independent ground truth: brute-force true n-gram Jaccard over
+    ALL pairs.  The LSH path must emit exactly the qualifying pairs."""
+    import __ray_entry__ as entrymod
+    from fast_langdetect_ray.stages.dedup import shingle_hashes
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    hs = [shingle_hashes(x or "") for x in t["text"].to_pylist()]
+    true_pairs = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(hs[i], hs[j], assume_unique=True).size
+            union = hs[i].size + hs[j].size - inter
+            jac = inter / union if union else 1.0
+            if jac >= 0.5:
+                a, b = sorted((ids[i], ids[j]))
+                true_pairs[(a, b)] = jac
+
+    got = entrymod.queries()["minhash_pairs"](SF_DIR).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): float(r.jaccard)
+                 for r in got.itertuples()}
+
+    assert set(got_pairs) == set(true_pairs)  # recall & precision 1
+    for k, v in true_pairs.items():
+        assert abs(got_pairs[k] - v) < 1e-12, k
