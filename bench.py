@@ -157,6 +157,25 @@ def one_run(num_cpus: int, actors: int | None = None) -> dict:
         ray.shutdown()
 
 
+def _measure_startup() -> float:
+    """Fixed per-pipeline overhead (actor spin-up + model load + BLAS
+    warmup), measured as the wall time of the flagship pipeline on a
+    trivially small input.  Reported separately so per-query times can
+    be read as startup + streaming work — on a long-lived cluster the
+    startup is paid once, not per query."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
+
+    tiny = rd.from_items([{
+        "repo": "r", "path": str(i), "commit": "c", "lang": "en",
+        "content": "hello world this is a warmup row",
+    } for i in range(8)])
+    t0 = time.perf_counter()
+    build_pipeline(tiny, concurrency=2, batch_size=8).count()
+    return round(time.perf_counter() - t0, 3)
+
+
 def default_mode() -> None:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -167,6 +186,10 @@ def default_mode() -> None:
     import __ray_entry__ as entrymod
     qmap = entrymod.queries()
 
+    # warm the Ray worker-process pool + per-process imports/BLAS once,
+    # and record the fixed pipeline-startup cost for context
+    startup_sec = _measure_startup()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -175,6 +198,20 @@ def default_mode() -> None:
 
     corpus_stats = _run_corpus_job(NUM_CPUS, Path("/tmp/fld_bench_out_main"))
     queries["quality_filter_corpus"] = corpus_stats["elapsed_sec"]
+
+    # large-corpus flagship run (default 1.5M rows): fixed startup is
+    # amortized, so this MB/s reflects engine streaming throughput and
+    # is comparable with BASELINE.md's sustained numbers
+    global CORPUS_ROWS, CORPUS_DIR
+    small_rows, small_dir = CORPUS_ROWS, CORPUS_DIR
+    CORPUS_ROWS = SCALING_ROWS
+    CORPUS_DIR = Path(f"/tmp/fld_bench_corpus_{CORPUS_ROWS}")
+    try:
+        large_stats = _run_corpus_job(
+            NUM_CPUS, Path("/tmp/fld_bench_out_large"))
+    finally:
+        CORPUS_ROWS, CORPUS_DIR = small_rows, small_dir
+    queries["quality_filter_corpus_1500k"] = large_stats["elapsed_sec"]
 
     ray.shutdown()
 
@@ -191,9 +228,13 @@ def default_mode() -> None:
         "queries": queries,
         "sf": sf_val,
         "num_cpus": NUM_CPUS,
+        "pipeline_startup_sec": startup_sec,
         "corpus_rows": corpus_stats["rows"],
         "corpus_files_per_sec": corpus_stats["files_per_sec"],
         "corpus_mb_per_sec": corpus_stats["mb_per_sec"],
+        "corpus_large_rows": large_stats["rows"],
+        "corpus_large_files_per_sec": large_stats["files_per_sec"],
+        "corpus_large_mb_per_sec": large_stats["mb_per_sec"],
     }))
 
 

