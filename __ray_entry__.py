@@ -360,6 +360,13 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_read(sf_dir, "documents"))
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-ball near-dup pairs (recall is exactly 1 for
+    hamming ≤ n_bands-1 by pigeonhole; see stages/dedup)."""
+    from fast_langdetect_ray.stages.dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
+
 def _q_fingerprints(sf_dir: str):
     from fast_langdetect_ray.stages.textstats import fingerprints
     return _read(sf_dir, "documents").map_batches(
@@ -764,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_then_filter": _q_dedup_then_filter,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
+        "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_fingerprints,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,

@@ -251,7 +251,6 @@ def minhash_candidate_pairs(
        doc side once per end of the pair.
     """
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from ..state.pools import default_join_partitions
 
@@ -264,30 +263,72 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, n_perm=n_perm,
             n_bands=n_bands, width=width))
+
+    empty = _typed_empty_pairs(rd, "jaccard")
+    pairs = _bucket_candidate_pairs(bands, id_col, num_partitions, max_group)
+    if pairs is None:
+        return empty
+
+    withtext = _attach_pair_features(
+        pairs, ds.select_columns([id_col, text_col]), id_col, text_col,
+        num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["_a"].to_pylist()
+        tb = batch["_b"].to_pylist()
+        jac = [ngram_jaccard(a or "", b or "", width)
+               for a, b in zip(ta, tb)]
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "jaccard": pa.array(jac, type=pa.float64())})
+        return out.filter(
+            pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
+
+    verified = withtext.map_batches(verify, batch_format="pyarrow")
+    # typed 0-row head: keeps the schema visible even if every pair
+    # fails jaccard verification
+    return empty.union(verified)
+
+
+def _typed_empty_pairs(rd, value_col: str, dtype: str = "float64"):
+    """Typed 0-row pandas-block dataset (Ray's to_pandas() on a
+    block-less dataset drops the column schema entirely)."""
+    return rd.from_pandas(pd.DataFrame({
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        value_col: pd.Series([], dtype=dtype),
+    }))
+
+
+def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
+                            max_group: int):
+    """Shared LSH bucketing core: (id, band, band_key) rows → deduped
+    candidate pairs (id_a < id_b), or None when no bucket collides.
+
+    Fully distributed: colliding keys come from ONE vectorized
+    ``groupby.aggregate(Count)`` shuffle (a ``map_groups`` over all
+    groups would pay Python per-group overhead once per mostly-
+    singleton bucket, i.e. ~n_docs × n_bands times) and flow back via
+    an inner hash-join (no driver key set).  Pair emission then runs
+    per HOT bucket only, truncated at ``max_group`` sorted ids —
+    documented truncation instead of a quadratic blowup on adversarial
+    skew.  Cross-band duplicate pairs are collapsed with a vectorized
+    ``groupby(id_a, id_b).aggregate(Count)``."""
+    from ray.data.aggregate import Count
+
+    # materialized twice on purpose: ``bands`` feeds both the count
+    # pass and the join; ``hot`` feeds both the emptiness probe and the
+    # join — distributed object-store blocks, NOT driver memory
     bands = bands.materialize()
-
-    def _empty_result() -> "rd.Dataset":
-        # typed 0-row pandas block: Ray's to_pandas() on a block-less
-        # dataset drops the column schema entirely
-        return rd.from_pandas(pd.DataFrame({
-            "id_a": pd.Series([], dtype="int64"),
-            "id_b": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64"),
-        }))
-
-    # materialized: read by the emptiness probe below AND the join —
-    # distributed object-store blocks of (band, key, n) for dup buckets
-    # only, NOT driver memory
     hot = (bands.groupby(["band", "band_key"])
            .aggregate(Count(alias_name="n"))
            .filter(expr="n >= 2")).materialize()
-    # no-dup short-circuit: a dataset whose every block was filtered
-    # away loses its schema, which breaks the hash-join's key
+    # no-collision short-circuit: a dataset whose every block was
+    # filtered away loses its schema, which breaks the hash-join's key
     # resolution.  The probe is O(1) on the driver; when a hot bucket
     # exists, every downstream stage is non-empty by construction
     # (n>=2 distinct ids → ≥1 pair).
     if not hot.take(1):
-        return _empty_result()
+        return None
     colliding = bands.join(hot, join_type="inner",
                            on=("band", "band_key"),
                            num_partitions=num_partitions)
@@ -300,7 +341,7 @@ def minhash_candidate_pairs(
             "id_b": pa.array(ids[ib], type=pa.int64()),
         })
 
-    pairs = (
+    return (
         colliding.groupby(["band", "band_key"])
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
@@ -308,38 +349,118 @@ def minhash_candidate_pairs(
         .drop_columns(["n_bands_hit"])
     )
 
+
+def _attach_pair_features(pairs, feats, id_col: str, feat_col: str,
+                          num_partitions: int):
+    """Attach a per-id feature column to both ends of a pair dataset
+    via two distributed hash-joins (``_a`` / ``_b`` output columns) —
+    no driver-side lookup dict; the feature side is column-pruned to
+    (id, feature) before each join shuffle."""
     def rename(batch: pa.Table, mapping: dict) -> pa.Table:
         return batch.rename_columns(
             [mapping.get(c, c) for c in batch.column_names])
 
-    docs = ds.select_columns([id_col, text_col])
-    docs_a = docs.map_batches(
+    feats_a = feats.map_batches(
         rename, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"mapping": {id_col: "id_a", text_col: "_text_a"}})
-    docs_b = docs.map_batches(
+        fn_kwargs={"mapping": {id_col: "id_a", feat_col: "_a"}})
+    feats_b = feats.map_batches(
         rename, batch_format="pyarrow", zero_copy_batch=True,
-        fn_kwargs={"mapping": {id_col: "id_b", text_col: "_text_b"}})
-    withtext = (
-        pairs.join(docs_a, join_type="inner", on=("id_a",),
+        fn_kwargs={"mapping": {id_col: "id_b", feat_col: "_b"}})
+    return (
+        pairs.join(feats_a, join_type="inner", on=("id_a",),
                    num_partitions=num_partitions)
-        .join(docs_b, join_type="inner", on=("id_b",),
+        .join(feats_b, join_type="inner", on=("id_b",),
               num_partitions=num_partitions)
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ta = batch["_text_a"].to_pylist()
-        tb = batch["_text_b"].to_pylist()
-        jac = [ngram_jaccard(a or "", b or "", width)
-               for a, b in zip(ta, tb)]
-        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                        "jaccard": pa.array(jac, type=pa.float64())})
-        return out.filter(
-            pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
 
-    verified = withtext.map_batches(verify, batch_format="pyarrow")
-    # typed 0-row head: keeps the schema visible even if every pair
-    # fails jaccard verification
-    return _empty_result().union(verified)
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte lookup table."""
+    return (_POP_LUT[np.ascontiguousarray(a).view(np.uint8)]
+            .reshape(a.size, 8).sum(axis=1).astype(np.int64))
+
+
+def simhash_near_dup_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, n_bands: int = 4, max_group: int = 64,
+    num_partitions: int | None = None,
+):
+    """SimHash near-dup detection → verified pairs
+    (id_a, id_b, hamming), id_a < id_b, hamming ≤ ``max_hamming``.
+
+    Hamming-ball banding: the 64-bit signature is cut into ``n_bands``
+    equal chunks and docs are bucketed per (band, chunk value).  By
+    pigeonhole, any pair within Hamming distance ``n_bands - 1`` shares
+    at least one untouched band, so recall is EXACTLY 1 for
+    ``max_hamming ≤ n_bands - 1`` (the default 3 with 4 bands) —
+    unlike MinHash banding this is a guarantee, not a probability.
+
+    Scale shape: the expensive signature pass runs ONCE into a
+    materialized (id, sig) dataset (16 bytes/row, distributed blocks);
+    band rows are derived from it with vectorized shifts, candidate
+    pairs come from the shared distributed bucket core
+    (:func:`_bucket_candidate_pairs`, ``max_group``-truncated), and
+    verification joins the pair ids back to signatures — popcount of
+    XOR per pair, no text ever moves."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..state.pools import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
+
+    def sig_table(batch: pa.Table) -> pa.Table:
+        sigs = np.array([simhash64(t or "")
+                         for t in batch[text_col].to_pylist()],
+                        dtype=np.uint64)
+        return pa.table({
+            id_col: batch[id_col],
+            "sig": pa.array(sigs.view(np.int64), type=pa.int64()),
+        })
+
+    sigs = ds.map_batches(
+        sig_table, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # one signature pass feeds bands AND verification
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig = batch["sig"].to_numpy().view(np.uint64)
+        n = len(sig)
+        parts = []
+        for b in range(n_bands):
+            key = (sig >> np.uint64(b * bits)) & mask
+            parts.append(pa.table({
+                id_col: batch[id_col],
+                "band": pa.array(np.full(n, b, dtype=np.int64)),
+                "band_key": pa.array(key.astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    empty = _typed_empty_pairs(rd, "hamming", dtype="int64")
+    pairs = _bucket_candidate_pairs(bands, id_col, num_partitions, max_group)
+    if pairs is None:
+        return empty
+
+    withsig = _attach_pair_features(pairs, sigs, id_col, "sig",
+                                    num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["_a"].to_numpy().view(np.uint64)
+        b = batch["_b"].to_numpy().view(np.uint64)
+        ham = _popcount64(a ^ b)
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "hamming": pa.array(ham, type=pa.int64())})
+        return out.filter(pc.less_equal(out["hamming"], max_hamming))
+
+    return empty.union(withsig.map_batches(verify, batch_format="pyarrow"))
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -26,6 +26,7 @@ FROZEN = {
     "detect_documents": ["doc_id"],
     "perplexity_scores": ["doc_id"],
     "minhash_pairs": ["id_a", "id_b"],
+    "simhash_near_dup_pairs": ["id_a", "id_b"],
 }
 
 

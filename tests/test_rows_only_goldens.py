@@ -29,6 +29,7 @@ CASES = {
     "detect_documents": (["doc_id"], ["detected_score"]),
     "perplexity_scores": (["doc_id"], ["perplexity"]),
     "minhash_pairs": (["id_a", "id_b"], ["jaccard"]),
+    "simhash_near_dup_pairs": (["id_a", "id_b"], []),
 }
 
 
@@ -80,3 +81,28 @@ def test_minhash_pairs_match_exact_jaccard_oracle(ray_session):
     assert set(got_pairs) == set(true_pairs)  # recall & precision 1
     for k, v in true_pairs.items():
         assert abs(got_pairs[k] - v) < 1e-12, k
+
+
+def test_simhash_pairs_match_exact_hamming_oracle(ray_session):
+    """Pigeonhole guarantee: with 4 bands, every pair within Hamming
+    distance 3 shares a band — the engine must find EXACTLY the
+    brute-force pair set, not an approximation."""
+    import __ray_entry__ as entrymod
+    from fast_langdetect_ray.stages.dedup import simhash64
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sigs = np.array([simhash64(x or "") for x in t["text"].to_pylist()],
+                    dtype=np.uint64)
+    x = sigs[:, None] ^ sigs[None, :]
+    pop = np.unpackbits(
+        x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
+    ii, jj = np.nonzero(np.triu(pop <= 3, k=1))
+    true = {(min(ids[i], ids[j]), max(ids[i], ids[j])): int(pop[i, j])
+            for i, j in zip(ii, jj)}
+
+    got = entrymod.queries()["simhash_near_dup_pairs"](SF_DIR).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+                 for r in got.itertuples()}
+    assert got_pairs == true
