@@ -641,6 +641,45 @@ def _q_orders_by_nation(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_customer_order_stats(sf_dir: str):
+    """Distributed hash join (Ray ``Dataset.join``): per-customer order
+    rollup ⋈ customer attributes.  The big side is pre-aggregated to one
+    row per customer BEFORE the join (partial agg inside map_batches →
+    small groupby), so the join exchanges two customer-sized sides —
+    never raw order rows."""
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.pools import default_join_partitions
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"c_custkey": batch["o_custkey"], "cents": cents})
+        return t.group_by(["c_custkey"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        ).rename_columns(["c_custkey", "n_orders", "cents"])
+
+    rolled = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
+    )
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name", "c_mktsegment"])
+    joined = rolled.join(cust, join_type="inner", on=("c_custkey",),
+                         num_partitions=default_join_partitions())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("total_price", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_top_tokens_per_lang(sf_dir: str):
     """Vocabulary analysis: top-5 most frequent lowercased word tokens
     per language (stages/textstats.top_tokens_per_lang)."""
@@ -762,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_recent_by_priority": _q_orders_recent_by_priority,
         "orders_by_nation": _q_orders_by_nation,
+        "customer_order_stats": _q_customer_order_stats,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -942,6 +982,14 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY user_id, session_seq
+        """,
+        "customer_order_stats": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, c_mktsegment
         """,
         "orders_by_nation": """
             SELECT n_name,

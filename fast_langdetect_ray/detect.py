@@ -72,7 +72,17 @@ class ModelLoadError(FastLangdetectError):
 def load_model_file(model_path: Path) -> FastTextModel:
     """Load a fastText model file with the reference error taxonomy
     (infer.py:97-105, 170-178): missing → FileNotFoundError,
-    MemoryError propagates, anything else → ModelLoadError."""
+    MemoryError propagates, anything else → ModelLoadError.
+
+    On a load failure the reference's Windows path-compatibility chain
+    (O11, infer.py:113-168) is applied portably on every OS: retry via
+    a relative path, then via a temporary copy at an ASCII-safe
+    location, before raising ``ModelLoadError`` carrying the original
+    error.  (The NumPy loader reads through Python ``open``, which
+    handles non-ASCII paths natively on POSIX, so the chain only
+    engages on genuinely failing loads.)"""
+    import shutil
+
     model_path = Path(model_path)
     if not model_path.exists():
         raise FileNotFoundError(f"Model file not found: {model_path}")
@@ -80,8 +90,35 @@ def load_model_file(model_path: Path) -> FastTextModel:
         return FastTextModel.load(model_path)
     except MemoryError:
         raise
-    except Exception as e:
-        raise ModelLoadError(f"Failed to load model: {e}") from e
+    except Exception as first_err:
+        logger.debug("Direct model load failed: %s", first_err)
+        try:
+            rel = os.path.relpath(model_path, Path.cwd())
+            return FastTextModel.load(Path(rel))
+        except MemoryError:
+            raise
+        except Exception as e:
+            logger.debug("Relative-path model load failed: %s", e)
+        tmp_path = None
+        try:
+            fd, tmp_path = tempfile.mkstemp(
+                suffix=model_path.suffix or ".bin")
+            os.close(fd)
+            shutil.copy2(model_path, tmp_path)
+            return FastTextModel.load(Path(tmp_path))
+        except MemoryError:
+            raise
+        except Exception:
+            raise ModelLoadError(
+                f"Failed to load model: {first_err}") from first_err
+        finally:
+            if tmp_path and os.path.exists(tmp_path):
+                try:
+                    os.unlink(tmp_path)
+                except OSError as e:  # pragma: no cover - best-effort
+                    logger.warning(
+                        "Failed to delete temporary model copy %s: %s",
+                        tmp_path, e)
 
 
 class LangDetectConfig:

@@ -1,0 +1,57 @@
+"""O11 portable load chain (reference `_load_windows_compatible`,
+infer.py:113-168): direct load → relative path → temp copy → error,
+applied on every OS instead of only Windows."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from fast_langdetect_ray.detect import (
+    LITE_MODEL_PATH, ModelLoadError, load_model_file)
+from fast_langdetect_ray import ftz
+
+
+@pytest.fixture()
+def non_ascii_dir(tmp_path):
+    d = tmp_path / "модель-日本語-détection"
+    d.mkdir()
+    return d
+
+
+def test_load_from_non_ascii_path(non_ascii_dir):
+    p = non_ascii_dir / "lid.176.ftz"
+    shutil.copy2(LITE_MODEL_PATH, p)
+    m = load_model_file(p)
+    assert len(m.labels) == 176
+
+
+def test_corrupt_file_raises_model_load_error_with_original_cause(tmp_path):
+    bad = tmp_path / "bad.ftz"
+    bad.write_bytes(b"not a model at all")
+    with pytest.raises(ModelLoadError):
+        load_model_file(bad)
+
+
+def test_missing_file_raises_file_not_found(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_model_file(tmp_path / "nope.ftz")
+
+
+def test_temp_copy_fallback_engages(monkeypatch, tmp_path):
+    """Simulate a path-specific load failure (the Windows scenario):
+    the original and relative paths fail, the temp copy succeeds."""
+    p = tmp_path / "lid.176.ftz"
+    shutil.copy2(LITE_MODEL_PATH, p)
+    real_load = ftz.FastTextModel.load
+
+    def picky_load(path):
+        # the original path fails however it is spelled (absolute or
+        # relative resolve to the same file); only the temp COPY loads
+        if Path(path).resolve() == p.resolve():
+            raise OSError("simulated path-encoding failure")
+        return real_load(path)
+
+    monkeypatch.setattr(ftz.FastTextModel, "load", staticmethod(picky_load))
+    m = load_model_file(p)
+    assert len(m.labels) == 176
