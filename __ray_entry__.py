@@ -779,6 +779,32 @@ def _q_media_features(sf_dir: str):
         batch_size=32, concurrency=2)
 
 
+def _q_media_resize(sf_dir: str):
+    """Multimodal resize plumbing (image rows resized, others pass
+    through; fake kernel, real actor-pool shape)."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.multimodal import (
+        MediaResizer, synth_media_table)
+    ds = rd.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        MediaResizer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32, concurrency=2)
+
+
+def _q_media_frames(sf_dir: str):
+    """Multimodal frame-sample plumbing: one-to-many explode of video
+    rows into (media_id, frame_idx, frame) rows inside map_batches."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.multimodal import (
+        FrameSampler, synth_media_table)
+    ds = rd.from_arrow(synth_media_table(200))
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32, concurrency=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -817,6 +843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 

@@ -74,6 +74,114 @@ class MediaFeatureExtractor:
             "features", pa.array(feats, type=pa.list_(pa.float32())))
 
 
+def real_resize(payload: bytes, kind: str, width: int,
+                height: int) -> bytes:
+    """Placeholder for the real image-resize kernel.
+
+    STUB: PIL is unavailable in this container."""
+    raise NotImplementedError(
+        "image resizing requires PIL, not available offline; "
+        "use the deterministic fake via strict=False")
+
+
+def fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic fake resize: content-addressed bytes whose length
+    scales with the target pixel count (so batch-size/memory behaviour
+    downstream is realistic)."""
+    h = hashlib.blake2b(payload or b"", digest_size=32,
+                        person=b"resize").digest()
+    size = max(1, (width * height) // 8)
+    reps = size // len(h) + 1
+    return (h * reps)[:size]
+
+
+class MediaResizer:
+    """Actor-pool stage: resize image payloads to a target size.
+
+    Non-image rows pass through unchanged; image rows get a new
+    payload and updated width/height metadata.  Same memory rule as
+    :class:`MediaFeatureExtractor`: keep ``batch_size`` small because
+    each row carries a large binary payload."""
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 resize_fn: Optional[Callable] = None,
+                 strict: bool = False):
+        self.width, self.height = width, height
+        self.resize = resize_fn or (real_resize if strict else fake_resize)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for p, k, w, h in zip(payloads, kinds,
+                              batch["width"].to_pylist(),
+                              batch["height"].to_pylist()):
+            if k == "image":
+                out_p.append(self.resize(p, k, self.width, self.height))
+                out_w.append(self.width)
+                out_h.append(self.height)
+            else:
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(h)
+        t = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out_p, type=pa.binary()))
+        t = t.set_column(t.schema.get_field_index("width"), "width",
+                         pa.array(out_w, type=pa.int32()))
+        return t.set_column(t.schema.get_field_index("height"), "height",
+                            pa.array(out_h, type=pa.int32()))
+
+
+def real_frame_sample(payload: bytes, n_frames: int) -> list:
+    """Placeholder for the real video frame-sampling kernel.
+
+    STUB: ffmpeg is unavailable in this container."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg, not available offline; "
+        "use the deterministic fake via strict=False")
+
+
+def fake_frame_sample(payload: bytes, n_frames: int) -> list:
+    """Deterministic fake frames: n content-addressed byte strings."""
+    return [hashlib.blake2b(payload or b"", digest_size=64,
+                            person=b"frame",
+                            salt=str(i).encode()[:16]).digest()
+            for i in range(n_frames)]
+
+
+class FrameSampler:
+    """Actor-pool stage: explode each video row into ``n_frames``
+    (media_id, frame_idx, frame) rows — the one-to-many media shape
+    (one input row → several output rows inside ``map_batches``; no
+    driver involvement, downstream batches stay bounded because the
+    input batches are small)."""
+
+    def __init__(self, n_frames: int = 4,
+                 sample_fn: Optional[Callable] = None,
+                 strict: bool = False):
+        self.n_frames = n_frames
+        self.sample = sample_fn or (real_frame_sample if strict
+                                    else fake_frame_sample)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_frame = [], [], []
+        for mid, kind, p in zip(batch["media_id"].to_pylist(),
+                                batch["kind"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            for i, frame in enumerate(self.sample(p, self.n_frames)):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_frame.append(frame)
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "frame": pa.array(out_frame, type=pa.binary()),
+        })
+
+
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     kinds = ["image", "audio", "video"]

@@ -32,6 +32,13 @@ CASES = {
     "simhash_near_dup_pairs": (["id_a", "id_b"], []),
 }
 
+# queries whose payload is list<struct> with an embedded float score:
+# structural fields compare exactly, scores with atol
+NESTED_CASES = {
+    "detect_topk": ("lang_topk", ("lang",), "score"),
+    "split_segments": ("segments", ("text", "lang"), "score"),
+}
+
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_rows_only_golden(ray_session, name):
@@ -52,6 +59,26 @@ def test_rows_only_golden(ray_session, name):
         else:
             assert got[c].fillna("").tolist() == \
                 want[c].fillna("").tolist(), f"{name}.{c} drifted"
+
+
+@pytest.mark.parametrize("name", sorted(NESTED_CASES))
+def test_rows_only_golden_nested(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    col, exact_fields, score_field = NESTED_CASES[name]
+    got = entrymod.queries()[name](SF_DIR).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(GOLDEN_DIR / f"{name}.parquet").to_pandas()
+
+    assert len(got) == len(want)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for g_row, w_row in zip(got[col], want[col]):
+        g_list, w_list = list(g_row), list(w_row)
+        assert len(g_list) == len(w_list)
+        for g_el, w_el in zip(g_list, w_list):
+            for f in exact_fields:
+                assert g_el[f] == w_el[f], f"{name}.{col}.{f} drifted"
+            assert abs(g_el[score_field] - w_el[score_field]) < 1e-9
 
 
 def test_minhash_pairs_match_exact_jaccard_oracle(ray_session):

@@ -179,6 +179,51 @@ def test_media_feature_extractor(ray_session):
         real_decoder(b"\x00", "image")
 
 
+def test_media_resizer(ray_session):
+    import ray.data as rd
+    from fast_langdetect_ray.stages.multimodal import (
+        MediaResizer, real_resize, synth_media_table)
+    t = synth_media_table(30)
+    out = rd.from_arrow(t).map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=8,
+        concurrency=1,
+        fn_constructor_kwargs=dict(width=16, height=12)).to_pandas()
+    assert len(out) == 30
+    img = out[out["kind"] == "image"]
+    other = out[out["kind"] != "image"]
+    assert (img["width"] == 16).all() and (img["height"] == 12).all()
+    # fake payload length scales with target pixel count
+    assert {len(p) for p in img["payload"]} == {16 * 12 // 8}
+    # non-image rows pass through untouched
+    orig = t.to_pandas().set_index("media_id")
+    for r in other.itertuples():
+        assert bytes(r.payload) == bytes(orig.loc[r.media_id, "payload"])
+    with pytest.raises(NotImplementedError):
+        real_resize(b"\x00", "image", 4, 4)
+
+
+def test_frame_sampler(ray_session):
+    import ray.data as rd
+    from fast_langdetect_ray.stages.multimodal import (
+        FrameSampler, real_frame_sample, synth_media_table)
+    t = synth_media_table(30)
+    n_videos = sum(1 for k in t["kind"].to_pylist() if k == "video")
+    out = rd.from_arrow(t).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=8,
+        concurrency=1,
+        fn_constructor_kwargs=dict(n_frames=3)).to_pandas()
+    # one-to-many explode: exactly n_frames rows per video, none else
+    assert len(out) == 3 * n_videos
+    assert set(out["frame_idx"]) == {0, 1, 2}
+    counts = out.groupby("media_id").size()
+    assert (counts == 3).all()
+    # deterministic frames, distinct per frame_idx
+    g = out[out["media_id"] == out["media_id"].iloc[0]]
+    assert len({bytes(f) for f in g["frame"]}) == 3
+    with pytest.raises(NotImplementedError):
+        real_frame_sample(b"\x00", 2)
+
+
 def test_lsh_multiprobe_recall(ray_session):
     """Hamming-1 multi-probe recall ≥ single-probe recall, and all
     returned cosines stay exact."""
