@@ -650,6 +650,10 @@ def _q_customer_order_stats(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from fast_langdetect_ray.state.pools import default_join_partitions
+    from fast_langdetect_ray.state.rayjoin import (
+        ensure_join_schema_broadcast_fix)
+
+    ensure_join_schema_broadcast_fix()
 
     def partials(batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(

@@ -56,18 +56,11 @@ def cmd_detect(args: argparse.Namespace) -> int:
 
 
 def cmd_filter(args: argparse.Namespace) -> int:
-    import os
-
+    # local by default; under `ray job submit` / an existing cluster,
+    # RAY_ADDRESS points at the cluster and num_cpus is ignored
     import ray
-    if not ray.is_initialized():
-        # local by default; under `ray job submit` / an existing cluster,
-        # RAY_ADDRESS points at the cluster and num_cpus is ignored
-        addr = os.getenv("RAY_ADDRESS", "local")
-        kwargs = {} if addr not in ("local", "") else {
-            "num_cpus": args.num_cpus, "include_dashboard": False}
-        ray.init(address=addr, logging_level="ERROR", **kwargs)
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+
+    _init_ray(args.num_cpus)
 
     from .pipelines.quality_filter import run_quality_filter
 
@@ -95,6 +88,61 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def _init_ray(num_cpus: int) -> None:
+    import os
+
+    import ray
+    if not ray.is_initialized():
+        addr = os.getenv("RAY_ADDRESS", "local")
+        kwargs = {} if addr not in ("local", "") else {
+            "num_cpus": num_cpus, "include_dashboard": False}
+        ray.init(address=addr, logging_level="ERROR", **kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Deduplicate a parquet corpus: ``exact`` writes the keep-first
+    dataset; ``minhash`` / ``simhash`` write verified near-dup pair
+    tables the caller can anti-join against."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        inp = Path(args.input)
+        frags = (sorted(str(p) for p in inp.glob("*.parquet"))
+                 if inp.is_dir() else [str(inp)])
+        if not frags:
+            print(f"no parquet fragments under {inp}", file=sys.stderr)
+            return 1
+        ds = rd.read_parquet(frags)
+        if args.mode == "exact":
+            from .stages.dedup import exact_dedup
+            out = exact_dedup(ds, text_col=args.text_col,
+                              id_col=args.id_col)
+        elif args.mode == "minhash":
+            from .stages.dedup import minhash_candidate_pairs
+            out = minhash_candidate_pairs(
+                ds, text_col=args.text_col, id_col=args.id_col,
+                jaccard_threshold=args.threshold)
+        else:
+            from .stages.dedup import simhash_near_dup_pairs
+            out = simhash_near_dup_pairs(
+                ds, text_col=args.text_col, id_col=args.id_col,
+                max_hamming=args.max_hamming)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -118,6 +166,20 @@ def main(argv=None) -> int:
     f.add_argument("--partition-by", default=None,
                    help="comma-separated Hive partition columns, e.g. lang_code")
     f.set_defaults(fn=cmd_filter)
+
+    dd = sub.add_parser("dedup", help="exact / near-dup dedup over parquet")
+    dd.add_argument("input", help="parquet file or directory of fragments")
+    dd.add_argument("output", help="output parquet directory")
+    dd.add_argument("--mode", default="exact",
+                    choices=["exact", "minhash", "simhash"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.7,
+                    help="minhash: true-Jaccard verify threshold")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash: max Hamming distance for a pair")
+    dd.add_argument("--num-cpus", type=int, default=8)
+    dd.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -186,7 +186,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     from ray.data.aggregate import Min
 
     from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
 
+    ensure_join_schema_broadcast_fix()
     if num_partitions is None:
         num_partitions = default_join_partitions()
 
@@ -253,7 +255,9 @@ def minhash_candidate_pairs(
     import ray.data as rd
 
     from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
 
+    ensure_join_schema_broadcast_fix()
     if num_partitions is None:
         num_partitions = default_join_partitions()
 
@@ -409,7 +413,9 @@ def simhash_near_dup_pairs(
     import ray.data as rd
 
     from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
 
+    ensure_join_schema_broadcast_fix()
     if num_partitions is None:
         num_partitions = default_join_partitions()
     bits = 64 // n_bands

@@ -1,0 +1,64 @@
+"""Workaround for a Ray 2.49 hash-shuffle schema-broadcast bug that
+breaks ``Dataset.join`` downstream of an aggregate.
+
+Mechanics (all verified in-sandbox against ray 2.49.2):
+
+* Ray's sort-based ``groupby().aggregate()`` emits 0-row, 0-COLUMN
+  blocks for reduce partitions that received no rows.
+* The hash-shuffle operator behind ``Dataset.join`` broadcasts the
+  input schema to its aggregator actors exactly ONCE per input
+  sequence — triggered by the first submitted block
+  (``_has_schemas_broadcasted``).  The remote ``_shuffle_block`` task
+  early-returns for 0-row blocks WITHOUT fanning out empty shards, but
+  the caller sets the broadcast flag regardless.
+* Net effect: when a schema-less empty block happens to be submitted
+  first, the one-shot broadcast is consumed producing nothing, join
+  partitions that receive no real rows stay schema-less, and
+  ``pyarrow.Table.join`` inside ``HashShuffleAggregator.finalize``
+  raises ``ArrowInvalid: No match ... for key field`` — a
+  block-ordering flake that reproduces deterministically on small
+  inputs (e.g. a 5-row parquet file through
+  ``exact_dedup``).
+
+Fix applied here: drop 0-row blocks from hash-shuffle input bundles on
+the driver before submission.  Empty blocks contribute nothing to a
+shuffle (the remote task discards them anyway); removing them
+guarantees the first SUBMITTED block carries a schema, so the
+broadcast lands.  A side whose every block is empty still can't
+broadcast — callers short-circuit genuinely empty inputs themselves
+(see ``stages/dedup``).
+"""
+
+from __future__ import annotations
+
+
+def ensure_join_schema_broadcast_fix() -> None:
+    """Install the empty-block filter on Ray's hash-shuffle operator
+    base (idempotent; driver-process only — the patched method runs in
+    the streaming executor, never in workers)."""
+    from ray.data._internal.execution.interfaces import RefBundle
+    from ray.data._internal.execution.operators.hash_shuffle import (
+        HashShufflingOperatorBase)
+
+    if getattr(HashShufflingOperatorBase, "_flr_empty_block_fix", False):
+        return
+
+    orig = HashShufflingOperatorBase._do_add_input_inner
+
+    def patched(self, input_bundle, input_index):
+        metas = input_bundle.metadata
+        if any(m.num_rows == 0 for m in metas):
+            kept = tuple(
+                (ref, meta)
+                for ref, meta in zip(input_bundle.block_refs, metas)
+                if meta.num_rows != 0  # None (unknown) is kept
+            )
+            if not kept:
+                return None
+            input_bundle = RefBundle(
+                kept, schema=input_bundle.schema,
+                owns_blocks=input_bundle.owns_blocks)
+        return orig(self, input_bundle, input_index)
+
+    HashShufflingOperatorBase._do_add_input_inner = patched
+    HashShufflingOperatorBase._flr_empty_block_fix = True

@@ -43,3 +43,42 @@ def test_cli_filter(tmp_path):
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary["rows_in"] == summary["rows_out"] == 200
     assert (out / "_manifest" / "manifest.jsonl").exists()
+
+
+def test_cli_dedup_exact(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["same text", "same text", "unique one",
+                 "unique two", "same text"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "deduped"
+    p = _run("dedup", str(src), str(out), "--mode", "exact",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3
+    got = pq.read_table(sorted(out.rglob("*.parquet"))[0]).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 2, 3]  # keep-first = min id
+
+
+def test_cli_dedup_simhash(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog",
+                 "completely different content with other words"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "pairs"
+    p = _run("dedup", str(src), str(out), "--mode", "simhash",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 1  # identical texts -> hamming 0

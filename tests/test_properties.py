@@ -154,3 +154,45 @@ def test_huffman_paths_form_distribution(counts, seed):
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)
     # each leaf has a nonempty path (except the degenerate 1-leaf tree)
     assert ((right + left).sum(axis=1) >= 1).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=50))
+def test_popcount64_matches_python(vals):
+    import numpy as np
+
+    from fast_langdetect_ray.stages.dedup import _popcount64
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(arr)
+    assert got.tolist() == [bin(v).count("1") for v in vals]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1),
+       st.sets(st.integers(min_value=0, max_value=63), min_size=0,
+               max_size=3))
+def test_simhash_banding_pigeonhole(sig, flip_bits):
+    """Any pair within Hamming distance 3 shares at least one of the
+    4 16-bit bands — the recall-1 guarantee simhash_near_dup_pairs
+    rests on."""
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    bands_a = [(sig >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_b = [(other >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=0, max_size=20))
+def test_kana_present_batch_matches_scalar(texts):
+    import numpy as np
+
+    from fast_langdetect_ray.stages.quality import _kana_present
+
+    def scalar(t):
+        return any(0x3040 < ord(c) < 0x30FF for c in t)
+
+    got = _kana_present(texts)
+    assert got.tolist() == [scalar(t) for t in texts]
