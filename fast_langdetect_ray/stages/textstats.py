@@ -97,9 +97,11 @@ def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
     Scale shape: tokens are counted INSIDE each batch (vectorized RE2
     ``split_pattern_regex`` + ``list_parent_indices`` + Arrow group_by)
     so the shuffle moves only (lang, token, partial_count) rows — never
-    the token stream; the per-lang top-k reduce sees one row per
-    distinct (lang, token).  Ties broken by token text so the result is
-    deterministic."""
+    the token stream.  After the count aggregate (counts final), a
+    batch-local top-k pre-filter bounds the per-lang reduce at
+    k × n_batches rows — a web-scale vocabulary ('en' = billions of
+    distinct tokens) never materializes as one group.  Ties broken by
+    token text so the result is deterministic."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -123,12 +125,20 @@ def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["n", "token"], ascending=[False, True]).head(k)
 
+    def topk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # counts are FINAL after the Sum aggregate, so any global
+        # top-k row is necessarily a top-k row of its batch — the
+        # pre-filter is lossless
+        return (batch.sort_values(["n", "token"], ascending=[False, True])
+                .groupby("lang", sort=False).head(k))
+
     return (
         ds.select_columns([lang_col, text_col])
         .map_batches(token_partials, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby(["lang", "token"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(topk_partial, batch_format="pandas")
         .groupby("lang")
         .map_groups(topk, batch_format="pandas")
     )
