@@ -241,9 +241,10 @@ def _q_ann_topk(sf_dir: str):
     qref = ray.put(q)
 
     def topk_partial(batch: pa.Table) -> pa.Table:
+        from fast_langdetect_ray.stages.similarity import _embedding_matrix
         qm = ray.get(qref)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        ids = np.asarray(batch["vec_id"].to_pylist())
+        emb = _embedding_matrix(batch, "embedding", dtype=np.float64)
+        ids = batch["vec_id"].to_numpy()
         dots = emb @ qm.T
         denom = (np.linalg.norm(emb, axis=1, keepdims=True)
                  * np.linalg.norm(qm, axis=1)[None, :])
@@ -745,9 +746,10 @@ def _q_embedding_neardup_exact(sf_dir: str):
     ref = ray.put((all_ids, emb))
 
     def pairs(batch: pa.Table) -> pa.Table:
+        from fast_langdetect_ray.stages.similarity import _embedding_matrix
         ids_all, m = ray.get(ref)
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        a = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].to_numpy()
+        a = _embedding_matrix(batch, "embedding", dtype=np.float64)
         a /= np.linalg.norm(a, axis=1, keepdims=True)
         sims = a @ m.T
         ia, ib = np.nonzero(

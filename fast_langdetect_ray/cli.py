@@ -117,6 +117,15 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         if not frags:
             print(f"no parquet fragments under {inp}", file=sys.stderr)
             return 1
+        import pyarrow.parquet as pq
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
+        if total == 0:
+            # the join-based dedup shapes need a non-empty input
+            # (documented precondition); an empty corpus is a no-op
+            Path(args.output).mkdir(parents=True, exist_ok=True)
+            print(json.dumps({"mode": args.mode, "rows_out": 0,
+                              "output": str(args.output)}))
+            return 0
         ds = rd.read_parquet(frags)
         if args.mode == "exact":
             from .stages.dedup import exact_dedup

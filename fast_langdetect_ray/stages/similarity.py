@@ -32,11 +32,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _embedding_matrix(batch: pa.Table, col: str,
+                      dtype=np.float32) -> np.ndarray:
+    """(n, dim) matrix from a list<float> column — zero-copy Arrow
+    buffer flatten + reshape when the lists are regular (the embedding
+    contract), falling back to a Python conversion for ragged input."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return np.asarray(arr.to_pylist(), dtype=np.float32)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    values = arr.flatten()  # drops per-list offsets; C-buffer underneath
+    flat = values.to_numpy(zero_copy_only=False)
+    if flat.size % n == 0 and not arr.null_count:
+        offsets = (arr.offsets.to_numpy(zero_copy_only=False)
+                   if hasattr(arr, "offsets") else None)
+        dim = flat.size // n
+        if offsets is None or (np.diff(offsets) == dim).all():
+            return flat.reshape(n, dim).astype(dtype, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=dtype)
 
 
 class BatchTopK:
@@ -50,7 +65,7 @@ class BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize(_embedding_matrix(batch, self.emb_col))
-        ids = np.asarray(batch[self.id_col].to_pylist())
+        ids = batch[self.id_col].to_numpy()
         scores = emb @ self.q.T  # (B, Q)
         k = min(self.k, scores.shape[0])
         out_q, out_id, out_s = [], [], []
@@ -151,8 +166,8 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             emb = _normalize(_embedding_matrix(batch, emb_col))
-            ids = np.asarray(batch[id_col].to_pylist())
-            buckets = np.asarray(batch["bucket"].to_pylist())
+            ids = batch[id_col].to_numpy()
+            buckets = batch["bucket"].to_numpy()
             out_q, out_id, out_s = [], [], []
             for qi in range(self.q.shape[0]):
                 mask = np.isin(buckets, self.qb[qi])
@@ -232,15 +247,12 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                                   zero_copy_batch=True)
 
     def in_bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col].to_pylist())
+        ids = g[id_col].to_numpy()
         order = np.argsort(ids)[:max_bucket]
         ids = ids[order]
         # float64 end-to-end so the 6-dp rounded cosine is
         # bit-comparable with DuckDB's list_cosine_similarity oracle
-        col = g[emb_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        emb = np.asarray(col.to_pylist(), dtype=np.float64)[order]
+        emb = _embedding_matrix(g, emb_col, dtype=np.float64)[order]
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         emb = emb / norms
@@ -318,7 +330,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             emb = _normalize(_embedding_matrix(batch, emb_col))
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = batch[id_col].to_numpy()
             cells = np.argmax(emb @ self.cent.T, axis=1)
             out_q, out_id, out_s = [], [], []
             for qi in range(self.q.shape[0]):

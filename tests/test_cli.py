@@ -82,3 +82,18 @@ def test_cli_dedup_simhash(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary["rows_out"] == 1  # identical texts -> hamming 0
+
+
+def test_cli_dedup_empty_corpus(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "deduped"
+    p = _run("dedup", str(src), str(out), "--mode", "exact",
+             "--num-cpus", "4", timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 0
