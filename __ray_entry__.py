@@ -356,6 +356,26 @@ def _q_minhash_pairs(sf_dir: str):
         _read(sf_dir, "documents"), jaccard_threshold=0.5)
 
 
+def _q_dup_components(sf_dir: str):
+    """Connected components over the verified MinHash near-dup pairs —
+    one (doc_id, component) row per doc that appears in a pair, with
+    component = min doc_id of the cluster (distributed min-label
+    propagation, see stages/dedup.connected_components)."""
+    from fast_langdetect_ray.stages.dedup import (
+        connected_components, minhash_candidate_pairs)
+    pairs = minhash_candidate_pairs(
+        _read(sf_dir, "documents"), jaccard_threshold=0.5)
+    return connected_components(pairs)
+
+
+def _q_near_dedup_corpus(sf_dir: str):
+    """Keep-first near-dup dedup of the documents table (MinHash pairs
+    → components → LEFT ANTI join of non-representatives)."""
+    from fast_langdetect_ray.stages.dedup import near_dup_dedup
+    ds = near_dup_dedup(_read(sf_dir, "documents"), jaccard_threshold=0.5)
+    return ds.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _q_simhash(sf_dir: str):
     from fast_langdetect_ray.stages.dedup import simhash_signatures
     return simhash_signatures(_read(sf_dir, "documents"))
@@ -842,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_full": _q_quality_filter_full,
         "dedup_then_filter": _q_dedup_then_filter,
         "minhash_pairs": _q_minhash_pairs,
+        "dup_components": _q_dup_components,
+        "near_dedup_corpus": _q_near_dedup_corpus,
         "simhash_signatures": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_fingerprints,

@@ -378,6 +378,133 @@ def _attach_pair_features(pairs, feats, id_col: str, feat_col: str,
     )
 
 
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         out_id: str = "doc_id",
+                         num_partitions: int | None = None,
+                         max_iters: int = 25):
+    """Distributed connected components over an edge list → one
+    ``(out_id, component)`` row per node, ``component`` = min node id
+    in the node's component (the canonical dedup-cluster
+    representative).
+
+    Algorithm: iterative min-label propagation, every step a vectorized
+    Dataset op — no driver-side union-find, no per-group Python:
+
+    * labels init: ``groupby(src).aggregate(Min(dst))`` then
+      ``label = min(node, min_neighbor)`` (jump-starts one round);
+    * per round: hash-join labels onto the edge list, per-destination
+      ``Min(label)`` aggregate, union with current labels, per-node
+      ``Min`` — labels only ever decrease;
+    * convergence: labels decrease monotonically, so the label SUM is
+      strictly decreasing until fixpoint — one cheap ``sum()``
+      aggregate per round instead of an old-vs-new join.  (int64 sum:
+      fine up to ~10⁹ nodes of ~10⁹ ids; beyond that switch the check
+      to a changed-count join.)
+    * each round's labels are materialized — REQUIRED for an iterative
+      dataset algorithm (lineage would otherwise double per round);
+      the label set is O(nodes that appear in a pair), i.e. dup-graph
+      sized, far smaller than the corpus.
+
+    Rounds needed = component diameter; near-dup clusters are shallow
+    (typically ≤ ~5).  ``max_iters`` is a safety bound."""
+    from ray.data.aggregate import Min
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                batch[id_a].combine_chunks(), batch[id_b].combine_chunks()]),
+            "dst": pa.concat_arrays([
+                batch[id_b].combine_chunks(), batch[id_a].combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if not edges.take(1):
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            out_id: pd.Series([], dtype="int64"),
+            "component": pd.Series([], dtype="int64"),
+        }))
+
+    def self_min(batch: pa.Table) -> pa.Table:
+        lab = pa.compute.min_element_wise(batch["node"], batch["label"])
+        return pa.table({"node": batch["node"], "label": lab})
+
+    labels = (
+        edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+        .map_batches(lambda b: pa.table({"node": b["src"],
+                                         "label": b["label"]}),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(self_min, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        joined = edges.join(labels, join_type="inner", on=("src",),
+                            right_on=("node",),
+                            num_partitions=num_partitions)
+        cand = (
+            joined.groupby("dst").aggregate(Min("label", alias_name="label"))
+            .map_batches(lambda b: pa.table({"node": b["dst"],
+                                             "label": b["label"]}),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        )
+        labels = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda b: pa.table({out_id: b["node"], "component": b["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dup_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                   jaccard_threshold: float = 0.7,
+                   num_partitions: int | None = None, **minhash_kwargs):
+    """Keep-first NEAR-dup dedup: MinHash-LSH pairs → connected
+    components → drop every doc whose component representative (min
+    id) is another doc, via a distributed LEFT ANTI join.  The corpus
+    never moves except through that one anti-join; the pair/component
+    side is dup-graph sized."""
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    pairs = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        num_partitions=num_partitions, **minhash_kwargs).materialize()
+    if not pairs.take(1):
+        return ds  # no verified near-dups anywhere
+    comp = connected_components(pairs, out_id=id_col,
+                                num_partitions=num_partitions)
+    drop_ids = comp.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b[id_col], b["component"])
+        ).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # ≥1 verified pair ⇒ ≥1 non-representative node ⇒ drop side is
+    # non-empty (anti-join right side must carry a schema)
+    return ds.join(drop_ids, join_type="left_anti", on=(id_col,),
+                   num_partitions=num_partitions)
+
+
 _POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

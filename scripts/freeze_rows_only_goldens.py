@@ -27,6 +27,8 @@ FROZEN = {
     "perplexity_scores": ["doc_id"],
     "minhash_pairs": ["id_a", "id_b"],
     "simhash_near_dup_pairs": ["id_a", "id_b"],
+    "dup_components": ["doc_id"],
+    "near_dedup_corpus": ["doc_id"],
     "detect_topk": ["doc_id"],
     "split_segments": ["doc_id"],
 }

@@ -30,6 +30,8 @@ CASES = {
     "perplexity_scores": (["doc_id"], ["perplexity"]),
     "minhash_pairs": (["id_a", "id_b"], ["jaccard"]),
     "simhash_near_dup_pairs": (["id_a", "id_b"], []),
+    "dup_components": (["doc_id"], []),
+    "near_dedup_corpus": (["doc_id"], []),
 }
 
 # queries whose payload is list<struct> with an embedded float score:
@@ -133,3 +135,45 @@ def test_simhash_pairs_match_exact_hamming_oracle(ray_session):
     got_pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming)
                  for r in got.itertuples()}
     assert got_pairs == true
+
+
+def test_dup_components_match_union_find(ray_session):
+    """Distributed min-label propagation must agree exactly with a
+    driver-side union-find over the same verified pair list."""
+    import __ray_entry__ as entrymod
+
+    pairs = entrymod.queries()["minhash_pairs"](SF_DIR).to_pandas()
+    comp = entrymod.queries()["dup_components"](SF_DIR).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = dict(zip(comp["doc_id"], comp["component"]))
+    assert got == want
+
+
+def test_near_dedup_corpus_keeps_representatives(ray_session):
+    import __ray_entry__ as entrymod
+
+    comp = entrymod.queries()["dup_components"](SF_DIR).to_pandas()
+    kept = set(entrymod.queries()["near_dedup_corpus"](SF_DIR)
+               .to_pandas()["doc_id"])
+    total = pq.read_table(f"{SF_DIR}/documents.parquet",
+                          columns=["doc_id"]).num_rows
+    drop = {int(r.doc_id) for r in comp.itertuples()
+            if r.doc_id != r.component}
+    assert len(kept) == total - len(drop)
+    assert not (kept & drop)
+    # every component representative survives
+    reps = {int(r.component) for r in comp.itertuples()}
+    assert reps <= kept
