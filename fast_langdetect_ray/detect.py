@@ -121,6 +121,85 @@ def load_model_file(model_path: Path) -> FastTextModel:
                         tmp_path, e)
 
 
+FULL_MODEL_URL = (
+    "https://dl.fbaipublicfiles.com/fasttext/supervised-models/lid.176.bin")
+
+
+class ModelDownloader:
+    """Model download handler (reference parity, infer.py:40-88).
+
+    Policy mirrored exactly: existing file short-circuits; the DEFAULT
+    cache directory is auto-created, a user-specified one must already
+    exist (``FileNotFoundError``); download failures are wrapped in
+    ``FastLangdetectError``.  Transport is stdlib urllib with the
+    reference's retry budget (2 retries, 7 s timeout) and optional
+    proxy, writing atomically (temp file + rename) so a killed
+    download never leaves a truncated model.  Works offline against
+    ``file://`` URLs, which is how the tests exercise it."""
+
+    RETRY_MAX = 2
+    TIMEOUT_SEC = 7
+
+    def download(self, url: str, save_path: Path,
+                 proxy: Optional[str] = None) -> None:
+        import shutil
+        import time
+        import urllib.request
+
+        save_path = Path(save_path)
+        if save_path.exists():
+            logger.info("Model exists at %s", save_path)
+            return
+        parent_dir = save_path.parent
+        if not parent_dir.exists():
+            if parent_dir == Path(CACHE_DIRECTORY):
+                try:
+                    parent_dir.mkdir(parents=True, exist_ok=True)
+                except Exception as e:
+                    raise FastLangdetectError(
+                        f"Cannot create cache directory {parent_dir}: {e}"
+                    ) from e
+            else:
+                raise FileNotFoundError(
+                    f"Cache directory not found: {parent_dir}")
+
+        handlers = []
+        if proxy:
+            handlers.append(urllib.request.ProxyHandler(
+                {"http": proxy, "https": proxy}))
+        opener = urllib.request.build_opener(*handlers)
+
+        last_err: Optional[Exception] = None
+        for attempt in range(1 + self.RETRY_MAX):
+            tmp = save_path.with_suffix(save_path.suffix + ".part")
+            try:
+                logger.info("Downloading model from %s (attempt %d)",
+                            url, attempt + 1)
+                with opener.open(url, timeout=self.TIMEOUT_SEC) as resp, \
+                        open(tmp, "wb") as out:
+                    shutil.copyfileobj(resp, out)
+                os.replace(tmp, save_path)
+                return
+            except Exception as e:
+                last_err = e
+                if tmp.exists():
+                    tmp.unlink()
+                if attempt < self.RETRY_MAX:
+                    time.sleep(min(0.2 * (attempt + 1), 5.0))
+        raise FastLangdetectError(
+            f"Download failed: {last_err}") from last_err
+
+
+def download_full_model(cache_dir: Optional[str] = None,
+                        proxy: Optional[str] = None) -> Path:
+    """Fetch ``lid.176.bin`` into the cache directory (reference
+    infer.py:106-111 semantics; explicit opt-in here — the engine never
+    downloads implicitly because the target environment is offline)."""
+    target = Path(cache_dir or CACHE_DIRECTORY) / FULL_MODEL_NAME
+    ModelDownloader().download(FULL_MODEL_URL, target, proxy=proxy)
+    return target
+
+
 class LangDetectConfig:
     """Detection configuration (infer.py:181-210).
 

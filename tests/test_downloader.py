@@ -1,0 +1,81 @@
+"""O9 ModelDownloader parity (reference infer.py:40-88), exercised
+offline through file:// URLs: exists short-circuit, default-cache-dir
+auto-create vs user-dir FileNotFoundError, retry + FastLangdetectError
+wrapping, atomic write (no .part debris on failure)."""
+
+from pathlib import Path
+
+import pytest
+
+import importlib
+
+d = importlib.import_module("fast_langdetect_ray.detect")
+
+
+def _file_url(p: Path) -> str:
+    return p.resolve().as_uri()
+
+
+def test_download_success_and_exists_shortcircuit(tmp_path, monkeypatch):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"model-bytes")
+    target = tmp_path / "cache" / "lid.176.bin"
+    # user-specified dir must exist
+    target.parent.mkdir()
+    d.ModelDownloader().download(_file_url(src), target)
+    assert target.read_bytes() == b"model-bytes"
+    # second call is a no-op even with a bogus URL
+    d.ModelDownloader().download("file:///nonexistent/nope", target)
+    assert target.read_bytes() == b"model-bytes"
+
+
+def test_download_missing_user_cache_dir_raises(tmp_path):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x")
+    with pytest.raises(FileNotFoundError):
+        d.ModelDownloader().download(
+            _file_url(src), tmp_path / "no-such-dir" / "m.bin")
+
+
+def test_download_default_cache_dir_is_created(tmp_path, monkeypatch):
+    cache = tmp_path / "default-cache"
+    monkeypatch.setattr(d, "CACHE_DIRECTORY", str(cache))
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"y")
+    d.ModelDownloader().download(_file_url(src), cache / "m.bin")
+    assert (cache / "m.bin").read_bytes() == b"y"
+
+
+def test_download_failure_wrapped_with_retries(tmp_path, monkeypatch):
+    target = tmp_path / "m.bin"
+    attempts = []
+    dl = d.ModelDownloader()
+
+    import urllib.request
+    real_build = urllib.request.build_opener
+
+    class CountingOpener:
+        def open(self, url, timeout=None):
+            attempts.append(url)
+            raise OSError("no such file")
+
+    monkeypatch.setattr(urllib.request, "build_opener",
+                        lambda *h: CountingOpener())
+    monkeypatch.setattr(d.ModelDownloader, "RETRY_MAX", 2)
+    import time
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    with pytest.raises(d.FastLangdetectError):
+        dl.download("file:///definitely/missing", target)
+    assert len(attempts) == 3  # 1 try + 2 retries
+    assert not target.exists()
+    assert not list(tmp_path.glob("*.part"))  # atomic: no debris
+    urllib.request.build_opener = real_build
+
+
+def test_download_full_model_helper_uses_cache_dir(tmp_path, monkeypatch):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"full")
+    monkeypatch.setattr(d, "FULL_MODEL_URL", _file_url(src))
+    got = d.download_full_model(cache_dir=str(tmp_path))
+    assert got == tmp_path / d.FULL_MODEL_NAME
+    assert got.read_bytes() == b"full"
