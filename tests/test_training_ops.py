@@ -314,6 +314,48 @@ def test_minhash_all_identical_hot_bucket(ray_session):
     assert (out["jaccard"] == 1.0).all()
 
 
+def test_near_dup_dedup_giant_clique_truncation(ray_session):
+    """Adversarial clique: 120 identical docs + 30 distinct ones.
+    With max_group=16 the hot bucket truncates to its 16 smallest ids,
+    so exactly 15 non-representatives are dropped (documented
+    truncation semantics: duplicates beyond the cap survive this
+    round); distinct docs are untouched and doc 0 (the representative)
+    survives."""
+    import ray.data as rd
+    from fast_langdetect_ray.stages.dedup import near_dup_dedup
+    n_dup, n_uniq = 120, 30
+    texts = (["the same document text repeated verbatim"] * n_dup
+             + [f"distinct document number {i} with its own words {i*7}"
+                for i in range(n_uniq)])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    kept = near_dup_dedup(ds, jaccard_threshold=0.9,
+                          max_group=16).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert 0 in kept_ids
+    assert set(range(n_dup, n_dup + n_uniq)) <= kept_ids
+    assert len(kept_ids) == len(texts) - 15  # ids 1..15 dropped
+    assert kept_ids.isdisjoint(set(range(1, 16)))
+
+
+def test_connected_components_chain(ray_session):
+    """A long path graph needs several propagation rounds — exercises
+    the iterative fixpoint loop beyond a single hop."""
+    import ray.data as rd
+    from fast_langdetect_ray.stages.dedup import connected_components
+    # path 0-1-2-...-9 plus an isolated pair (100, 101)
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101)]
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+    }))
+    comp = connected_components(pairs).to_pandas()
+    got = dict(zip(comp["doc_id"], comp["component"]))
+    assert got == {**{i: 0 for i in range(10)}, 100: 100, 101: 100}
+
+
 def test_embedding_neardup_multitable_recall(ray_session):
     """LSH-forest tables: recall is monotone in n_tables, cosines exact,
     and multi-table results never duplicate a pair."""
