@@ -372,10 +372,13 @@ class FastTextModel:
         # bounded by BYTES as well as entries: callers that bypass the
         # 80-char detection truncation (predict_batch on raw lines)
         # must not grow per-actor caches without limit; lines above 256
-        # chars are rare one-offs and not worth caching at all
+        # chars are rare one-offs and not worth caching at all.  The
+        # byte cap targets long-line corpora only — typical ≤80-char
+        # detection lines are ~0.5 KB/entry, so the full 200k entries
+        # fit well under it and the entry cap is what binds
         if (len(text) <= 256
                 and len(self._line_cache) < 200_000
-                and self._line_cache_bytes < 64 * 1024 * 1024):
+                and self._line_cache_bytes < 256 * 1024 * 1024):
             self._line_cache[text] = out
             self._line_cache_bytes += len(text) * 4 + out.nbytes + 64
         return out
