@@ -662,6 +662,93 @@ def _q_orders_by_nation(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_parts_by_brand(sf_dir: str):
+    """Per-brand part rollup: column-pruned read, exact cents
+    accumulation, per-batch partials before the tiny final groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["p_retailprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"p_brand": batch["p_brand"],
+                      "p_size": pc.cast(batch["p_size"], pa.int64()),
+                      "cents": cents})
+        return t.group_by(["p_brand"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum"),
+             ("p_size", "min"), ("p_size", "max")]
+        ).rename_columns(
+            ["p_brand", "n_parts", "cents", "min_size", "max_size"])
+
+    agg = (
+        _read(sf_dir, "part")
+        .select_columns(["p_brand", "p_size", "p_retailprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("n_parts", alias_name="n_parts"),
+                   Sum("cents", alias_name="cents"),
+                   Min("min_size", alias_name="min_size"),
+                   Max("max_size", alias_name="max_size"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("retail_total", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_suppliers_by_region(sf_dir: str):
+    """Two-hop broadcast join (supplier ⋈ nation ⋈ region): both tiny
+    dimension tables composed into one nationkey→region lookup,
+    ray.put once, vectorized per batch; partial agg before the
+    5-row final groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rnames = np.empty(int(region["r_regionkey"].to_numpy().max()) + 1,
+                      dtype=object)
+    rnames[region["r_regionkey"].to_numpy()] = np.asarray(
+        region["r_name"].to_pylist(), dtype=object)
+    region_by_nk = np.empty(int(nation["n_nationkey"].to_numpy().max()) + 1,
+                            dtype=object)
+    region_by_nk[nation["n_nationkey"].to_numpy()] = rnames[
+        nation["n_regionkey"].to_numpy()]
+    ref = ray.put(region_by_nk)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = lookup[batch["s_nationkey"].to_numpy()]
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["s_acctbal"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"r_name": pa.array(names, type=pa.string()),
+                      "cents": cents})
+        return t.group_by(["r_name"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        ).rename_columns(["r_name", "n_suppliers", "cents"])
+
+    agg = (
+        _read(sf_dir, "supplier")
+        .select_columns(["s_nationkey", "s_acctbal"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                   Sum("cents", alias_name="cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("acctbal_total", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_customer_order_stats(sf_dir: str):
     """Distributed hash join (Ray ``Dataset.join``): per-customer order
     rollup ⋈ customer attributes.  The big side is pre-aggregated to one
@@ -854,6 +941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_recent_by_priority": _q_orders_recent_by_priority,
         "orders_by_nation": _q_orders_by_nation,
         "customer_order_stats": _q_customer_order_stats,
+        "parts_by_brand": _q_parts_by_brand,
+        "suppliers_by_region": _q_suppliers_by_region,
         # rows-only (model / sketch / approximate ops)
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -1038,6 +1127,26 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY user_id, session_seq
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size,
+                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                       AS retail_total
+            FROM part
+            GROUP BY p_brand
+        """,
+        "suppliers_by_region": """
+            SELECT r_name,
+                   count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+                       AS acctbal_total
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "customer_order_stats": """
             SELECT c_custkey, c_name, c_mktsegment,
