@@ -261,12 +261,26 @@ def run_quality_filter(
 
 
 def dedup_quality_pipeline(ds, *, text_col: str = "text",
-                           id_col: str = "doc_id", **pipeline_kwargs):
-    """Composition: exact content dedup (keep-first) → scrub → score →
+                           id_col: str = "doc_id",
+                           method: str = "exact",
+                           jaccard_threshold: float = 0.7,
+                           **pipeline_kwargs):
+    """Composition: content dedup (keep-first) → scrub → score →
     rules.  The dedup shuffle runs FIRST so duplicate documents are
     scored once — at corpus scale this is the ordering that matters
-    (typical web corpora are 20–40% exact-dup)."""
-    from ..stages.dedup import exact_dedup
+    (typical web corpora are 20–40% exact-dup).
 
-    ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    ``method="exact"`` drops byte-identical duplicates (sha256 +
+    Min-id join); ``method="minhash"`` additionally drops NEAR
+    duplicates (MinHash-LSH pairs → connected components → anti-join,
+    ``jaccard_threshold`` controls the verify bar)."""
+    if method == "exact":
+        from ..stages.dedup import exact_dedup
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    elif method == "minhash":
+        from ..stages.dedup import near_dup_dedup
+        ds = near_dup_dedup(ds, text_col=text_col, id_col=id_col,
+                            jaccard_threshold=jaccard_threshold)
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
     return build_pipeline(ds, text_col=text_col, **pipeline_kwargs)

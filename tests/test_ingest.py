@@ -1,0 +1,71 @@
+"""Corpus ingestion adapters (sources/ingest): parquet / JSONL / text
+into the canonical (doc_id, text, ...) shape, with unique synthesized
+ids for id-less sources."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fast_langdetect_ray.sources.ingest import read_documents
+
+
+def test_parquet_passthrough_keeps_ids(ray_session, tmp_path):
+    t = pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "body": ["hello world", "bonjour"],
+        "lang": ["en", "fr"],
+    })
+    p = tmp_path / "docs.parquet"
+    pq.write_table(t, p)
+    ds = read_documents([str(p)], format="parquet", text_col="body",
+                        keep_cols=["lang"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == [7, 8]
+    assert df["text"].tolist() == ["hello world", "bonjour"]
+    assert df["lang"].tolist() == ["en", "fr"]
+
+
+def test_jsonl_ingest_assigns_unique_ids(ray_session, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    rows = [{"content": f"document number {i}", "lang": "en"}
+            for i in range(50)]
+    # two exact duplicates — must still get DISTINCT ids
+    rows.append({"content": "document number 0", "lang": "en"})
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_documents([str(p)], format="jsonl", text_col="content",
+                        keep_cols=["lang"])
+    df = ds.to_pandas()
+    assert len(df) == 51
+    assert df["doc_id"].nunique() == 51
+    assert df["doc_id"].dtype == "int64"
+    assert set(df.columns) >= {"doc_id", "text", "lang"}
+
+
+def test_text_ingest_per_line_and_per_file(ray_session, tmp_path):
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("autre document en français\n")
+    paths = [str(tmp_path / "a.txt"), str(tmp_path / "b.txt")]
+
+    lines = read_documents(paths, format="text").to_pandas()
+    assert sorted(lines["text"]) == [
+        "autre document en français", "line one", "line two"]
+    assert lines["doc_id"].nunique() == 3
+
+    files = read_documents(paths, format="text", per_file=True).to_pandas()
+    assert len(files) == 2
+    assert any("line one\nline two" in t for t in files["text"])
+    assert set(files.columns) >= {"doc_id", "text", "source_path"}
+
+
+def test_ingest_feeds_quality_pipeline(ray_session, tmp_path):
+    from fast_langdetect_ray.pipelines.quality_filter import build_pipeline
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(
+        {"text": f"This is an english sentence number {i} for testing."})
+        for i in range(20)))
+    ds = read_documents([str(p)], format="jsonl")
+    out = build_pipeline(ds, text_col="text", concurrency=2,
+                         batch_size=16).to_pandas()
+    assert len(out) == 20
+    assert (out["detected_lang"] == "en").all()

@@ -157,3 +157,27 @@ def test_resume_detects_changed_input_set(ray_session, corpus_paths, tmp_path):
         corpus_paths[1:], out, files_per_shard=2, concurrency=2,
         batch_size=128)
     assert s3["shards_run"] == 0 and s3["shards_skipped"] == 2
+
+
+def test_dedup_quality_pipeline_minhash_method(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_langdetect_ray.pipelines.quality_filter import (
+        dedup_quality_pipeline)
+    base = "This is an english sentence used to test near duplicate removal."
+    texts = [base, base + " ", base.replace("english", "english "),
+             "A completely different document about other topics entirely.",
+             "Encore un document distinct, en français cette fois."]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = dedup_quality_pipeline(
+        ds, method="minhash", jaccard_threshold=0.5,
+        concurrency=2, batch_size=8).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept                      # representative survives
+    assert {3, 4} <= kept                 # distinct docs untouched
+    assert kept.isdisjoint({1, 2})        # near-dups of 0 dropped
+    assert "detected_lang" in out.columns  # quality stages ran after
