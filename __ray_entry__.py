@@ -792,6 +792,14 @@ def _q_customer_order_stats(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_distinct_tokens_per_lang(sf_dir: str):
+    """HyperLogLog distinct-token estimate per language (mergeable
+    sketch: one 4 KiB register array per (lang, batch) through the
+    shuffle, never the token stream; ~1.6% typical error at p=12)."""
+    from fast_langdetect_ray.stages.sketch import distinct_tokens_per_group
+    return distinct_tokens_per_group(_read(sf_dir, "documents"))
+
+
 def _q_top_tokens_per_lang(sf_dir: str):
     """Vocabulary analysis: top-5 most frequent lowercased word tokens
     per language (stages/textstats.top_tokens_per_lang)."""
@@ -956,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_fingerprints,
+        "distinct_tokens_per_lang": _q_distinct_tokens_per_lang,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

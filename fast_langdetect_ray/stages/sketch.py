@@ -1,0 +1,143 @@
+"""Mergeable sketches for wide aggregations (brief: "a novel sketch"
+as a first-class operator).
+
+HyperLogLog distinct counting, the canonical mergeable-sketch shape
+for Ray Data (guide: "emit one serialized sketch per batch and merge
+them in a second, tiny stage"):
+
+* per batch, per group: tokens are hashed (64-bit blake2b over the
+  batch-deduped vocabulary) and folded into a 2^p-register HLL — all
+  register math vectorized numpy;
+* the shuffle moves one ``(group, registers)`` row per group per
+  batch — never the token stream — so the merge group sizes are
+  bounded by n_batches regardless of corpus size;
+* merge = elementwise ``np.maximum`` over register arrays, estimate =
+  standard HLL with linear-counting small-range correction.
+
+Accuracy: relative error ≈ 1.04/sqrt(2^p); the default p=12 (4 KiB
+per sketch) gives ~1.6%.  Deterministic end-to-end (hash is keyed
+blake2b, no RNG).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_P = 12
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hash_tokens64(tokens) -> np.ndarray:
+    """Stable 64-bit hashes for a list of strings (blake2b, keyed)."""
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8, key=b"hll").digest(),
+            "big") for t in tokens),
+        dtype=np.uint64, count=len(tokens))
+
+
+def hll_registers(hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
+    """Fold 64-bit hashes into a fresh 2^p uint8 register array —
+    fully vectorized (the sub-register word has 64-p ≤ 52 bits, so
+    float64 log2 is EXACT and the rank computation never rounds)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes & np.uint64((1 << (64 - p)) - 1)
+    rank = np.empty(hashes.size, dtype=np.uint8)
+    zero = w == 0
+    rank[zero] = 64 - p + 1
+    nz = ~zero
+    # floor(log2(w)) exact: w < 2^52 is exactly representable in f64
+    rank[nz] = (64 - p) - np.floor(
+        np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(reg_arrays) -> np.ndarray:
+    return np.maximum.reduce([np.asarray(r, dtype=np.uint8)
+                              for r in reg_arrays])
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = regs.size
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return float(m * np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+def distinct_tokens_per_group(ds, group_col: str = "lang",
+                              text_col: str = "text",
+                              p: int = DEFAULT_P):
+    """Approximate distinct lowercased word tokens per group.
+
+    Returns ``(group, distinct_tokens_approx: float64)``.  Scale
+    shape: one serialized sketch per (group, batch) through the
+    shuffle; the per-group merge sees ≤ n_batches rows."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def sketch_partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"[^\pL\pN]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"g": grp.take(parent), "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        # batch-level dedup before hashing: the per-batch vocabulary is
+        # much smaller than the token stream
+        t = t.group_by(["g", "token"], use_threads=False).aggregate([])
+        out_g, out_regs = [], []
+        gcol = t["g"]
+        for gval in pc.unique(gcol).to_pylist():
+            mask = pc.equal(gcol, gval)
+            toks_g = t.filter(mask)["token"].to_pylist()
+            out_g.append(gval)
+            out_regs.append(
+                hll_registers(hash_tokens64(toks_g), p).tobytes())
+        return pa.table({
+            group_col: pa.array(out_g),
+            "regs": pa.array(out_regs, type=pa.binary()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                          for b in g["regs"]])
+        assert regs.size == m
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "distinct_tokens_approx": [hll_estimate(regs)],
+        })
+
+    return (
+        ds.select_columns([group_col, text_col])
+        .map_batches(sketch_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

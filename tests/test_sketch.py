@@ -1,0 +1,59 @@
+"""HyperLogLog sketch operator (stages/sketch): mergeability,
+high-cardinality accuracy, and exact-count cross-check of the driver
+query."""
+
+import numpy as np
+import pytest
+
+from fast_langdetect_ray.stages.sketch import (
+    hash_tokens64, hll_estimate, hll_merge, hll_registers)
+
+
+def test_hll_high_cardinality_accuracy():
+    """200k distinct tokens → estimate within the theoretical ~1.6%
+    band (assert a loose 3%)."""
+    toks = [f"token-{i}" for i in range(200_000)]
+    regs = hll_registers(hash_tokens64(toks))
+    est = hll_estimate(regs)
+    assert abs(est - 200_000) / 200_000 < 0.03
+
+
+def test_hll_merge_equals_union():
+    """merge(sketch(A), sketch(B)) must be register-identical to
+    sketch(A ∪ B) — the property the per-batch partial shape relies
+    on."""
+    a = [f"a-{i}" for i in range(5000)]
+    b = [f"b-{i}" for i in range(5000)] + a[:1000]  # overlap
+    ra = hll_registers(hash_tokens64(a))
+    rb = hll_registers(hash_tokens64(b))
+    runion = hll_registers(hash_tokens64(sorted(set(a) | set(b))))
+    assert np.array_equal(hll_merge([ra, rb]), runion)
+
+
+def test_hll_deterministic_and_duplicate_insensitive():
+    toks = ["x", "y", "z"] * 1000
+    r1 = hll_registers(hash_tokens64(toks))
+    r2 = hll_registers(hash_tokens64(["x", "y", "z"]))
+    assert np.array_equal(r1, r2)
+    assert 2.5 < hll_estimate(r1) < 3.5
+
+
+def test_distinct_tokens_query_vs_exact(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["distinct_tokens_per_lang"](sf).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT lang, count(DISTINCT tok.token) AS n FROM
+        read_parquet('{sf}/documents.parquet'),
+        unnest(regexp_split_to_array(lower(text), '[^\\pL\\pN]+'))
+            AS tok(token)
+        WHERE tok.token <> '' GROUP BY lang""").fetchdf()
+    e = dict(zip(exact["lang"], exact["n"]))
+    assert len(got) == len(e)
+    for r in got.itertuples():
+        rel = abs(r.distinct_tokens_approx - e[r.lang]) / e[r.lang]
+        assert rel < 0.05, (r.lang, r.distinct_tokens_approx, e[r.lang])
