@@ -792,6 +792,51 @@ def _q_customer_order_stats(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """EXACT per-language doc-length quantiles, distributed via a
+    value-domain histogram: the shuffle moves one (lang, n_chars,
+    count) row per distinct length per batch, and the per-lang reduce
+    sees ≤ distinct-lengths rows (value-domain bounded — independent
+    of corpus row count).  Matches DuckDB ``quantile_disc`` exactly
+    (smallest value whose cumulative count ≥ n·q)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+        return t.group_by(["lang", "n_chars"], use_threads=False).aggregate(
+            [("n_chars", "count")]
+        ).rename_columns(["lang", "n_chars", "cnt"])
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+        n = int(cum[-1])
+        row = {"lang": [g["lang"].iloc[0]], "n_docs": [n]}
+        for q in _QUANTILES:
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            idx = int(np.searchsorted(cum, k))
+            row[f"p{int(q * 100)}"] = [int(vals[idx])]
+        return pd.DataFrame(row)
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["lang", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("lang")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
 def _q_distinct_tokens_per_lang(sf_dir: str):
     """HyperLogLog distinct-token estimate per language (mergeable
     sketch: one 4 KiB register array per (lang, batch) through the
@@ -935,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_first": _q_exact_dedup_first,
         "events_tumbling": _q_events_tumbling,
@@ -1058,6 +1104,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    sum(n_chars) AS n_chars_total,
                    sum({_sql_token_count('text')}) AS tokens_total
+            FROM documents
+            GROUP BY lang
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.95) AS p95
             FROM documents
             GROUP BY lang
         """,
