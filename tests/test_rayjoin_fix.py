@@ -1,0 +1,50 @@
+"""Regression: Ray 2.49 hash-join schema-broadcast flake
+(state/rayjoin).  A small parquet-sourced input whose aggregate-derived
+join side emits schema-less 0-row blocks used to crash
+``HashShuffleAggregator.finalize`` with ``ArrowInvalid: No match ...
+for key field`` whenever an empty block consumed the one-shot schema
+broadcast.  The exact original repro: 5 rows, 3 distinct texts,
+2 join partitions."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_exact_dedup_small_parquet_join(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["same text", "same text", "unique one",
+                 "unique two", "same text"],
+    })
+    p = tmp_path / "docs.parquet"
+    pq.write_table(t, p)
+    out = exact_dedup(rd.read_parquet(str(p)),
+                      num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3]
+
+
+def test_join_with_aggregate_side_many_partitions(ray_session, tmp_path):
+    """More partitions than distinct keys guarantees empty partitions
+    on the aggregate-derived side — must still join correctly."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from fast_langdetect_ray.state.rayjoin import (
+        ensure_join_schema_broadcast_fix)
+
+    ensure_join_schema_broadcast_fix()
+    t = pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "v": pa.array([10, 5, 7], type=pa.int64()),
+    })
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p)
+    ds = rd.read_parquet(str(p))
+    mins = ds.groupby("k").aggregate(Min("v", alias_name="v"))
+    j = ds.join(mins, join_type="inner", on=("k", "v"), num_partitions=4)
+    got = sorted(map(tuple, j.to_pandas()[["k", "v"]].itertuples(index=False)))
+    assert got == [(1, 5), (2, 7)]
