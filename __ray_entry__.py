@@ -853,10 +853,19 @@ def _q_top_tokens_per_lang(sf_dir: str):
 
 
 def _q_top_docs_global(sf_dir: str):
-    """Global sort + limit: 10 longest docs (ties by doc_id asc)."""
+    """Global top-10 longest docs (ties by doc_id asc).  Per-batch
+    top-10 partials run BEFORE the sort, so the all-to-all sorts
+    ≤ 10 × n_batches rows instead of the whole corpus."""
+    import pandas as pd
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True]).head(10)
+
     return (
         _read(sf_dir, "documents")
         .select_columns(["doc_id", "lang", "n_chars"])
+        .map_batches(partials, batch_format="pandas")
         .sort(["n_chars", "doc_id"], descending=[True, False])
         .limit(10)
     )
