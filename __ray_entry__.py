@@ -571,22 +571,43 @@ def _q_events_sliding(sf_dir: str):
 _SESSION_GAP_MIN = 30
 
 
+_SESSION_BUCKETS = 64
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based sessionization (streaming-window custom op): per user,
-    a new session starts after a >30 min gap.  Partitioning: one
-    shuffle on user_id; per-group work is a vectorized sort + gap scan.
-    Session stats are order-insensitive, so ts ties don't matter."""
+    a new session starts after a >30 min gap.
+
+    Scale shape: users are hash-bucketed (``user_id % B``) and the
+    shuffle co-locates whole users per bucket; each of the B groups
+    sessionizes ALL its users in one vectorized pandas pass (sort by
+    (user, ts), gap-or-user-boundary mask, per-user cumsum) — Python
+    is invoked B times total, never once per user (a web-scale corpus
+    has 10⁸+ users; one ``map_groups`` call per user is the hidden
+    per-group-Python trap).  Session stats are order-insensitive, so
+    ts ties don't matter."""
     import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(
+            batch["user_id"], pa.scalar(_SESSION_BUCKETS - 1,
+                                        type=pa.int64())), pa.int64())
+        return batch.append_column("bucket", b)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        g = g.sort_values("ts")
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
-        seq = gap.cumsum() + 1  # first session = 1 (matches SQL sum)
+        new_sess = (new_user | gap)
+        # per-user session index: cumsum of boundaries minus the
+        # cumulative boundary count at each user's first row + 1
+        cum = new_sess.cumsum()
+        first_of_user = cum.where(new_user).ffill()
+        seq = (cum - first_of_user + 1).astype("int64")
         v6 = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype("int64")
         out = g.assign(session_seq=seq, v6=v6).groupby(
-            "session_seq", as_index=False).agg(
-            user_id=("user_id", "first"),
+            ["user_id", "session_seq"], as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
@@ -602,7 +623,8 @@ def _q_sessionize(sf_dir: str):
     return (
         _read(sf_dir, "events")
         .select_columns(["user_id", "ts", "value"])
-        .groupby("user_id")
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
     )
 
