@@ -8,11 +8,13 @@ MinHash+LSH, SimHash, n-gram Jaccard).  All Ray-Data-native:
   The stats shuffle moves only (hash, doc_id) after column pruning.
 * **MinHash+LSH** — per batch: char-shingle rolling hashes (numpy
   uint64) → 64 minhashes via universal hashing → ``n_bands`` banded
-  keys, exploded to (band, band_key, doc_id) rows → a vectorized count
-  shuffle finds colliding keys → a hash-join co-locates only the
-  colliding rows → pairs emitted per hot bucket, deduped with a
-  vectorized groupby, and verified with true n-gram Jaccard after a
-  join-based text fetch.  Nothing dup-count-sized touches the driver.
+  int64 keys, exploded to (band, band_key, doc_id) rows → ONE
+  hash-bucket shuffle co-locates whole LSH buckets → each of the 256
+  bucket groups emits pairs for ALL its LSH buckets in one vectorized
+  pass (runs grouped by length, `triu_indices` broadcast) → pairs
+  deduped with a vectorized groupby and verified with true n-gram
+  Jaccard after a join-based text fetch.  Nothing dup-count-sized
+  touches the driver, and Python never runs once-per-bucket.
 * **SimHash** — 64-bit signature per doc from token hashes; near-dup
   buckets by Hamming-ball band keys.
 
@@ -72,10 +74,15 @@ def minhash_signature(text: str, n_perm: int = 64,
     return vals.min(axis=0)
 
 
-def band_keys(sig: np.ndarray, n_bands: int = 8) -> List[str]:
+def band_keys(sig: np.ndarray, n_bands: int = 8) -> List[int]:
+    """Per-band 63-bit integer keys (blake2b of the band's minhash
+    slice).  Integer keys keep the downstream bucket arithmetic and
+    hash-join dtypes trivially vectorizable."""
     rows = sig.reshape(n_bands, -1)
     return [
-        hashlib.blake2b(rows[i].tobytes(), digest_size=8).hexdigest()
+        int.from_bytes(
+            hashlib.blake2b(rows[i].tobytes(), digest_size=8).digest(),
+            "big") >> 1
         for i in range(n_bands)
     ]
 
@@ -136,10 +143,8 @@ class MinHashBands:
                 out_key.append(k)
         return pa.table({
             self.id_col: pa.array(out_id),
-            # int64: Ray's groupby aggregate emits int64 keys and the
-            # hash-join requires exactly matching key dtypes
             "band": pa.array(out_band, type=pa.int64()),
-            "band_key": pa.array(out_key),
+            "band_key": pa.array(out_key, type=pa.int64()),
         })
 
 
@@ -231,23 +236,11 @@ def minhash_candidate_pairs(
     touches the driver:
 
     1. band explode moves only (id, band, band_key) rows — never text;
-       the band dataset is materialized once (distributed object-store
-       blocks of ~tens of bytes per row, spillable — NOT driver memory)
-       because two consumers read it (the count pass and the join).
-    2. colliding band keys come from ONE vectorized
-       ``groupby.aggregate(Count)`` shuffle; with realistic dup rates
-       almost every band group is a singleton, so a ``map_groups`` over
-       all groups would pay Python per-group overhead n_docs × n_bands
-       times.  The ≥2-count keys flow back via a distributed inner
-       hash-join against the band rows (no driver key set).
-    3. pair emission runs inside ``groupby(band, band_key).map_groups``
-       over the colliding subset only — the group count equals the
-       number of hot buckets, not the number of documents; a hot bucket
-       (adversarial skew) is truncated at ``max_group`` sorted ids —
-       documented truncation rather than a quadratic blowup.
-    4. cross-band duplicate pairs are collapsed with a vectorized
-       ``groupby(id_a, id_b).aggregate(Count)``.
-    5. candidate texts are fetched with two distributed hash-joins of
+    2. candidate pairs come from the shared bucket core
+       (:func:`_bucket_candidate_pairs`): one hash-bucket shuffle plus
+       vectorized multi-bucket pair emission, ``max_group``-truncated
+       hot buckets, vectorized cross-band pair dedup;
+    3. candidate texts are fetched with two distributed hash-joins of
        the pair ids against the column-pruned (id, text) projection of
        the input — no driver text dict; the join shuffles the pruned
        doc side once per end of the pair.
@@ -303,55 +296,103 @@ def _typed_empty_pairs(rd, value_col: str, dtype: str = "float64"):
     }))
 
 
+_PAIR_BUCKETS = 256
+_BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant
+
+
+def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
+                    max_group: int):
+    """Vectorized all-pairs emission over MANY equal-(band, key) runs
+    at once.  For every run: sort ids, truncate at ``max_group``
+    (documented adversarial-skew cap), emit all within-run
+    (id_a < id_b) pairs.  No Python loop over runs — runs are grouped
+    BY LENGTH and each length class emits its pairs with one
+    ``triu_indices`` broadcast over an (n_runs, k) matrix; the loop
+    count is ≤ max_group length classes, independent of how many
+    buckets exist."""
+    if len(ids) == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    order = np.lexsort((ids, band, key))
+    b_s, k_s, ids_s = band[order], key[order], ids[order]
+    boundary = np.empty(len(ids_s), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])
+    starts = np.flatnonzero(boundary)
+    lengths = np.diff(np.append(starts, len(ids_s)))
+    # run-relative position → truncation mask
+    pos = np.arange(len(ids_s)) - np.repeat(starts, lengths)
+    keep = pos < max_group
+    ids_s = ids_s[keep]
+    lengths = np.minimum(lengths, max_group)
+    starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
+
+    out_a, out_b = [], []
+    for k in np.unique(lengths):
+        if k < 2:
+            continue
+        s_k = starts[lengths == k]
+        # (n_runs, k) matrix of sorted ids per run of this length
+        mat = ids_s[s_k[:, None] + np.arange(k)[None, :]]
+        ia, ib = np.triu_indices(int(k), k=1)
+        out_a.append(mat[:, ia].ravel())
+        out_b.append(mat[:, ib].ravel())
+    if not out_a:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
                             max_group: int):
-    """Shared LSH bucketing core: (id, band, band_key) rows → deduped
-    candidate pairs (id_a < id_b), or None when no bucket collides.
+    """Shared LSH bucketing core: (id, band, band_key[int64]) rows →
+    deduped candidate pairs (id_a < id_b), or None when no bucket
+    collides.
 
-    Fully distributed: colliding keys come from ONE vectorized
-    ``groupby.aggregate(Count)`` shuffle (a ``map_groups`` over all
-    groups would pay Python per-group overhead once per mostly-
-    singleton bucket, i.e. ~n_docs × n_bands times) and flow back via
-    an inner hash-join (no driver key set).  Pair emission then runs
-    per HOT bucket only, truncated at ``max_group`` sorted ids —
-    documented truncation instead of a quadratic blowup on adversarial
-    skew.  Cross-band duplicate pairs are collapsed with a vectorized
-    ``groupby(id_a, id_b).aggregate(Count)``."""
+    Scale shape — ONE shuffle, Python invoked once per hash bucket
+    group (``_PAIR_BUCKETS`` groups total), never per LSH bucket:
+
+    * every band row is assigned ``bucket = mix(band, band_key) % B``
+      (vectorized numpy); the ``groupby(bucket)`` shuffle co-locates
+      whole LSH buckets;
+    * each of the B groups emits pairs for ALL its LSH buckets in one
+      vectorized pass (:func:`_emit_run_pairs`: runs grouped by
+      length, one ``triu_indices`` broadcast per length class) —
+      singleton buckets cost nothing, and a web-scale corpus with 10⁸
+      dup clusters still runs B Python calls, not 10⁸;
+    * hot buckets truncate at ``max_group`` sorted ids — documented
+      truncation instead of a quadratic blowup on adversarial skew;
+    * cross-band duplicate pairs collapse with a vectorized
+      ``groupby(id_a, id_b).aggregate(Count)``."""
     from ray.data.aggregate import Count
 
-    # materialized twice on purpose: ``bands`` feeds both the count
-    # pass and the join; ``hot`` feeds both the emptiness probe and the
-    # join — distributed object-store blocks, NOT driver memory
-    bands = bands.materialize()
-    hot = (bands.groupby(["band", "band_key"])
-           .aggregate(Count(alias_name="n"))
-           .filter(expr="n >= 2")).materialize()
-    # no-collision short-circuit: a dataset whose every block was
-    # filtered away loses its schema, which breaks the hash-join's key
-    # resolution.  The probe is O(1) on the driver; when a hot bucket
-    # exists, every downstream stage is non-empty by construction
-    # (n>=2 distinct ids → ≥1 pair).
-    if not hot.take(1):
-        return None
-    colliding = bands.join(hot, join_type="inner",
-                           on=("band", "band_key"),
-                           num_partitions=num_partitions)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy().view(np.uint64)
+        key = batch["band_key"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (key + band) * _BUCKET_MIX
+        bucket = (mixed % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g[id_col].to_numpy())[:max_group]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({
-            "id_a": pa.array(ids[ia], type=pa.int64()),
-            "id_b": pa.array(ids[ib], type=pa.int64()),
-        })
+    def emit(g: pa.Table) -> pa.Table:
+        a, b = _emit_run_pairs(
+            g[id_col].to_numpy().astype(np.int64),
+            g["band"].to_numpy(), g["band_key"].to_numpy(), max_group)
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64())})
 
-    return (
-        colliding.groupby(["band", "band_key"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = (
+        bands.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_bands_hit"))
         .drop_columns(["n_bands_hit"])
-    )
+    ).materialize()  # dup-graph sized; read by the probe AND the joins
+    # no-collision short-circuit: a block-less dataset loses its schema
+    # and breaks the downstream hash-joins' key resolution
+    if not pairs.take(1):
+        return None
+    return pairs
 
 
 def _attach_pair_features(pairs, feats, id_col: str, feat_col: str,
