@@ -35,10 +35,21 @@ from __future__ import annotations
 def ensure_join_schema_broadcast_fix() -> None:
     """Install the empty-block filter on Ray's hash-shuffle operator
     base (idempotent; driver-process only — the patched method runs in
-    the streaming executor, never in workers)."""
-    from ray.data._internal.execution.interfaces import RefBundle
-    from ray.data._internal.execution.operators.hash_shuffle import (
-        HashShufflingOperatorBase)
+    the streaming executor, never in workers).  Degrades to a no-op
+    with a warning if a future Ray release moves these internals —
+    joins then work exactly as stock Ray does."""
+    import logging
+
+    try:
+        from ray.data._internal.execution.interfaces import RefBundle
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase)
+    except ImportError as e:  # pragma: no cover - future Ray versions
+        logging.getLogger(__name__).warning(
+            "join schema-broadcast workaround not installed "
+            "(Ray internals moved: %s); joins fall back to stock "
+            "behavior", e)
+        return
 
     if getattr(HashShufflingOperatorBase, "_flr_empty_block_fix", False):
         return
