@@ -287,12 +287,15 @@ def minhash_candidate_pairs(
 
 
 def _typed_empty_pairs(rd, value_col: str, dtype: str = "float64"):
-    """Typed 0-row pandas-block dataset (Ray's to_pandas() on a
-    block-less dataset drops the column schema entirely)."""
-    return rd.from_pandas(pd.DataFrame({
-        "id_a": pd.Series([], dtype="int64"),
-        "id_b": pd.Series([], dtype="int64"),
-        value_col: pd.Series([], dtype=dtype),
+    """Typed 0-row ARROW-block dataset head: keeps the pair schema
+    visible on a block-less result (Ray's to_pandas() would drop it),
+    and matches the arrow block type of the verified side so
+    ``union`` doesn't mix pandas and arrow block schemas (Ray 2.49
+    logs a RefBundle schema-mismatch warning on mixed unions)."""
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        value_col: pa.array([], type=pa.from_numpy_dtype(np.dtype(dtype))),
     }))
 
 
@@ -338,7 +341,11 @@ def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
         out_b.append(mat[:, ib].ravel())
     if not out_a:
         return (np.empty(0, dtype=np.int64),) * 2
-    return np.concatenate(out_a), np.concatenate(out_b)
+    a, b = np.concatenate(out_a), np.concatenate(out_b)
+    # duplicate doc_ids in the input would otherwise emit (x, x)
+    # self-pairs that pass verification at jaccard 1.0
+    neq = a != b
+    return a[neq], b[neq]
 
 
 def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
@@ -487,6 +494,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     ).materialize()
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_iters):
         joined = edges.join(labels, join_type="inner", on=("src",),
                             right_on=("node",),
@@ -504,8 +512,21 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         ).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        # a component with diameter > max_iters is under-merged: dedup
+        # built on these labels silently KEEPS some duplicates
+        # (representatives are never wrongly dropped).  Signal loudly.
+        import warnings
+        warnings.warn(
+            f"connected_components did not reach the label fixpoint "
+            f"within max_iters={max_iters}; components wider than "
+            f"{max_iters} hops are under-merged (near-dup recall loss). "
+            f"Raise max_iters for deep duplicate chains.",
+            RuntimeWarning, stacklevel=2)
 
     return labels.map_batches(
         lambda b: pa.table({out_id: b["node"], "component": b["label"]}),

@@ -52,9 +52,17 @@ class RuleConfig:
 
 
 def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
-    """map_batches body — appends ``keep`` / ``drop_reason``."""
+    """map_batches body — appends ``keep`` / ``drop_reason``.
+
+    Fully vectorized (flagship hot path): the allowlist test is an
+    Arrow ``is_in`` kernel and the per-language perplexity threshold a
+    ``index_in`` + ``np.take`` gather — no Python runs per row."""
+    import pyarrow.compute as pc
+
     score = batch["detected_score"].to_numpy(zero_copy_only=False)
-    lang = np.asarray(batch["detected_lang"].to_pylist(), dtype=object)
+    lang_arr = batch["detected_lang"]
+    if isinstance(lang_arr, pa.ChunkedArray):
+        lang_arr = lang_arr.combine_chunks()
     nch = batch["n_chars"].to_numpy(zero_copy_only=False)
     alpha = batch["alpha_ratio"].to_numpy(zero_copy_only=False)
     if "perplexity" in batch.column_names:
@@ -63,11 +71,18 @@ def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
         ppl = np.zeros(len(batch), dtype=np.float64)
 
     thresholds = config.resolved_ppl_thresholds()
-    allow = set(config.allowlist)
-    in_allow = np.array([l in allow for l in lang], dtype=bool)
-    ppl_limit = np.array(
-        [thresholds.get(l, config.default_ppl_threshold) for l in lang],
-        dtype=np.float64)
+    in_allow = pc.is_in(
+        lang_arr, value_set=pa.array(list(config.allowlist), pa.string())
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    thr_langs = list(thresholds.keys())
+    thr_vals = np.fromiter(
+        (thresholds[k] for k in thr_langs),
+        dtype=np.float64, count=len(thr_langs))
+    thr_vals = np.append(thr_vals, config.default_ppl_threshold)
+    pos = pc.index_in(lang_arr, value_set=pa.array(thr_langs, pa.string()))
+    pos = pos.to_numpy(zero_copy_only=False)  # float w/ NaN for misses
+    pos = np.where(np.isnan(pos), len(thr_langs), pos).astype(np.int64)
+    ppl_limit = thr_vals[pos]
 
     conditions = [
         score < config.min_score,
@@ -82,7 +97,8 @@ def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
         reason_idx[conditions[i]] = i
 
     keep = reason_idx < 0
-    reasons = [None if r < 0 else DROP_REASONS[r] for r in reason_idx]
+    reason_lut = np.array(list(DROP_REASONS) + [None], dtype=object)
+    reasons = reason_lut[reason_idx]  # -1 indexes the trailing None
     batch = batch.append_column("keep", pa.array(keep))
     batch = batch.append_column(
         "drop_reason", pa.array(reasons, type=pa.string()))

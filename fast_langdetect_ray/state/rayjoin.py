@@ -31,24 +31,41 @@ broadcast — callers short-circuit genuinely empty inputs themselves
 
 from __future__ import annotations
 
+_WARNED_UNINSTALLABLE = False
+
 
 def ensure_join_schema_broadcast_fix() -> None:
     """Install the empty-block filter on Ray's hash-shuffle operator
     base (idempotent; driver-process only — the patched method runs in
-    the streaming executor, never in workers).  Degrades to a no-op
-    with a warning if a future Ray release moves these internals —
-    joins then work exactly as stock Ray does."""
-    import logging
+    the streaming executor, never in workers).
+
+    If a future Ray release moves these internals the patch cannot
+    install and joins fall back to stock behavior — which, on Ray
+    2.49.x, nondeterministically hits the schema-broadcast flake this
+    module documents.  That failure is LOUD: a ``RuntimeWarning`` (not
+    a log line) fires from every dedup/join entry point that calls
+    this, once per process, naming the pinned-version escape hatch
+    (``pyproject.toml`` pins ``ray[data]==2.49.*``)."""
+    import warnings
 
     try:
         from ray.data._internal.execution.interfaces import RefBundle
         from ray.data._internal.execution.operators.hash_shuffle import (
             HashShufflingOperatorBase)
     except ImportError as e:  # pragma: no cover - future Ray versions
-        logging.getLogger(__name__).warning(
-            "join schema-broadcast workaround not installed "
-            "(Ray internals moved: %s); joins fall back to stock "
-            "behavior", e)
+        global _WARNED_UNINSTALLABLE
+        if not _WARNED_UNINSTALLABLE:
+            _WARNED_UNINSTALLABLE = True
+            warnings.warn(
+                "fast_langdetect_ray's join schema-broadcast workaround "
+                f"could not be installed (Ray internals moved: {e}). "
+                "Join-based operators (exact_dedup, minhash pairs, "
+                "near_dup_dedup, connected_components) may fail "
+                "nondeterministically with 'ArrowInvalid: No match for "
+                "key field' on inputs with empty shuffle partitions. "
+                "Pin ray[data]==2.49.* (see pyproject.toml) or verify "
+                "the upstream fix landed in your Ray version.",
+                RuntimeWarning, stacklevel=3)
         return
 
     if getattr(HashShufflingOperatorBase, "_flr_empty_block_fix", False):
