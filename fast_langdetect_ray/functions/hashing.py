@@ -1,0 +1,209 @@
+"""Vectorized 64-bit string-hashing kernels shared by the signature
+operators (SimHash, fingerprints, HyperLogLog).
+
+Replaces the per-token ``hashlib.blake2b`` Python loops (round-2
+verdict's top perf items) with numpy-only math over the Arrow string
+buffers — zero Python executes per token:
+
+* **polynomial segment hash** — for every string ``s`` in a flat
+  Arrow string array, ``raw(s) = Σ byte[i]·P^(L-1-i)  (mod 2^64)``
+  computed for ALL strings at once with the prefix-sum trick: with
+  ``T[k] = Σ_{j<k} data[j]·P^{-j}`` over the array's shared byte
+  buffer, ``raw = P^(end-1)·(T[end] − T[start])``.  ``P`` is odd, so
+  ``P^{-1} (mod 2^64)`` exists and cumulative products/sums in uint64
+  wraparound arithmetic are exact and deterministic everywhere.
+* **splitmix64 finalizer** — the polynomial raw value is linear (weak
+  avalanche), so every hash is finished with the splitmix64 mix (the
+  public-domain finalizer from Steele et al.'s SplittableRandom /
+  xorshift literature), with the string length and an optional caller
+  seed folded in (the length breaks ``"\\0a" == "a"``-style polynomial
+  collisions; the seed separates operator families the way blake2b's
+  ``key=`` did).
+
+Determinism: pure integer math, no RNG, no wall clock — identical on
+every node/arch.  NOTE: round 3 switched the signature operators from
+blake2b to this kernel, an intentional semantic change; the rows-only
+goldens were re-frozen with it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+_P = np.uint64(1099511628211)          # FNV64 prime (odd → invertible)
+_P_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 in / uint64 out)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        return z ^ (z >> np.uint64(31))
+
+
+def _flat_string_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], data[uint8]) view of a flat string array.
+
+    Offsets index directly into ``data`` (the Arrow value buffer is
+    shared, zero-copy).  Nulls read as empty strings.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = arr.cast(pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return offsets, data
+
+
+def _segment_polyhash(data: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray) -> np.ndarray:
+    """Raw polynomial hash per [start, end) segment of ``data`` —
+    one cumprod + one cumsum over the whole buffer, then a gather per
+    segment.  Empty segments hash to 0 (pre-finalizer)."""
+    n = int(data.size)
+    if n == 0:
+        return np.zeros(starts.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        base = np.full(n, _P_INV, dtype=np.uint64)
+        base[0] = 1
+        pinv_pows = np.cumprod(base)              # P^{-j}, wraps mod 2^64
+        base[0] = 1
+        base[1:] = _P
+        p_pows = np.cumprod(base)                 # P^{j}
+        t = np.zeros(n + 1, dtype=np.uint64)
+        t[1:] = np.cumsum(data.astype(np.uint64) * pinv_pows)
+        raw = np.where(
+            ends > starts,
+            p_pows[np.maximum(ends - 1, 0)] * (t[ends] - t[starts]),
+            np.uint64(0))
+    return raw
+
+
+def hash_string_array(arr, seed: int = 0) -> np.ndarray:
+    """64-bit hash per string of an Arrow string array / ChunkedArray
+    (uint64).  Fully vectorized; ``seed`` separates operator families."""
+    offsets, data = _flat_string_view(arr)
+    starts, ends = offsets[:-1], offsets[1:]
+    raw = _segment_polyhash(data, starts, ends)
+    with np.errstate(over="ignore"):
+        mixed = raw + _GOLDEN * (ends - starts).astype(np.uint64) \
+            + np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(mixed)
+
+
+def hash_strings(tokens: Union[Sequence[str], pa.Array, pa.ChunkedArray],
+                 seed: int = 0) -> np.ndarray:
+    """Convenience wrapper accepting plain Python string sequences."""
+    if not isinstance(tokens, (pa.Array, pa.ChunkedArray)):
+        tokens = pa.array(list(tokens), type=pa.string())
+    return hash_string_array(tokens, seed=seed)
+
+
+def windowed_gram_hashes(token_hashes: np.ndarray, parent: np.ndarray,
+                         n_docs: int, window: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling token-``window``-gram hashes over a flat (doc-sorted)
+    token-hash array → ``(gram_parent, gram_hash)``.
+
+    Per-doc semantics match the scalar fingerprint definition: a doc
+    with L ≥ window tokens yields L-window+1 grams; a doc with
+    0 < L < window yields ONE gram over all its tokens; a doc with 0
+    tokens yields nothing.  Gram hash = Σ h[i+k]·P^(w-1-k) finalized
+    with splitmix64 — computed for every doc at once via ``window``
+    shifted adds (short docs are grouped by length, ≤ window-1 extra
+    vectorized passes)."""
+    nt = token_hashes.size
+    counts = np.bincount(parent, minlength=n_docs)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_starts[1:])
+
+    out_parent, out_hash = [], []
+    with np.errstate(over="ignore"):
+        # full-width grams: start position i is valid iff tokens
+        # i..i+window-1 live in the same doc
+        if nt >= window:
+            acc = np.zeros(nt - window + 1, dtype=np.uint64)
+            for k in range(window):
+                acc += token_hashes[k:nt - window + 1 + k] * (
+                    _P ** np.uint64(window - 1 - k))
+            valid = parent[:nt - window + 1] == parent[window - 1:]
+            out_parent.append(parent[:nt - window + 1][valid])
+            out_hash.append(acc[valid])
+        # short docs (0 < L < window): one gram over all L tokens
+        for length in range(1, window):
+            docs = np.flatnonzero(counts == length)
+            if docs.size == 0:
+                continue
+            mat = token_hashes[doc_starts[docs][:, None]
+                               + np.arange(length)[None, :]]
+            pw = (_P ** np.arange(length - 1, -1, -1).astype(np.uint64))
+            out_parent.append(docs)
+            out_hash.append((mat * pw[None, :]).sum(
+                axis=1, dtype=np.uint64))
+    if not out_parent:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    gp = np.concatenate(out_parent)
+    gh = splitmix64(np.concatenate(out_hash))
+    order = np.argsort(gp, kind="stable")
+    return gp[order], gh[order]
+
+
+def fold_unique_per_segment(parent: np.ndarray, values: np.ndarray,
+                            n_docs: int) -> np.ndarray:
+    """Order-insensitive 64-bit fold of the per-doc SET of ``values``
+    (duplicates within a doc ignored): splitmix64 of (Σ splitmix64(v)
+    over unique v) ⊕ count·golden.  Docs with no values fold to 0."""
+    if parent.size == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    order = np.lexsort((values, parent))
+    p_s, v_s = parent[order], values[order]
+    first = np.empty(p_s.size, dtype=bool)
+    first[0] = True
+    first[1:] = (p_s[1:] != p_s[:-1]) | (v_s[1:] != v_s[:-1])
+    p_u, v_u = p_s[first], splitmix64(v_s[first])
+    seg_starts = np.flatnonzero(np.concatenate(
+        ([True], p_u[1:] != p_u[:-1])))
+    with np.errstate(over="ignore"):
+        sums = np.add.reduceat(v_u, seg_starts)
+        cnts = np.diff(np.append(seg_starts, p_u.size)).astype(np.uint64)
+        folded = splitmix64(sums ^ (cnts * _GOLDEN))
+    out = np.zeros(n_docs, dtype=np.uint64)
+    out[p_u[seg_starts]] = folded
+    return out
+
+
+def whitespace_token_hashes(col, seed: int = 0
+                            ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Whitespace-tokenize a string column and hash every token —
+    returns ``(parent_doc_index, token_hash, n_docs)``, tokens in doc
+    order, empty tokens dropped (matches ``str.split()``)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "")
+    keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():
+        flat = flat.filter(nonempty)
+        parent = parent[keep]
+    return parent, hash_string_array(flat, seed=seed), len(col)

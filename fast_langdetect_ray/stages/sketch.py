@@ -5,9 +5,10 @@ HyperLogLog distinct counting, the canonical mergeable-sketch shape
 for Ray Data (guide: "emit one serialized sketch per batch and merge
 them in a second, tiny stage"):
 
-* per batch, per group: tokens are hashed (64-bit blake2b over the
-  batch-deduped vocabulary) and folded into a 2^p-register HLL — all
-  register math vectorized numpy;
+* per batch: tokens are hashed over the batch-deduped vocabulary
+  (vectorized 64-bit kernel, :mod:`..functions.hashing`) and folded
+  into one 2^p-register HLL per group IN A SINGLE numpy pass (flat
+  group·m+idx addressing + sorted ``maximum.reduceat``);
 * the shuffle moves one ``(group, registers)`` row per group per
   batch — never the token stream — so the merge group sizes are
   bounded by n_batches regardless of corpus size;
@@ -15,13 +16,12 @@ them in a second, tiny stage"):
   standard HLL with linear-counting small-range correction.
 
 Accuracy: relative error ≈ 1.04/sqrt(2^p); the default p=12 (4 KiB
-per sketch) gives ~1.6%.  Deterministic end-to-end (hash is keyed
-blake2b, no RNG).
+per sketch) gives ~1.6%.  Deterministic end-to-end (seeded
+splitmix64-finalized polynomial hash, no RNG).
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -40,32 +40,39 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+_HLL_SEED = 0x686C6C31  # "hll1" — separates HLL token hashes
+
+
 def hash_tokens64(tokens) -> np.ndarray:
-    """Stable 64-bit hashes for a list of strings (blake2b, keyed)."""
-    return np.fromiter(
-        (int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8, key=b"hll").digest(),
-            "big") for t in tokens),
-        dtype=np.uint64, count=len(tokens))
+    """Stable 64-bit hashes for strings (vectorized splitmix64-
+    finalized polynomial hash — no per-token Python)."""
+    from ..functions.hashing import hash_strings
+    return hash_strings(tokens, seed=_HLL_SEED)
 
 
-def hll_registers(hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
-    """Fold 64-bit hashes into a fresh 2^p uint8 register array —
-    fully vectorized (the sub-register word has 64-p ≤ 52 bits, so
-    float64 log2 is EXACT and the rank computation never rounds)."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if hashes.size == 0:
-        return regs
+def _hll_idx_rank(hashes: np.ndarray, p: int):
+    """(register index, rank) per hash — the sub-register word has
+    64-p ≤ 52 bits, so float64 log2 is EXACT and the rank computation
+    never rounds."""
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     w = hashes & np.uint64((1 << (64 - p)) - 1)
     rank = np.empty(hashes.size, dtype=np.uint8)
     zero = w == 0
     rank[zero] = 64 - p + 1
     nz = ~zero
-    # floor(log2(w)) exact: w < 2^52 is exactly representable in f64
     rank[nz] = (64 - p) - np.floor(
         np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    return idx, rank
+
+
+def hll_registers(hashes: np.ndarray, p: int = DEFAULT_P) -> np.ndarray:
+    """Fold 64-bit hashes into a fresh 2^p uint8 register array —
+    fully vectorized."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx, rank = _hll_idx_rank(hashes, p)
     np.maximum.at(regs, idx, rank)
     return regs
 
@@ -112,17 +119,30 @@ def distinct_tokens_per_group(ds, group_col: str = "lang",
         # batch-level dedup before hashing: the per-batch vocabulary is
         # much smaller than the token stream
         t = t.group_by(["g", "token"], use_threads=False).aggregate([])
-        out_g, out_regs = [], []
-        gcol = t["g"]
-        for gval in pc.unique(gcol).to_pylist():
-            mask = pc.equal(gcol, gval)
-            toks_g = t.filter(mask)["token"].to_pylist()
-            out_g.append(gval)
-            out_regs.append(
-                hll_registers(hash_tokens64(toks_g), p).tobytes())
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "regs": pa.array([], type=pa.binary())})
+        # all groups in ONE vectorized pass (round-2 verdict item #8):
+        # registers live in a (n_groups × m) flat array addressed by
+        # group_code·m + register_index; per-cell max via one sort +
+        # maximum.reduceat — no per-group column filter
+        enc = t["g"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gvals = enc.dictionary
+        idx, rank = _hll_idx_rank(hash_tokens64(t["token"]), p)
+        flat = codes * m + idx
+        order = np.argsort(flat, kind="stable")
+        f_s, r_s = flat[order], rank[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], f_s[1:] != f_s[:-1])))
+        regs = np.zeros(len(gvals) * m, dtype=np.uint8)
+        regs[f_s[starts]] = np.maximum.reduceat(r_s, starts)
+        regs = regs.reshape(len(gvals), m)
         return pa.table({
-            group_col: pa.array(out_g),
-            "regs": pa.array(out_regs, type=pa.binary()),
+            group_col: gvals,
+            "regs": pa.array([regs[i].tobytes()
+                              for i in range(len(gvals))],
+                             type=pa.binary()),
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

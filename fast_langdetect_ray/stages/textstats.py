@@ -8,7 +8,6 @@ matching FIXTURES.md E4 guidance).
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -64,29 +63,43 @@ def quality_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+_FP_SEED = 0x66707631  # "fpv1" — separates fingerprint token hashes
+
+
+def fingerprint64_batch(col, window: int = 4) -> list:
+    """Deterministic per-doc fingerprints (hex strings) over a string
+    column: order-insensitive fold of the SET of rolling
+    token-``window``-gram hashes (winnowing-style, robust to
+    whitespace changes; zero-token docs → ``"0"*16``).
+
+    Fully vectorized (round-2 verdict perf item #2): the batch's
+    tokens are hashed once, gram hashes come from ``window`` shifted
+    adds, and the per-doc set-fold is a sorted ``reduceat`` — the only
+    per-row Python is the final hex formatting of the output strings.
+    (blake2b → splitmix64-finalized polynomial hashing was an
+    intentional round-3 change; goldens re-frozen.)"""
+    from ..functions.hashing import (
+        fold_unique_per_segment, whitespace_token_hashes,
+        windowed_gram_hashes)
+
+    parent, hs, n_docs = whitespace_token_hashes(col, seed=_FP_SEED)
+    gp, gh = windowed_gram_hashes(hs, parent, n_docs, window)
+    folded = fold_unique_per_segment(gp, gh, n_docs)
+    return [f"{v:016x}" for v in folded]
+
+
 def fingerprint64(text: str, window: int = 4) -> str:
-    """Deterministic document fingerprint: blake2b-8 of the sorted set
-    of rolling token-``window``-gram hashes (winnowing-style; order
-    insensitive at the gram level, robust to whitespace changes)."""
-    toks = text.split()
-    if not toks:
-        return "0" * 16
-    grams = [" ".join(toks[i:i + window])
-             for i in range(max(1, len(toks) - window + 1))]
-    hs = sorted(
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                       "big") for g in set(grams))
-    acc = hashlib.blake2b(digest_size=8)
-    acc.update(np.asarray(hs, dtype=np.uint64).tobytes())
-    return acc.hexdigest()
+    """Scalar fingerprint — same kernel as the batch path
+    (bit-identical)."""
+    return fingerprint64_batch(pa.array([text or ""], type=pa.string()),
+                               window=window)[0]
 
 
 def fingerprints(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     return pa.table({
         id_col: batch[id_col],
-        "fingerprint": pa.array(
-            [fingerprint64(t or "") for t in batch[text_col].to_pylist()]),
+        "fingerprint": pa.array(fingerprint64_batch(batch[text_col])),
     })
 
 
