@@ -146,16 +146,27 @@ def minhash_signatures_batch(col, n_perm: int = 64, perms=None,
     across chunks with ``minimum.reduceat`` segment mins."""
     a, b = perms if perms is not None else _perm_params(n_perm)
     parent, hashes, n_docs = batch_shingle_hashes(col, width)
+    # per-doc shingle dedup before the broadcast (matches the scalar
+    # path's np.unique and cuts the permutation work ~30-50% on
+    # natural text; min over duplicates == min over uniques)
+    if hashes.size:
+        order = np.lexsort((hashes, parent))
+        p_s, h_s = parent[order], hashes[order]
+        keep = np.concatenate(
+            ([True], (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        parent, hashes = p_s[keep], h_s[keep]
     sig = np.full((n_docs, n_perm), _MERSENNE, dtype=np.uint64)
-    chunk = 1 << 16
+    chunk = 1 << 17
     with np.errstate(over="ignore"):
         for s in range(0, hashes.size, chunk):
             h_c, p_c = hashes[s:s + chunk], parent[s:s + chunk]
             vals = (h_c[:, None] * a[None, :] + b[None, :]) \
                 % np.uint64(_MERSENNE)
-            uniq, first = np.unique(p_c, return_index=True)
-            sig[uniq] = np.minimum(
-                sig[uniq], np.minimum.reduceat(vals, first, axis=0))
+            first = np.flatnonzero(np.concatenate(
+                ([True], p_c[1:] != p_c[:-1])))
+            docs = p_c[first]
+            sig[docs] = np.minimum(
+                sig[docs], np.minimum.reduceat(vals, first, axis=0))
     return sig
 
 
