@@ -3,10 +3,19 @@ inputs into the canonical document shape the pipelines consume.
 
 The reference is a pure library (it reads nothing itself); at corpus
 scale an engine needs real sources.  Every adapter returns a lazy
-``ray.data.Dataset`` with at least ``(doc_id, text)`` — ``doc_id`` is
-assigned deterministically from the input ordering when the source
-doesn't carry one, via ``ds.zip``-free vectorized arithmetic on block
-metadata (no driver-side enumeration):
+``ray.data.Dataset`` with at least ``(doc_id, text)``.  When the
+source carries no id column there are two assignment modes:
+
+* default — :class:`_IdAssigner`: ids are unique within a run but NOT
+  deterministic across runs (random per-actor base + counter); keeps
+  Ray's intra-file block splitting fully parallel;
+* ``stable_ids=True`` (text/JSONL) — deterministic
+  ``hash(file path) ⊕ mix(row index in file)`` ids, identical on every
+  re-read of the same files, so resume and cross-run joins line up.
+  Trade: files are read whole (one read task per file) because a
+  within-file row index needs file granularity — intra-file split
+  parallelism is lost, so prefer sources with real ids for corpora
+  with few huge files.
 
 * ``parquet`` — pass-through with column renaming/pruning;
 * ``jsonl``  — ``ray.data.read_json`` (one object per line), the text
@@ -65,6 +74,88 @@ def _ensure_doc_ids(ds, id_col: str):
         fn_constructor_kwargs={"id_col": id_col})
 
 
+def stable_row_ids(path_col, row_idx) -> "pa.Array":
+    """Deterministic non-negative int64 ids from (file path, row index
+    within file): ``splitmix64(hash(path) ⊕ splitmix64(idx)) >> 1``.
+    Stable across runs/readers; collision probability ~n²/2⁶⁴
+    (negligible below ~10⁹ rows — sources beyond that should carry
+    real ids)."""
+    import numpy as np
+
+    from ..functions.hashing import hash_string_array, splitmix64
+
+    ph = hash_string_array(path_col, seed=0x706174685F696431)  # "path_id1"
+    idx = np.asarray(row_idx, dtype=np.uint64)
+    ids = splitmix64(ph ^ splitmix64(idx)) >> np.uint64(1)
+    return pa.array(ids.astype(np.int64), type=pa.int64())
+
+
+def _split_file_lines(batch: pa.Table) -> pa.Table:
+    """(path, bytes) whole-file rows → one row per line with a stable
+    (path-hash, line-index) id.  Line semantics match
+    ``ray.data.read_text``: split on ``\\n``, strip a trailing
+    ``\\r``, drop the empty tail a trailing newline produces.  All
+    splitting/indexing is vectorized Arrow."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    texts = pa.array(
+        [bytes(b).decode("utf-8", errors="replace")
+         for b in batch["bytes"].to_pylist()],
+        type=pa.string())
+    lines = pc.split_pattern(texts, "\n")
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.utf8_rtrim(flat, "\r").combine_chunks() \
+        if isinstance(flat, pa.ChunkedArray) else pc.utf8_rtrim(flat, "\r")
+    # within-file line index = global position − file's first position
+    n_files = len(texts)
+    counts = np.bincount(parent, minlength=n_files)
+    file_starts = np.zeros(n_files, dtype=np.int64)
+    np.cumsum(counts[:-1], out=file_starts[1:])
+    line_idx = np.arange(parent.size, dtype=np.int64) - file_starts[parent]
+    # drop the empty tail line of files ending in '\n'
+    is_last = line_idx == (counts[parent] - 1)
+    empty = pc.equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    keep = ~(is_last & empty)
+    paths = batch["path"].take(pa.array(parent[keep]))
+    return pa.table({
+        "doc_id": stable_row_ids(paths, line_idx[keep]),
+        "text": flat.filter(pa.array(keep)),
+        "source_path": paths,
+    })
+
+
+def _jsonl_file_rows(batch: pa.Table, text_col: str,
+                     keep_cols) -> pa.Table:
+    """(path, bytes) whole-file rows → parsed JSONL rows with stable
+    (path-hash, row-index) ids.  One vectorized ``pyarrow.json`` parse
+    per FILE (no per-line Python)."""
+    import io
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    parts, path_parts, idx_parts = [], [], []
+    for path, payload in zip(batch["path"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+        t = pj.read_json(io.BytesIO(payload))
+        parts.append(t)
+        path_parts.append(np.full(t.num_rows, path, dtype=object))
+        idx_parts.append(np.arange(t.num_rows, dtype=np.int64))
+    merged = pa.concat_tables(parts, promote_options="default")
+    paths = pa.array(np.concatenate(path_parts), type=pa.string())
+    out = {"text": pc.cast(merged[text_col], pa.string())}
+    for c in (keep_cols or []):
+        if c in merged.column_names:
+            out[c] = merged[c]
+    out["doc_id"] = stable_row_ids(paths, np.concatenate(idx_parts))
+    out["source_path"] = paths
+    return pa.table(out)
+
+
 def read_documents(
     paths,
     *,
@@ -73,14 +164,23 @@ def read_documents(
     id_col: str = "doc_id",
     keep_cols: Optional[list] = None,
     per_file: bool = False,
+    stable_ids: bool = False,
 ):
     """Read a corpus into the canonical ``(doc_id, text, ...)`` shape.
 
     ``format``: ``parquet`` | ``jsonl`` | ``text``.
     ``per_file`` (text only): one document per file instead of one per
     line; the file path is kept as ``source_path``.
+    ``stable_ids`` (text/jsonl without an id column): deterministic
+    ids from (file path, row index) — identical across runs, at the
+    cost of whole-file read granularity (see module docstring).
     """
     import ray.data as rd
+
+    if stable_ids and format == "parquet":
+        raise ValueError(
+            "stable_ids is for schemaless text/jsonl sources; parquet "
+            "corpora should carry a real id column (pass id_col=)")
 
     if format == "parquet":
         cols = None
@@ -100,7 +200,21 @@ def read_documents(
             return ds
         return _ensure_doc_ids(ds, id_col)
 
+    def _rename_id(ds):
+        if id_col == "doc_id":
+            return ds
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                [id_col if c == "doc_id" else c for c in b.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     if format == "jsonl":
+        if stable_ids:
+            ds = rd.read_binary_files(paths, include_paths=True)
+            return _rename_id(ds.map_batches(
+                _jsonl_file_rows, batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_kwargs={"text_col": text_col, "keep_cols": keep_cols}))
         ds = rd.read_json(paths)
 
         def project(batch: pa.Table) -> pa.Table:
@@ -123,13 +237,25 @@ def read_documents(
             def decode(batch: pa.Table) -> pa.Table:
                 texts = [bytes(b).decode("utf-8", errors="replace")
                          for b in batch["bytes"].to_pylist()]
-                return pa.table({
+                out = {
                     "source_path": batch["path"],
                     "text": pa.array(texts, type=pa.string()),
-                })
+                }
+                if stable_ids:
+                    import numpy as np
+                    out["doc_id"] = stable_row_ids(
+                        batch["path"], np.zeros(len(texts), dtype=np.int64))
+                return pa.table(out)
 
             ds = ds.map_batches(decode, batch_format="pyarrow",
                                 zero_copy_batch=True)
+            if stable_ids:
+                return _rename_id(ds)
+        elif stable_ids:
+            ds = rd.read_binary_files(paths, include_paths=True)
+            return _rename_id(ds.map_batches(
+                _split_file_lines, batch_format="pyarrow",
+                zero_copy_batch=True))
         else:
             ds = rd.read_text(paths)  # one document per line, col "text"
         return _ensure_doc_ids(ds, id_col)

@@ -69,3 +69,64 @@ def test_ingest_feeds_quality_pipeline(ray_session, tmp_path):
                          batch_size=16).to_pandas()
     assert len(out) == 20
     assert (out["detected_lang"] == "en").all()
+
+
+def test_stable_ids_deterministic_across_reads(ray_session, tmp_path):
+    """stable_ids=True: re-reading the same files yields IDENTICAL
+    (id, text) pairs — the property resume/cross-run joins need."""
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("first line\nsecond line\nthird line\n")
+    b.write_text("other file line\nwindows line\r\nlast no newline")
+    paths = [str(a), str(b)]
+
+    def snap():
+        df = read_documents(paths, format="text", stable_ids=True) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df
+
+    d1, d2 = snap(), snap()
+    assert d1["doc_id"].tolist() == d2["doc_id"].tolist()
+    assert d1["text"].tolist() == d2["text"].tolist()
+    assert d1["doc_id"].nunique() == len(d1) == 6
+    assert (d1["doc_id"] >= 0).all()
+    assert sorted(d1["text"]) == sorted([
+        "first line", "second line", "third line",
+        "other file line", "windows line", "last no newline"])
+    # line semantics match ray.data.read_text on the same files
+    import ray.data as rd
+    assert sorted(d1["text"]) == sorted(
+        rd.read_text(paths).to_pandas()["text"])
+
+
+def test_stable_ids_jsonl_and_per_file(ray_session, tmp_path):
+    import json
+    p = tmp_path / "docs.jsonl"
+    rows = [{"content": f"doc {i}", "lang": "en"} for i in range(20)]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds1 = read_documents([str(p)], format="jsonl", text_col="content",
+                         keep_cols=["lang"], stable_ids=True).to_pandas()
+    ds2 = read_documents([str(p)], format="jsonl", text_col="content",
+                         keep_cols=["lang"], stable_ids=True).to_pandas()
+    ds1 = ds1.sort_values("doc_id").reset_index(drop=True)
+    ds2 = ds2.sort_values("doc_id").reset_index(drop=True)
+    assert ds1["doc_id"].tolist() == ds2["doc_id"].tolist()
+    assert ds1["text"].tolist() == ds2["text"].tolist()
+    assert ds1["doc_id"].nunique() == 20
+    assert set(ds1["lang"]) == {"en"}
+
+    f = tmp_path / "whole.txt"
+    f.write_text("a whole file document")
+    w1 = read_documents([str(f)], format="text", per_file=True,
+                        stable_ids=True).to_pandas()
+    w2 = read_documents([str(f)], format="text", per_file=True,
+                        stable_ids=True).to_pandas()
+    assert w1["doc_id"].tolist() == w2["doc_id"].tolist()
+    assert len(w1) == 1
+
+
+def test_stable_ids_parquet_rejected(ray_session, tmp_path):
+    import pytest
+    with pytest.raises(ValueError):
+        read_documents(["/tmp/x.parquet"], format="parquet",
+                       stable_ids=True)
