@@ -1,16 +1,21 @@
 """Multimodal column stages (brief: image/audio/video as opaque
 ``binary`` columns with typed metadata).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container,
-so the *decode kernels* are stubbed — ``fake_decoder`` (deterministic,
-content-addressed fake features for tests/benchmarks) or
-``NotImplementedError`` in strict mode — while the Ray-side plumbing is
-real and tested: Arrow ``binary`` schema in, actor-pool ``map_batches``
-with small ``batch_size`` (large payloads → few rows per batch), fixed
+The decode kernels sit behind an optional-import seam: when Pillow /
+ffmpeg are installed the ``real_*`` kernels genuinely decode (PIL
+image decode + block-mean features, LANCZOS resize, ffmpeg frame
+sampling); in this offline container they raise
+``NotImplementedError`` and the deterministic content-addressed
+``fake_*`` kernels (default, ``strict=False``) keep tests/benchmarks
+runnable.  The Ray-side plumbing is real and tested either way: Arrow
+``binary`` schema in, actor-pool ``map_batches`` with small
+``batch_size`` (large payloads → few rows per batch), fixed
 ``list_(float32)`` feature schema out.
 
-Swap ``decode_fn`` for a real implementation (e.g. PIL + resize +
-CLIP) without touching the pipeline shape.
+Selection is EXPLICIT (``strict=True`` → real kernels, default →
+fakes, or pass ``decode_fn=``/``resize_fn=``/``sample_fn=``): auto-
+detection would silently switch output semantics between environments,
+which a deterministic pipeline must not do.
 """
 
 from __future__ import annotations
@@ -33,13 +38,48 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 16
 
 
-def real_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Placeholder for the real decode/feature-extract kernel.
+def _try_import_pil():
+    """Optional-import seam: the decode libraries are absent in the
+    build container, but a user install WITH Pillow gets the real
+    kernels without touching the pipeline shape."""
+    try:
+        from PIL import Image  # type: ignore
+        return Image
+    except ImportError:
+        return None
 
-    STUB: the decode libraries are unavailable in this container."""
+
+def _ffmpeg_path():
+    import shutil
+    return shutil.which("ffmpeg")
+
+
+_PIL = _try_import_pil()
+_FFMPEG = _ffmpeg_path()
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Real decode/feature-extract kernel: with Pillow installed,
+    decodes image payloads and emits FEATURE_DIM grayscale block means
+    in [0, 1) (a deterministic, dependency-light featurizer — swap for
+    a CLIP/encoder call in production).  Raises when the needed
+    library is missing (offline container) — use ``fake_decoder`` for
+    plumbing tests there."""
+    if kind == "image" and _PIL is not None:
+        import io
+        img = _PIL.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.float32) / 256.0
+        h, w = arr.shape
+        rows = np.array_split(np.arange(h), 4)
+        cols = np.array_split(np.arange(w), 4)
+        feats = np.array(
+            [arr[np.ix_(r, c)].mean() if r.size and c.size else 0.0
+             for r in rows for c in cols], dtype=np.float32)
+        return feats[:FEATURE_DIM]
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg, not available offline; "
-        "use DeterministicFakeDecoder for plumbing tests")
+        f"decoding kind={kind!r} requires "
+        f"{'Pillow' if kind == 'image' else 'ffmpeg'} which is not "
+        "installed; use fake_decoder (strict=False) for plumbing tests")
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
@@ -76,11 +116,16 @@ class MediaFeatureExtractor:
 
 def real_resize(payload: bytes, kind: str, width: int,
                 height: int) -> bytes:
-    """Placeholder for the real image-resize kernel.
-
-    STUB: PIL is unavailable in this container."""
+    """Real image-resize kernel (Pillow when installed): decode →
+    LANCZOS resize → re-encode PNG.  Raises when Pillow is missing."""
+    if _PIL is not None:
+        import io
+        img = _PIL.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((width, height), _PIL.LANCZOS).save(out, format="PNG")
+        return out.getvalue()
     raise NotImplementedError(
-        "image resizing requires PIL, not available offline; "
+        "image resizing requires Pillow which is not installed; "
         "use the deterministic fake via strict=False")
 
 
@@ -134,11 +179,29 @@ class MediaResizer:
 
 
 def real_frame_sample(payload: bytes, n_frames: int) -> list:
-    """Placeholder for the real video frame-sampling kernel.
+    """Real video frame-sampling kernel (ffmpeg when on PATH): pipe
+    the payload through ``ffmpeg -i - -vf fps=...`` and collect
+    ``n_frames`` PNG frames.  Raises when ffmpeg is missing."""
+    if _FFMPEG is not None:
+        import subprocess
+        import tempfile
 
-    STUB: ffmpeg is unavailable in this container."""
+        with tempfile.TemporaryDirectory() as td:
+            proc = subprocess.run(
+                [_FFMPEG, "-loglevel", "error", "-i", "pipe:0",
+                 "-frames:v", str(n_frames), f"{td}/f%05d.png"],
+                input=payload, capture_output=True, timeout=120)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"ffmpeg failed: {proc.stderr.decode()[:200]}")
+            import os
+            frames = []
+            for name in sorted(os.listdir(td)):
+                with open(f"{td}/{name}", "rb") as f:
+                    frames.append(f.read())
+            return frames[:n_frames]
     raise NotImplementedError(
-        "frame sampling requires ffmpeg, not available offline; "
+        "frame sampling requires ffmpeg which is not on PATH; "
         "use the deterministic fake via strict=False")
 
 

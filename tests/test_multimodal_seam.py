@@ -1,0 +1,46 @@
+"""Optional-import seam for the multimodal real kernels: the real_*
+kernels must raise a clear NotImplementedError when the decode libs
+are absent (this container), and genuinely decode when present
+(skipped offline via importorskip)."""
+
+import numpy as np
+import pytest
+
+from fast_langdetect_ray.stages import multimodal as mm
+
+
+def test_real_kernels_raise_without_libs():
+    if mm._PIL is not None:
+        pytest.skip("Pillow installed — covered by the real-path test")
+    with pytest.raises(NotImplementedError):
+        mm.real_decoder(b"xx", "image")
+    with pytest.raises(NotImplementedError):
+        mm.real_resize(b"xx", "image", 8, 8)
+    if mm._FFMPEG is None:
+        with pytest.raises(NotImplementedError):
+            mm.real_frame_sample(b"xx", 2)
+
+
+def test_real_image_kernels_with_pillow(tmp_path):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    img = PIL_Image.new("RGB", (32, 16), (120, 30, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    feats = mm.real_decoder(payload, "image")
+    assert feats.shape == (mm.FEATURE_DIM,)
+    assert feats.dtype == np.float32
+    assert (feats >= 0).all() and (feats < 1).all()
+
+    resized = mm.real_resize(payload, "image", 8, 8)
+    out = PIL_Image.open(io.BytesIO(resized))
+    assert out.size == (8, 8)
+
+
+def test_fake_kernels_deterministic():
+    a = mm.fake_decoder(b"payload", "image")
+    b = mm.fake_decoder(b"payload", "image")
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, mm.fake_decoder(b"payload", "audio"))
