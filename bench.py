@@ -302,17 +302,121 @@ def scaling_mode(lo: int, hi: int) -> None:
     }))
 
 
+DEDUP_TILE = int(os.environ.get("GRAFT_DEDUP_TILE", "6"))
+
+
+def _ensure_dedup_corpus() -> Path:
+    """Deterministic dedup-bench input: the sf0.1 documents table tiled
+    ``DEDUP_TILE`` times with disjoint id ranges (so exact AND near
+    dedup have real multi-way duplicate structure), written once to
+    /tmp with small row groups for read parallelism."""
+    out = Path(f"/tmp/fld_dedup_corpus_t{DEDUP_TILE}.parquet")
+    if out.exists():
+        return out
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    offset = int(pc.max(t["doc_id"]).as_py()) + 1
+    tiles = []
+    for i in range(DEDUP_TILE):
+        tiles.append(t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], i * offset)))
+    pq.write_table(pa.concat_tables(tiles), out, row_group_size=2000)
+    return out
+
+
+def one_run_dedup(num_cpus: int, partitions: int) -> dict:
+    """Fresh-process run of the two join/shuffle-heavy dedup pipelines
+    (exact keep-first + MinHash-LSH verified pairs) over the tiled
+    corpus, with CPU-proportional join partitions."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import ray.data as rd
+
+        from fast_langdetect_ray.stages.dedup import (
+            exact_dedup, minhash_candidate_pairs)
+
+        src = str(_ensure_dedup_corpus())
+        out = {}
+        t0 = time.perf_counter()
+        n_exact = exact_dedup(rd.read_parquet(src),
+                              num_partitions=partitions).count()
+        out["exact_dedup_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        # CPU-proportional pool, strictly < num_cpus: band actors each
+        # reserve a CPU, and reserving every CPU starves the read/emit
+        # tasks (observed deadlock at num_cpus=2 with a 2-actor pool)
+        n_pairs = minhash_candidate_pairs(
+            rd.read_parquet(src), num_partitions=partitions,
+            concurrency=max(1, num_cpus // 2)).count()
+        out["minhash_pairs_sec"] = round(time.perf_counter() - t0, 3)
+        out["elapsed_sec"] = round(
+            out["exact_dedup_sec"] + out["minhash_pairs_sec"], 3)
+        out["rows_kept"] = n_exact
+        out["pairs"] = n_pairs
+        return out
+    finally:
+        ray.shutdown()
+
+
+def scaling_dedup_mode(lo: int, hi: int) -> None:
+    """Scaling evidence for the shuffle/join-bound dedup pipelines
+    (complement to --scaling's map-heavy flagship): same tiled input,
+    fresh processes at ``lo`` and ``hi`` CPUs, join partitions and
+    actor pools CPU-proportional."""
+    _ensure_dedup_corpus()
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--one-run-dedup",
+             "--num-cpus", str(n),
+             "--partitions", str(max(1, n // 2))],
+            capture_output=True, text=True, check=True, cwd=str(REPO))
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert results[lo]["rows_kept"] == results[hi]["rows_kept"]
+    assert results[lo]["pairs"] == results[hi]["pairs"]
+    t_lo, t_hi = results[lo]["elapsed_sec"], results[hi]["elapsed_sec"]
+    speedup = t_lo / t_hi
+    hw = _hardware_ceiling(lo, hi)
+    print(json.dumps({
+        "metric": f"dedup (exact + minhash LSH) scaling efficiency "
+                  f"{lo}->{hi} logical CPUs (fresh ray.init per run, "
+                  "same tiled corpus, cpu-proportional partitions)",
+        "value": round(speedup / (hi / lo), 3),
+        "unit": "efficiency",
+        "runs": {str(lo): results[lo], str(hi): results[hi]},
+        "speedup": round(speedup, 2),
+        "ideal_speedup": hi / lo,
+        "hardware_ceiling_speedup": round(hw, 2),
+        "efficiency_vs_hardware": round(speedup / hw, 3),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-dedup", action="store_true")
     ap.add_argument("--one-run", action="store_true")
+    ap.add_argument("--one-run-dedup", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--actors", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=4)
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
     if args.one_run:
         print(json.dumps(one_run(args.num_cpus, actors=args.actors)))
+    elif args.one_run_dedup:
+        print(json.dumps(one_run_dedup(args.num_cpus, args.partitions)))
+    elif args.scaling_dedup:
+        scaling_dedup_mode(args.scale_lo, args.scale_hi)
     elif args.scaling:
         scaling_mode(args.scale_lo, args.scale_hi)
     else:

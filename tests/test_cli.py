@@ -61,7 +61,9 @@ def test_cli_dedup_exact(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary["rows_out"] == 3
-    got = pq.read_table(sorted(out.rglob("*.parquet"))[0]).to_pandas()
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
     assert sorted(got["doc_id"]) == [0, 2, 3]  # keep-first = min id
 
 
