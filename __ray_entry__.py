@@ -1002,6 +1002,35 @@ def _q_media_frames(sf_dir: str):
         batch_size=32, concurrency=2)
 
 
+def _q_hash_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment from sha256(str(id)) —
+    pure function of the row, identical across runs/engines (the
+    property that keeps a doc from migrating between train and test).
+    Oracle: DuckDB computes the same first digest byte via
+    substr(sha256(..), 1, 2) lexicographic cutoffs."""
+    from fast_langdetect_ray.stages.sampling import hash_split
+    return hash_split(
+        _read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
+def _q_normalized_dedup(sf_dir: str):
+    """Keep-first dedup under lowercase/whitespace-collapse
+    normalization (the canonicalization step before exact dedup)."""
+    from fast_langdetect_ray.stages.dedup import normalized_exact_dedup
+    ds = normalized_exact_dedup(_read(sf_dir, "documents"))
+    return ds.select_columns(["doc_id", "text", "lang", "source",
+                              "n_chars"])
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table →
+    (vec_id, cluster).  Rows-only (iterative float algorithm); the
+    nearest-centroid invariant is pinned by tests/test_kmeans.py."""
+    from fast_langdetect_ray.stages.similarity import kmeans_cluster
+    out, _ = kmeans_cluster(_read(sf_dir, "embeddings"), k=8, iters=10)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1014,6 +1043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_first": _q_exact_dedup_first,
+        "normalized_dedup": _q_normalized_dedup,
+        "hash_split_assign": _q_hash_split_assign,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1048,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 
@@ -1077,6 +1109,24 @@ def _sql_scrubbed(col: str) -> str:
 def oracle_sql() -> dict[str, str]:
     allow = ", ".join(f"'{l}'" for l in TARGET_LANGS)
     return {
+        "hash_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'cc' THEN 'train'
+                        WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "normalized_dedup": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY trim(regexp_replace(lower(text),
+                          '[ \t\r\n]+', ' ', 'g'))
+                      ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
+        """,
         "bpe_token_counts": f"""
             SELECT doc_id,
                    {_sql_token_count('text')} AS ws_tokens,

@@ -403,6 +403,61 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                    num_partitions=num_partitions)
 
 
+def normalized_exact_dedup(ds, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_partitions: int | None = None):
+    """Keep-first dedup under TEXT NORMALIZATION: two docs are
+    duplicates when they match after lowercasing, collapsing ASCII
+    whitespace runs to one space, and trimming — the cheap
+    canonicalization step a training pipeline runs before exact dedup
+    so trivial reformattings don't survive.
+
+    Same single-hash-pass scale shape as :func:`exact_dedup` (the
+    normalization is vectorized Arrow and happens inside the pruned
+    hashing pass); output is the kept original rows (normalized text
+    is NOT kept — it exists only inside the hash pass).  ASCII-only
+    whitespace class so the DuckDB oracle (`regexp_replace(lower(..),
+    '[ \\t\\r\\n]+', ' ', 'g')`) is bit-identical."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def norm_hash_prune(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch[text_col]), r"[ \t\r\n]+", " "),
+            " ")
+        small = pa.table({"_norm": norm, id_col: batch[id_col]})
+        small = add_sha256(small, text_col="_norm", out_col="norm_sha256"
+                           ).select(["norm_sha256", id_col])
+        order = pc.sort_indices(
+            small, sort_keys=[("norm_sha256", "ascending"),
+                              (id_col, "ascending")])
+        small = small.take(order)
+        if small.num_rows <= 1:
+            return small
+        h = small["norm_sha256"]
+        neq = pc.not_equal(h.slice(1), h.slice(0, len(h) - 1))
+        keep = pa.chunked_array([pa.array([True]), neq.combine_chunks()])
+        return small.filter(keep)
+
+    reps = (
+        ds.map_batches(norm_hash_prune, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("norm_sha256")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .drop_columns(["norm_sha256"])
+    )
+    return ds.join(reps, join_type="inner", on=(id_col,),
+                   num_partitions=num_partitions)
+
+
 def minhash_candidate_pairs(
     ds, text_col: str = "text", id_col: str = "doc_id",
     n_perm: int = 64, n_bands: int = 8, width: int = 5,

@@ -1,0 +1,70 @@
+"""Deterministic corpus splitting / sampling (training-data ops).
+
+``hash_split`` assigns every row to a named split (train/val/test …)
+from the sha256 of its id rendered as a string — a pure function of
+the row, so the assignment is:
+
+* deterministic across runs, engines and partitionings (no RNG, no
+  row order dependence — the property a training pipeline needs so a
+  doc never migrates between train and test on a re-run);
+* oracle-checkable: DuckDB computes the identical bucket with
+  ``sha256(CAST(id AS VARCHAR))`` and a lexicographic compare on the
+  first two hex chars (== the first digest byte).
+
+Buckets are integer byte cutoffs out of 256 (e.g. train < 204,
+val < 230, else test ≈ 79.7 / 10.2 / 10.1 %) so the SQL twin stays a
+string comparison.  Stateless ``map_batches`` body; the only per-row
+work is C sha256 (same pattern as ``dedup.add_sha256``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# (name, exclusive byte cutoff) pairs, ascending; last bucket catches
+# the rest.  204/256 ≈ 0.797, 230/256 ≈ 0.898.
+DEFAULT_CUTS: Tuple[Tuple[str, int], ...] = (
+    ("train", 204), ("val", 230), ("test", 256),
+)
+
+
+def split_assignments(batch: pa.Table, id_col: str = "doc_id",
+                      cuts: Sequence[Tuple[str, int]] = DEFAULT_CUTS,
+                      out_col: str = "split") -> pa.Table:
+    """map_batches body: append ``split`` from the first sha256 byte
+    of ``str(id)``."""
+    ids = batch[id_col].to_pylist()
+    b0 = np.fromiter(
+        (hashlib.sha256(str(i).encode()).digest()[0] for i in ids),
+        dtype=np.int64, count=len(ids))
+    names = np.array([n for n, _ in cuts], dtype=object)
+    bounds = np.array([c for _, c in cuts], dtype=np.int64)
+    if bounds[-1] != 256:
+        raise ValueError("last cutoff must be 256 (catch-all bucket)")
+    idx = np.searchsorted(bounds, b0, side="right")
+    return batch.append_column(out_col, pa.array(names[idx],
+                                                 type=pa.string()))
+
+
+def hash_split(ds, id_col: str = "doc_id",
+               cuts: Sequence[Tuple[str, int]] = DEFAULT_CUTS):
+    """Append a deterministic ``split`` column to every row."""
+    return ds.map_batches(
+        split_assignments, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_col": id_col, "cuts": tuple(cuts)})
+
+
+def split_counts(ds, id_col: str = "doc_id",
+                 cuts: Sequence[Tuple[str, int]] = DEFAULT_CUTS):
+    """(split, n_docs) — distributed count per split."""
+    from ray.data.aggregate import Count
+
+    return (
+        hash_split(ds.select_columns([id_col]), id_col=id_col, cuts=cuts)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )

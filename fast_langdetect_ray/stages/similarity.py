@@ -361,3 +361,100 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- distributed k-means
+
+def kmeans_cluster(ds, k: int = 8, iters: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   concurrency=2):
+    """Distributed Lloyd k-means over the FULL embedding column (the
+    IVF quantizer above trains on a bounded sample; this is the
+    first-class clustering operator a training pipeline uses for data
+    curation — cluster-balanced sampling, near-dup cluster analysis).
+
+    Scale shape (the canonical broadcast-iterate pattern):
+
+    * init: the k vectors with the globally smallest ids, found with a
+      batch-local partial min-k (k rows per batch survive) — never a
+      full sort;
+    * per iteration: centroids broadcast once via ``ray.put``; every
+      batch assigns its vectors with one matmul and emits ONE
+      (k × dim sums, k counts) partial row — the reduce sees
+      n_batches rows of fixed size regardless of corpus size, combined
+      driver-side (bounded, like the manifest metrics);
+    * empty clusters keep their previous centroid (deterministic);
+    * final pass: (id, cluster) assignment dataset.
+
+    Returns ``(assignments_ds, centroids float64 (k, dim))``.
+    Deterministic given a fixed block layout; exact float sums can
+    reorder across layouts, so tests verify the invariant (every
+    assignment is the nearest returned centroid) rather than bytes."""
+    import ray
+
+    # iterative lineage: prune to (id, vec) and materialize ONCE so the
+    # 10+ passes don't re-execute the upstream read/transform chain
+    # (same pattern as connected_components' per-round materialize)
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+
+    def partial_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        kk = min(k, len(ids))
+        top = np.argpartition(ids, kk - 1)[:kk] if kk < len(ids) \
+            else np.arange(len(ids))
+        return pa.table({
+            id_col: pa.array(ids[top]),
+            emb_col: batch[emb_col].take(pa.array(top)),
+        })
+
+    seeds = ds.map_batches(partial_min_ids, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    seeds = seeds.sort_values(id_col).head(k)
+    cent = np.asarray(seeds[emb_col].tolist(), dtype=np.float64)
+    k_eff = cent.shape[0]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            emb = _embedding_matrix(batch, emb_col, dtype=np.float64)
+            d2 = (emb * emb).sum(1, keepdims=True) \
+                - 2.0 * (emb @ c.T) + (c * c).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table({
+                "cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "count": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        parts = parts.sort_values(["cluster", "count"])  # stable combine
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k_eff, dtype=np.int64)
+        for c_idx, cnt, vs in zip(parts["cluster"], parts["count"],
+                                  parts["vsum"]):
+            sums[c_idx] += np.asarray(vs, dtype=np.float64)
+            counts[c_idx] += cnt
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz][:, None]
+
+    ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        d2 = (emb * emb).sum(1, keepdims=True) \
+            - 2.0 * (emb @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+        })
+
+    out = ds.map_batches(assign_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out, cent

@@ -1,0 +1,61 @@
+"""Round-3 operators: deterministic hash split, normalized dedup,
+distributed k-means (nearest-centroid invariant)."""
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_split_matches_bruteforce_and_is_stable(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["hash_split_assign"](SF_DIR).to_pandas()
+    got2 = em.queries()["hash_split_assign"](SF_DIR).to_pandas()
+    g1 = dict(zip(got["doc_id"], got["split"]))
+    assert g1 == dict(zip(got2["doc_id"], got2["split"]))  # run-stable
+    for i, s in list(g1.items())[:200]:
+        b0 = hashlib.sha256(str(i).encode()).digest()[0]
+        want = "train" if b0 < 204 else ("val" if b0 < 230 else "test")
+        assert s == want, (i, b0, s, want)
+    # all three buckets populated at 500 rows
+    assert set(got["split"]) == {"train", "val", "test"}
+
+
+def test_normalized_dedup_matches_bruteforce(ray_session):
+    import __ray_entry__ as em
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    norm = t["text"].map(
+        lambda x: re.sub(r"[ \t\r\n]+", " ", (x or "").lower()).strip(" "))
+    keep = t.assign(norm=norm).groupby("norm")["doc_id"].min()
+    got = em.queries()["normalized_dedup"](SF_DIR).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(keep.tolist())
+    # normalization must merge at least the case/whitespace variants the
+    # corpus contains beyond byte-exact dups
+    exact = em.queries()["exact_dedup_first"](SF_DIR).to_pandas()
+    assert len(got) <= len(exact)
+
+
+def test_kmeans_assignments_are_nearest_centroid(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import kmeans_cluster
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    out, cent = kmeans_cluster(ds, k=8, iters=5)
+    df = out.to_pandas()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    vecs = {i: np.asarray(v, dtype=np.float64)
+            for i, v in zip(emb["vec_id"], emb["embedding"])}
+    assert len(df) == len(emb)
+    for vid, c in zip(df["vec_id"], df["cluster"]):
+        d = ((vecs[vid][None, :] - cent) ** 2).sum(axis=1)
+        assert c == int(np.argmin(d)), vid
+    assert cent.shape == (8, len(next(iter(vecs.values()))))
+    # every cluster non-empty on this corpus
+    assert set(df["cluster"]) == set(range(8))
