@@ -1031,6 +1031,17 @@ def _q_kmeans_clusters(sf_dir: str):
     return out
 
 
+def _q_embedding_dedup_corpus(sf_dir: str):
+    """Keep-first embedding-cosine near-dup dedup (LSH pairs →
+    connected components → anti-join).  Rows-only: LSH recall < 1 by
+    design; the components/anti-join layer is pinned by
+    tests/test_new_ops_r3.py's union-find cross-check."""
+    from fast_langdetect_ray.stages.similarity import embedding_near_dup_dedup
+    return embedding_near_dup_dedup(
+        _read(sf_dir, "embeddings"), threshold=_NEARDUP_TAU,
+        n_tables=4).select_columns(["vec_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1080,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
         "kmeans_clusters": _q_kmeans_clusters,
+        "embedding_dedup_corpus": _q_embedding_dedup_corpus,
     }
 
 

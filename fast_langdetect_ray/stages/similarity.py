@@ -458,3 +458,75 @@ def kmeans_cluster(ds, k: int = 8, iters: int = 10,
     out = ds.map_batches(assign_batch, batch_format="pyarrow",
                          zero_copy_batch=True)
     return out, cent
+
+
+def embedding_near_dup_dedup(ds, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             n_planes: int = 8, n_tables: int = 4,
+                             num_partitions: int | None = None,
+                             **pair_kwargs):
+    """Keep-first embedding-cosine near-dup DEDUP (completes the
+    dedup family: exact / normalized / MinHash / SimHash / embedding):
+    LSH-bucketed cosine pairs → distributed connected components →
+    LEFT ANTI join dropping every vector whose component
+    representative (min id) is another vector.
+
+    Same scale shape as :func:`..dedup.near_dup_dedup` — the corpus
+    moves only through the one anti-join; pairs/components are
+    dup-graph sized.  Recall follows the pair stage's LSH union over
+    ``n_tables`` plane seeds (documented < 1; raise ``n_tables`` to
+    trade compute for recall)."""
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+    from .dedup import connected_components
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    pairs = embedding_neardup_pairs(
+        ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
+        n_planes=n_planes, n_tables=n_tables, **pair_kwargs
+    ).materialize()
+    if not pairs.take(1):
+        return ds
+    comp = connected_components(pairs, out_id=id_col,
+                                num_partitions=num_partitions)
+    drop_ids = comp.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b[id_col], b["component"])
+        ).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # pyarrow's hash join rejects list<float> non-key columns, so the
+    # embedding rides through the anti-join as fixed-size binary (a
+    # bit-exact zero-copy view of the same buffer) and is decoded back
+    # after
+    def encode(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch, emb_col)
+        idx = batch.schema.get_field_index(emb_col)
+        enc = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(emb.shape[1] * 4), emb.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(
+                emb, dtype=np.float32).tobytes())])
+        return batch.set_column(idx, emb_col, enc)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        col = batch[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = col.type.byte_width // 4
+        flat = np.frombuffer(col.buffers()[1], dtype=np.float32)
+        flat = flat[col.offset * width:(col.offset + len(col)) * width]
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.float32()), width).cast(
+            pa.list_(pa.float32()))
+        return batch.set_column(
+            batch.schema.get_field_index(emb_col), emb_col, lists)
+
+    kept = ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .join(drop_ids, join_type="left_anti", on=(id_col,),
+              num_partitions=num_partitions)
+    return kept.map_batches(decode, batch_format="pyarrow",
+                            zero_copy_batch=True)

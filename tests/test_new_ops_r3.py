@@ -59,3 +59,38 @@ def test_kmeans_assignments_are_nearest_centroid(ray_session):
     assert cent.shape == (8, len(next(iter(vecs.values()))))
     # every cluster non-empty on this corpus
     assert set(df["cluster"]) == set(range(8))
+
+
+def test_embedding_dedup_matches_union_find(ray_session):
+    """The components/anti-join layer over embedding LSH pairs must
+    keep exactly the union-find representatives of the SAME pair set
+    (recall of the pair stage itself is a documented LSH trade)."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import (
+        embedding_near_dup_dedup, embedding_neardup_pairs)
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(ds, threshold=0.4, n_tables=4).to_pandas()
+    kept = set(embedding_near_dup_dedup(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.4,
+        n_tables=4
+    ).to_pandas()["vec_id"])
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = set(pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                                columns=["vec_id"])["vec_id"].to_pylist())
+    dropped = {n for n in parent if find(n) != n}
+    assert kept == all_ids - dropped
+    assert len(pairs) > 0  # the corpus has planted near-dups
