@@ -102,6 +102,12 @@ def _q_quality_stats(sf_dir: str):
         quality_stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    from fast_langdetect_ray.stages.textstats import repetition_stats
+    return _read(sf_dir, "documents").map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_heuristic_rules(sf_dir: str):
     """Rules E3 over documents (langid/ppl neutralized so the decision
     is exactly SQL-expressible: allowlist + length + alpha-ratio)."""
@@ -1048,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "bpe_token_counts": _q_bpe_token_counts,
         "quality_stats": _q_quality_stats,
+        "repetition_stats": _q_repetition_stats,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
@@ -1129,6 +1136,67 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # token-repetition quality signals (Gopher-style).  \s is the
+        # ASCII class in both RE2 engines and the corpus is ASCII;
+        # tie-breaks are (count DESC, token ASC[, token2 ASC]) on
+        # binary collation — matching the engine's numpy rank sort.
+        "repetition_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            cnt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+              GROUP BY doc_id, tok
+            ),
+            base AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(c * length(tok)) AS BIGINT) AS tok_chars
+              FROM cnt GROUP BY doc_id
+            ),
+            topt AS (
+              SELECT doc_id, c, length(tok) AS tl
+              FROM (SELECT doc_id, tok, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, tok ASC
+                    ) AS rn FROM cnt)
+              WHERE rn = 1
+            ),
+            bcnt AS (
+              SELECT doc_id, t1, t2, count(*) AS c
+              FROM (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
+                    FROM tok,
+                         LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+                    WHERE len(t) >= 2)
+              GROUP BY doc_id, t1, t2
+            ),
+            topb AS (
+              SELECT doc_id, c, length(t1) + length(t2) AS bl
+              FROM (SELECT doc_id, t1, t2, c, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY c DESC, t1 ASC, t2 ASC
+                    ) AS rn FROM bcnt)
+              WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN coalesce(b.n_tokens, 0) = 0 THEN 0.0
+                        ELSE b.n_distinct / b.n_tokens
+                   END AS distinct_ratio,
+                   CASE WHEN coalesce(b.tok_chars, 0) = 0 THEN 0.0
+                        ELSE tt.c * tt.tl / b.tok_chars
+                   END AS top_token_frac,
+                   coalesce(CASE WHEN b.tok_chars = 0 THEN 0.0
+                                 ELSE tb.c * tb.bl / b.tok_chars END,
+                            0.0) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN base b USING (doc_id)
+            LEFT JOIN topt tt USING (doc_id)
+            LEFT JOIN topb tb USING (doc_id)
         """,
         "normalized_dedup": """
             SELECT doc_id, text, lang, source, n_chars

@@ -103,6 +103,119 @@ def fingerprints(batch: pa.Table, text_col: str = "text",
     })
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style token-repetition quality signals per doc (the
+    "repetitious document" filters of Rae et al. 2021 §A1.1, adapted
+    to token granularity because the corpus has no line structure):
+
+    * ``n_tokens``        lowercase ``\\s+`` tokens (empties dropped)
+    * ``distinct_ratio``  distinct tokens / tokens (type/token ratio;
+                          low → highly repetitive doc)
+    * ``top_token_frac``  chars of ONE occurrence of the most frequent
+                          token / total token chars (ties → smallest
+                          token string)
+    * ``top_bigram_frac`` chars of one occurrence of the most frequent
+                          adjacent token 2-gram / total token chars
+                          (ties → smallest (t1, t2) pair)
+
+    Zero-token docs get 0.0 everywhere; <2-token docs get
+    ``top_bigram_frac = 0``.  Stateless vectorized ``map_batches``
+    body: one dictionary-encode of the batch's tokens, numpy
+    lexsort-run counting for the per-(doc, token) and per-(doc,
+    bigram) tables — no Python per row.  SQL twin in
+    ``oracle_sql()['repetition_stats']`` (ASCII ``\\s`` assumption
+    documented there)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_rows = len(batch)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+    dic = pc.dictionary_encode(flat)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    # ascending lexicographic rank per vocab entry (ASCII == binary
+    # collation == DuckDB ORDER BY) so tie-breaks match the oracle
+    order = np.argsort(vocab, kind="stable")
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[order] = np.arange(len(vocab))
+    tok_len = np.frompyfunc(len, 1, 1)(vocab).astype(np.int64) \
+        if len(vocab) else np.zeros(0, dtype=np.int64)
+
+    n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    tok_chars = np.bincount(parent, weights=tok_len[codes],
+                            minlength=n_rows).astype(np.int64) \
+        if codes.size else np.zeros(n_rows, dtype=np.int64)
+
+    def _top_per_doc(keys: np.ndarray, p: np.ndarray,
+                     rks: tuple) -> tuple:
+        """(count, payload-index) of the max-count key per doc.
+        ``rks`` = ascending tie-break arrays (first wins lowest)."""
+        o = np.lexsort((keys, p))
+        ks, ps = keys[o], p[o]
+        new = np.empty(ks.size, dtype=bool)
+        new[0] = True
+        new[1:] = (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, ks.size))
+        run_p = ps[starts]
+        run_i = o[starts]            # a representative original index
+        sel = np.lexsort(tuple(r[run_i] for r in reversed(rks))
+                         + (-cnt, run_p))
+        first = np.empty(sel.size, dtype=bool)
+        sp = run_p[sel]
+        first[0] = True
+        first[1:] = sp[1:] != sp[:-1]
+        win = sel[first]
+        return run_p[win], cnt[win], run_i[win]
+
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    top_tok_frac = np.zeros(n_rows, dtype=np.float64)
+    top_big_frac = np.zeros(n_rows, dtype=np.float64)
+    if codes.size:
+        # distinct tokens per doc
+        o = np.lexsort((codes, parent))
+        ks, ps = codes[o], parent[o]
+        new = np.empty(ks.size, dtype=bool)
+        new[0] = True
+        new[1:] = (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])
+        np.add.at(distinct, ps[np.flatnonzero(new)], 1)
+        # top token
+        wp, wc, wi = _top_per_doc(codes, parent, (rank[codes],))
+        safe = np.where(tok_chars[wp] > 0, tok_chars[wp], 1)
+        top_tok_frac[wp] = (wc * tok_len[codes[wi]]) / safe
+        # top adjacent bigram
+        adj = parent[1:] == parent[:-1]
+        if adj.any():
+            i = np.flatnonzero(adj)
+            bkey = codes[i] * np.int64(len(vocab)) + codes[i + 1]
+            wp, wc, wi2 = _top_per_doc(bkey, parent[i],
+                                       (rank[codes[i]],
+                                        rank[codes[i + 1]]))
+            gi = i[wi2]
+            blen = tok_len[codes[gi]] + tok_len[codes[gi + 1]]
+            top_big_frac[wp] = (wc * blen) / tok_chars[wp]
+
+    ratio = np.where(n_tokens > 0,
+                     distinct / np.where(n_tokens > 0, n_tokens, 1), 0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tokens),
+        "distinct_ratio": pa.array(ratio),
+        "top_token_frac": pa.array(top_tok_frac),
+        "top_bigram_frac": pa.array(top_big_frac),
+    })
+
+
 def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
                         lang_col: str = "lang"):
     """Top-``k`` most frequent lowercased word tokens per language.

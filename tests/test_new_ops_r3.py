@@ -94,3 +94,47 @@ def test_embedding_dedup_matches_union_find(ray_session):
     dropped = {n for n in parent if find(n) != n}
     assert kept == all_ids - dropped
     assert len(pairs) > 0  # the corpus has planted near-dups
+
+
+def test_repetition_stats_bruteforce_edges():
+    """Vectorized kernel == a per-doc brute-force twin on edge cases:
+    empties, nulls, single token, count ties (lexicographic winner),
+    heavy repetition, multi-space."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from fast_langdetect_ray.stages.textstats import repetition_stats
+
+    texts = [
+        "", None, "solo", "  spaced   out  ",
+        "b a b a",                      # tie 2-2 -> token 'a' wins
+        "x y x y x y x y",              # bigram 'x y' dominates
+        "aa aa aa bb",                  # repetition-heavy
+        "zz a zz a zz",                 # bigram tie 'a zz' vs 'zz a'
+        "one two three four five",      # all distinct
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, type=pa.string())})
+    got = repetition_stats(batch).to_pandas().set_index("doc_id")
+
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        chars = sum(len(x) for x in toks)
+        row = got.loc[i]
+        assert row["n_tokens"] == len(toks)
+        if not toks:
+            assert (row[["distinct_ratio", "top_token_frac",
+                         "top_bigram_frac"]] == 0).all()
+            continue
+        assert row["distinct_ratio"] == len(set(toks)) / len(toks)
+        c = Counter(toks)
+        top = min(c, key=lambda k: (-c[k], k))
+        assert row["top_token_frac"] == c[top] * len(top) / chars
+        bigs = Counter(zip(toks, toks[1:]))
+        if bigs:
+            tb = min(bigs, key=lambda k: (-bigs[k], k))
+            want = bigs[tb] * (len(tb[0]) + len(tb[1])) / chars
+        else:
+            want = 0.0
+        assert row["top_bigram_frac"] == want, (i, t)
