@@ -108,6 +108,12 @@ def _q_repetition_stats(sf_dir: str):
         repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-lang hash-rank sample of documents."""
+    from fast_langdetect_ray.stages.sampling import stratified_hash_sample
+    return stratified_hash_sample(_read(sf_dir, "documents"), k=20)
+
+
 def _q_heuristic_rules(sf_dir: str):
     """Rules E3 over documents (langid/ppl neutralized so the decision
     is exactly SQL-expressible: allowlist + length + alpha-ratio)."""
@@ -1055,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "quality_stats": _q_quality_stats,
         "repetition_stats": _q_repetition_stats,
+        "stratified_sample": _q_stratified_sample,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
@@ -1136,6 +1143,15 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC,
+                               doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn <= 20
         """,
         # token-repetition quality signals (Gopher-style).  \s is the
         # ASCII class in both RE2 engines and the corpus is ASCII;

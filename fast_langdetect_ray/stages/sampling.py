@@ -68,3 +68,36 @@ def split_counts(ds, id_col: str = "doc_id",
         .groupby("split")
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+def stratified_hash_sample(ds, k: int, group_col: str = "lang",
+                           id_col: str = "doc_id"):
+    """Deterministic stratified sample: the ``k`` rows with the
+    SMALLEST ``sha256(str(id))`` hex digest per ``group_col`` value —
+    a per-group sample that is a pure function of the row ids
+    (run/engine/partition-order independent, unlike
+    ``Dataset.random_sample``), so re-runs and resumes see the same
+    sample.  Oracle: ``row_number() OVER (PARTITION BY g ORDER BY
+    sha256(CAST(id AS VARCHAR)), id)``.
+
+    Scale shape: each batch keeps only its own ``k`` smallest keys per
+    group (lossless — a global top-k row is a batch top-k row), so the
+    ``groupby(group)`` shuffle moves ≤ k × n_batches rows per group,
+    never the corpus; the final per-group head-k runs over that
+    bounded set."""
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        key = [hashlib.sha256(str(i).encode()).hexdigest()
+               for i in batch[id_col]]
+        batch = batch.assign(_hkey=key)
+        return (batch.sort_values(["_hkey", id_col])
+                .groupby(group_col, sort=False).head(k))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_hkey", id_col]).head(k)
+                .drop(columns=["_hkey"]))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .map_groups(head_k, batch_format="pandas"))

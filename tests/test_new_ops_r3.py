@@ -138,3 +138,30 @@ def test_repetition_stats_bruteforce_edges():
         else:
             want = 0.0
         assert row["top_bigram_frac"] == want, (i, t)
+
+
+def test_stratified_hash_sample_matches_bruteforce(ray_session):
+    """Per-lang hash-rank sample must equal the brute-force answer
+    even when the corpus is split into many small blocks (exercises
+    the batch-local lossless top-k partial)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import stratified_hash_sample
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    ds = rd.from_pandas(df).repartition(16)
+    got = stratified_hash_sample(ds, k=7).to_pandas()
+
+    df = df.assign(_h=[hashlib.sha256(str(i).encode()).hexdigest()
+                       for i in df["doc_id"]])
+    want = (df.sort_values(["_h", "doc_id"]).groupby("lang", sort=False)
+            .head(7).drop(columns=["_h"]))
+    key = ["doc_id"]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert set(got.columns) == set(want.columns)
+    # every lang with >=7 docs contributes exactly 7
+    sizes = df.groupby("lang").size()
+    gsz = got.groupby("lang").size()
+    for lang, n in sizes.items():
+        assert gsz.get(lang, 0) == min(7, n)
