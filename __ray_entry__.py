@@ -114,6 +114,25 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_hash_sample(_read(sf_dir, "documents"), k=20)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Flag docs sharing any 8-token shingle with the synthetic
+    benchmark slice (doc_id % 97 == 0 — a deterministic stand-in for
+    an eval set; the driver corpus has no real one)."""
+    import numpy as np
+
+    from fast_langdetect_ray.stages.decontaminate import decontaminate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return decontaminate(docs, bench, n=8)
+
+
 def _q_heuristic_rules(sf_dir: str):
     """Rules E3 over documents (langid/ppl neutralized so the decision
     is exactly SQL-expressible: allowlist + length + alpha-ratio)."""
@@ -1062,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
@@ -1143,6 +1163,33 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # decontamination vs the synthetic benchmark slice: string
+        # 8-gram equality in SQL, 64-bit gram hashes in the engine
+        # (equal grams always match; FP needs a 2^-64 collision)
+        "decontaminate": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+              WHERE len(t) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams JOIN bench USING (g)
+              GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "stratified_sample": """
             SELECT doc_id, text, lang, source, n_chars

@@ -1,0 +1,124 @@
+"""Benchmark decontamination: flag corpus documents that share any
+full ``n``-token shingle with a (small) benchmark / eval set — the
+standard train-set decontamination step of LLM data pipelines (GPT-3
+App. C / PaLM-style 8-gram overlap).
+
+Scale shape
+-----------
+The benchmark side is *assumed small* (eval sets are thousands of
+docs vs a 100 TB corpus — the universal decontamination assumption):
+its distinct shingle hashes are reduced per batch, streamed to the
+driver, deduped once, and broadcast via ``ray.put`` (a flat uint64
+array, zero-copy from plasma in every task).  The corpus then streams
+through ONE stateless ``map_batches`` doing a vectorized
+``searchsorted`` membership test per batch — no shuffle, no join, no
+corpus materialization.  If the benchmark ever outgrew driver memory
+the fallback is a hash-partitioned anti-join on the shingle hash
+(same shape as ``dedup.exact_dedup``) — not needed at eval-set sizes.
+
+Semantics (mirrored by ``oracle_sql()['decontaminate']``):
+tokens = lowercased ``\\s+`` split, empties dropped; shingles = all
+*full-width* adjacent ``n``-grams (docs with < n tokens have no
+shingles and can never be contaminated); ``n_hits`` counts DISTINCT
+contaminated shingles per doc.  Matching is on 64-bit splitmix-
+finalized polynomial hashes of the token-hash sequence — equal gram
+strings always match; a false positive needs a 2^-64 collision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import whitespace_token_hashes, splitmix64
+
+_P = np.uint64(1099511628211)
+_DECON_SEED = 0x6465636F  # "deco" — separates this hash family
+
+
+def _doc_shingle_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(parent_doc_index, shingle_hash) for every full-width
+    ``n``-token shingle of a string column — lowercased, vectorized
+    (``n`` shifted multiply-adds over the flat token-hash array)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parent, hs, _ = whitespace_token_hashes(
+        pc.utf8_lower(col), seed=_DECON_SEED)
+    if hs.size < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    m = hs.size - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            acc = acc * _P + hs[k:k + m]
+    valid = parent[:m] == parent[n - 1:]
+    return parent[:m][valid], splitmix64(acc[valid])
+
+
+def _distinct_per_doc(parent: np.ndarray, h: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop within-doc duplicate shingles (sorted-run dedup)."""
+    if h.size == 0:
+        return parent, h
+    o = np.lexsort((h, parent))
+    ps, hs_ = parent[o], h[o]
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = (ps[1:] != ps[:-1]) | (hs_[1:] != hs_[:-1])
+    return ps[new], hs_[new]
+
+
+def benchmark_shingles(bench_ds, n: int = 8,
+                       text_col: str = "text") -> np.ndarray:
+    """Sorted unique shingle-hash array of the benchmark set.
+
+    Per-batch dedup happens inside ``map_batches``; only distinct
+    hashes per batch reach the driver (streamed via ``iter_batches``),
+    bounded by the benchmark's vocabulary — see module docstring for
+    the smallness assumption."""
+    def emit(batch: pa.Table) -> pa.Table:
+        p, h = _doc_shingle_hashes(batch[text_col], n)
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.select_columns([text_col])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def flag_contaminated(ds, bench_hashes: np.ndarray, n: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_hits, contaminated) per corpus doc: membership of the
+    doc's distinct shingles in the broadcast benchmark set."""
+    ref = ray.put(np.ascontiguousarray(bench_hashes, dtype=np.uint64))
+
+    def check(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
+        hits = np.zeros(len(batch), dtype=np.int64)
+        if h.size and bench.size:
+            idx = np.searchsorted(bench, h)
+            idx[idx == bench.size] = 0
+            np.add.at(hits, p[bench[idx] == h], 1)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Convenience: flag every row of ``ds`` against ``bench_ds``."""
+    return flag_contaminated(ds, benchmark_shingles(bench_ds, n, text_col),
+                             n=n, text_col=text_col, id_col=id_col)

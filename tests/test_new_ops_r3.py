@@ -165,3 +165,35 @@ def test_stratified_hash_sample_matches_bruteforce(ray_session):
     gsz = got.groupby("lang").size()
     for lang, n in sizes.items():
         assert gsz.get(lang, 0) == min(7, n)
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Planted 8-gram overlaps: a doc quoting a benchmark passage is
+    flagged; short docs (<8 tokens) and non-overlapping docs are not;
+    n_hits counts DISTINCT contaminated shingles."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    corpus = pa.table({
+        "doc_id": list(range(5)),
+        "text": [
+            # quotes tokens 1..8 of the benchmark -> exactly 1 shingle hit
+            "x alpha beta gamma delta epsilon zeta eta theta y",
+            # full benchmark embedded twice -> 2 distinct shingles, dup'd
+            bench_text + " " + bench_text,
+            "totally different words with no overlap at all here ok",
+            "alpha beta gamma",           # <8 tokens: never contaminated
+            "ALPHA Beta GAMMA delta epsilon zeta eta theta",  # case-folded
+        ],
+    })
+    bench = rd.from_arrow(pa.table({"doc_id": [100], "text": [bench_text]}))
+    got = (decontaminate(rd.from_arrow(corpus), bench, n=8)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[0, "n_hits"] == 1 and got.loc[0, "contaminated"]
+    assert got.loc[1, "n_hits"] == 2 and got.loc[1, "contaminated"]
+    assert got.loc[2, "n_hits"] == 0 and not got.loc[2, "contaminated"]
+    assert got.loc[3, "n_hits"] == 0 and not got.loc[3, "contaminated"]
+    assert got.loc[4, "n_hits"] == 1 and got.loc[4, "contaminated"]
