@@ -114,6 +114,12 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_hash_sample(_read(sf_dir, "documents"), k=20)
 
 
+def _q_quantile_band_filter(sf_dir: str):
+    """Adaptive per-lang length-outlier filter (p5..p95 band)."""
+    from fast_langdetect_ray.stages.rules import quantile_band_filter
+    return quantile_band_filter(_read(sf_dir, "documents"))
+
+
 def _q_decontaminate(sf_dir: str):
     """Flag docs sharing any 8-token shingle with the synthetic
     benchmark slice (doc_id % 97 == 0 — a deterministic stand-in for
@@ -1082,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "quantile_band_filter": _q_quantile_band_filter,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
@@ -1163,6 +1170,17 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "quantile_band_filter": """
+            WITH th AS (
+              SELECT lang,
+                     quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d JOIN th USING (lang)
+            WHERE d.n_chars >= th.lo AND d.n_chars <= th.hi
         """,
         # decontamination vs the synthetic benchmark slice: string
         # 8-gram equality in SQL, 64-bit gram hashes in the engine

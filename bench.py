@@ -60,6 +60,8 @@ HEADLINE = [
     "lineitem_pricing",
     "sessionize_events",
     "orders_by_nation",
+    "repetition_stats",
+    "decontaminate",
 ]
 
 

@@ -103,3 +103,75 @@ def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
     batch = batch.append_column(
         "drop_reason", pa.array(reasons, type=pa.string()))
     return batch
+
+
+def quantile_band_filter(ds, value_col: str = "n_chars",
+                         group_col: str = "lang",
+                         lo: float = 0.05, hi: float = 0.95):
+    """Adaptive per-group outlier filter: keep rows whose ``value_col``
+    lies within the group's EXACT [``lo``, ``hi``] discrete quantiles
+    (DuckDB ``quantile_disc`` semantics — smallest value with
+    cumulative count ≥ ceil(n·q)).  The data-driven twin of the fixed
+    ``min_chars``/``max_chars`` rules: thresholds adapt per language
+    instead of being global constants.
+
+    Scale shape: thresholds come from the value-domain histogram
+    (same as the exact grouped quantiles operator — the shuffle moves
+    (group, value, count) partials, never rows), the per-group
+    threshold table is GROUP-COUNT sized (≤ 176 langs; bounded by
+    design, safe to collect), broadcast once via ``ray.put``, and the
+    corpus streams through one stateless vectorized band test — the
+    corpus itself never shuffles."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: pc.cast(batch[value_col], pa.int64())})
+        return t.group_by([group_col, value_col],
+                          use_threads=False).aggregate(
+            [(value_col, "count")]
+        ).rename_columns([group_col, value_col, "cnt"])
+
+    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g[value_col].to_numpy()
+        n = int(cum[-1])
+        out = {}
+        for name, q in (("lo", lo), ("hi", hi)):
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            out[name] = int(vals[int(np.searchsorted(cum, k))])
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "lo": [out["lo"]], "hi": [out["hi"]]})
+
+    thr = (ds.select_columns([group_col, value_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([group_col, value_col])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .groupby(group_col)
+           .map_groups(thresholds, batch_format="pandas")
+           .to_pandas())
+    keys = np.asarray(thr[group_col], dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order],
+                   thr["lo"].to_numpy()[order],
+                   thr["hi"].to_numpy()[order]))
+
+    def band(batch: pa.Table) -> pa.Table:
+        keys_s, lo_s, hi_s = ray.get(ref)
+        g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        v = np.asarray(batch[value_col])
+        idx = np.searchsorted(keys_s, g)
+        idx[idx == keys_s.size] = 0
+        known = keys_s[idx] == g
+        keep = known & (v >= lo_s[idx]) & (v <= hi_s[idx])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(band, batch_format="pyarrow",
+                          zero_copy_batch=True)

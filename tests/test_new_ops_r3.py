@@ -197,3 +197,29 @@ def test_decontaminate_planted_overlap(ray_session):
     assert got.loc[2, "n_hits"] == 0 and not got.loc[2, "contaminated"]
     assert got.loc[3, "n_hits"] == 0 and not got.loc[3, "contaminated"]
     assert got.loc[4, "n_hits"] == 1 and got.loc[4, "contaminated"]
+
+
+def test_quantile_band_filter_bruteforce(ray_session):
+    """Band filter == brute-force per-group quantile_disc thresholds
+    (ceil(n*q) rule) applied in pandas."""
+    import math
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.rules import quantile_band_filter
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    got = quantile_band_filter(
+        rd.from_pandas(df).repartition(8)).to_pandas()
+
+    def qdisc(vals, q):
+        v = np.sort(np.asarray(vals))
+        return int(v[max(1, math.ceil(len(v) * q - 1e-9)) - 1])
+
+    keep_ids = set()
+    for lang, g in df.groupby("lang"):
+        lo, hi = qdisc(g["n_chars"], 0.05), qdisc(g["n_chars"], 0.95)
+        keep_ids |= set(g.loc[(g["n_chars"] >= lo) & (g["n_chars"] <= hi),
+                              "doc_id"])
+    assert set(got["doc_id"]) == keep_ids
+    assert list(got.columns) == list(df.columns)
