@@ -114,6 +114,22 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_hash_sample(_read(sf_dir, "documents"), k=20)
 
 
+def _q_balance_groups(sf_dir: str):
+    """Deterministic re-balancing of the documents table to ~150 rows
+    per lang (upsamples at sf≤0.01 where langs have 100 docs,
+    downsamples at sf0.1 where they have 1000)."""
+    from fast_langdetect_ray.stages.sampling import balance_groups
+    return balance_groups(
+        _read(sf_dir, "documents"), target=150
+    ).select_columns(["doc_id", "lang", "copy_idx"])
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 most distinctive tokens per lang by tf·ln(N/df)."""
+    from fast_langdetect_ray.stages.textstats import tfidf_top_terms
+    return tfidf_top_terms(_read(sf_dir, "documents"), k=5)
+
+
 def _q_quantile_band_filter(sf_dir: str):
     """Adaptive per-lang length-outlier filter (p5..p95 band)."""
     from fast_langdetect_ray.stages.rules import quantile_band_filter
@@ -1089,6 +1105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "quantile_band_filter": _q_quantile_band_filter,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "balance_groups": _q_balance_groups,
         "heuristic_rules": _q_heuristic_rules,
         "scrub_documents": _q_scrub,
         "lang_metrics": _q_lang_metrics,
@@ -1170,6 +1188,62 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # deterministic group balancing to ~150 rows/lang: copy count
+        # is a pure function of (id, group size); the hex-string
+        # compare is the engine's uint32 threshold test verbatim
+        "balance_groups": """
+            WITH g AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+            ),
+            par AS (
+              SELECT d.doc_id, d.lang,
+                     (150 // g.n)
+                     + CASE WHEN substr(sha256(CAST(d.doc_id AS VARCHAR)),
+                                        1, 8)
+                                 < printf('%08x',
+                                     CAST(floor((150 % g.n)
+                                          * 4294967296.0 / g.n)
+                                          AS BIGINT))
+                            THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN g USING (lang)
+            )
+            SELECT doc_id, lang, CAST(r.i AS BIGINT) AS copy_idx
+            FROM par, LATERAL (SELECT unnest(range(par.copies)) AS i) r
+        """,
+        # TF-IDF distinctive terms: identical double math both sides
+        # (tf · ln(N/df)); the 9-sig-digit value compare absorbs any
+        # last-ulp ln() difference between libm and numpy
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY lang, token
+            ),
+            df AS (
+              SELECT token,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY token
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.lang, tf.token, tf.tf, df.df,
+                     tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT lang, token, tf, df, score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY score DESC, token ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 5
         """,
         "quantile_band_filter": """
             WITH th AS (

@@ -101,3 +101,59 @@ def stratified_hash_sample(ds, k: int, group_col: str = "lang",
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(group_col)
             .map_groups(head_k, batch_format="pandas"))
+
+
+def balance_groups(ds, target: int, group_col: str = "lang",
+                   id_col: str = "doc_id"):
+    """Deterministic group re-balancing for training-data mixing:
+    repeat / thin each group's rows so every group lands at ≈
+    ``target`` rows (rare groups upsampled, huge groups downsampled).
+
+    Each row's copy count is a pure function of (its id, its group's
+    size): ``base = target // n`` plus one extra copy iff the first
+    4 bytes of ``sha256(str(id))`` (as uint32) fall under the group's
+    threshold ``floor((target % n) · 2^32 / n)`` — expectation-exact
+    (E[group size] = target ± rounding), fully deterministic across
+    runs/engines/partitionings, and NEVER needs a per-group global
+    rank: after a group-count aggregate (group-cardinality sized,
+    broadcast via ``ray.put``) the corpus streams through ONE
+    stateless pass.  Output adds ``copy_idx`` (0-based) so downstream
+    shuffles can distinguish copies.
+
+    Oracle twin: the hex-string compare ``substr(sha256(id), 1, 8) <
+    printf('%08x', threshold)`` is the same uint32 comparison."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([group_col]).groupby(group_col)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    keys = np.asarray(counts[group_col], dtype=object)
+    order = np.argsort(keys)
+    ns = counts["n"].to_numpy().astype(np.int64)[order]
+    base = target // ns
+    thr = np.floor((target % ns) * 4294967296.0 / ns).astype(np.int64)
+    ref = ray.put((keys[order], base, thr))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        keys_s, base_s, thr_s = ray.get(ref)
+        g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        idx = np.searchsorted(keys_s, g)
+        h32 = np.fromiter(
+            (int.from_bytes(
+                hashlib.sha256(str(i).encode()).digest()[:4], "big")
+             for i in batch[id_col].to_pylist()),
+            dtype=np.int64, count=len(batch))
+        copies = base_s[idx] + (h32 < thr_s[idx])
+        take = np.repeat(np.arange(len(batch)), copies)
+        out = batch.take(pa.array(take))
+        ends = np.cumsum(copies)
+        copy_idx = np.arange(ends[-1] if copies.size else 0) \
+            - np.repeat(ends - copies, copies)
+        return out.append_column("copy_idx", pa.array(copy_idx))
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -268,3 +268,101 @@ def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
         .groupby("lang")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
+                    group_col: str = "lang", id_col: str = "doc_id",
+                    num_partitions: int | None = None):
+    """Top-``k`` most *distinctive* tokens per group by TF-IDF:
+    ``score(g, t) = tf(g, t) · ln(N / df(t))`` with ``tf`` = total
+    occurrences of ``t`` in group ``g``, ``df`` = distinct docs
+    containing ``t``, ``N`` = corpus doc count.  Ties break by token
+    (binary collation, matching the SQL oracle's ``row_number``).
+
+    Scale shape: ONE corpus pass emits per-batch (group, token,
+    tf_part, df_part) partials — a doc lives entirely inside one row,
+    so per-batch distinct-doc counts sum exactly; the shuffle moves
+    vocabulary-sized partials, never tokens.  The aggregated
+    (group, token) table is materialized ONCE (vocab×groups sized —
+    corpus-independent) because it feeds two consumers: the df
+    roll-up and the scoring join.  df joins back via a distributed
+    hash join on token (both sides vocab-sized).  Final per-group
+    top-k uses the lossless batch-local pre-filter (scores are final
+    after the join), so the last shuffle moves ≤ k×n_batches rows per
+    group."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    n_docs = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(col, "")))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({
+            group_col: batch[group_col].take(parent),
+            "doc": pa.array(np.asarray(parent)),
+            "token": flat,
+        }).filter(pc.not_equal(flat, ""))
+        tf = t.group_by([group_col, "token"], use_threads=False) \
+            .aggregate([("token", "count")]) \
+            .rename_columns([group_col, "token", "tf"])
+        dfp = (t.group_by([group_col, "doc", "token"],
+                          use_threads=False)
+               .aggregate([]).group_by([group_col, "token"],
+                                       use_threads=False)
+               .aggregate([("token", "count")])
+               .rename_columns([group_col, "token", "dfp"]))
+        joined = tf.join(dfp, keys=[group_col, "token"])
+        return joined
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([group_col, "token"])
+           .aggregate(Sum("tf", alias_name="tf"),
+                      Sum("dfp", alias_name="dfp"))
+           .materialize())          # vocab×groups sized, two consumers
+
+    df_tbl = agg.groupby("token").aggregate(Sum("dfp", alias_name="df"))
+    scored_in = agg.join(df_tbl, join_type="inner", on=("token",),
+                         num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(float(n_docs) / df)
+        return pa.table({
+            group_col: batch[group_col],
+            "token": batch["token"],
+            "tf": pc.cast(batch["tf"], pa.int64()),
+            "df": pc.cast(batch["df"], pa.int64()),
+            "score": pa.array(s),
+        })
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["score", "token"],
+                              ascending=[False, True])
+                .groupby(group_col, sort=False).head(k))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["score", "token"],
+                              ascending=[False, True]).head(k))
+
+    return (scored_in
+            .map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(topk_partial, batch_format="pandas")
+            .groupby(group_col)
+            .map_groups(topk, batch_format="pandas"))

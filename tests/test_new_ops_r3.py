@@ -223,3 +223,83 @@ def test_quantile_band_filter_bruteforce(ray_session):
                               "doc_id"])
     assert set(got["doc_id"]) == keep_ids
     assert list(got.columns) == list(df.columns)
+
+
+def test_tfidf_top_terms_bruteforce(ray_session):
+    """Distributed TF-IDF == pandas brute force (tf·ln(N/df), ties by
+    token) under forced multi-block execution."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.textstats import tfidf_top_terms
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    got = tfidf_top_terms(rd.from_pandas(df).repartition(8), k=5).to_pandas()
+
+    n = len(df)
+    tf, docfreq = Counter(), Counter()
+    for _, r in df.iterrows():
+        toks = r["text"].lower().split()
+        for t in toks:
+            tf[(r["lang"], t)] += 1
+        for t in set(toks):
+            docfreq[t] += 1
+    rows = [(lang, t, c, docfreq[t], c * np.log(n / docfreq[t]))
+            for (lang, t), c in tf.items()]
+    want = (pd.DataFrame(rows, columns=["lang", "token", "tf", "df",
+                                        "score"])
+            .sort_values(["lang", "score", "token"],
+                         ascending=[True, False, True])
+            .groupby("lang", sort=False).head(5))
+
+    got = got.sort_values(["lang", "score", "token"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["lang", "token", "tf", "df"]:
+        assert list(got[c]) == list(want[c]), c
+    assert np.allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_balance_groups_deterministic_and_expectation_exact(ray_session):
+    """Copy counts are a pure function of (id, group size); group
+    sizes land within the rounding band of the target; copy_idx
+    enumerates 0..copies-1."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import balance_groups
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = balance_groups(ds, target=150).to_pandas()
+    got2 = balance_groups(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet").repartition(16),
+        target=150).to_pandas()
+
+    key = ["doc_id", "copy_idx"]
+    assert (sorted(map(tuple, got[key].values.tolist()))
+            == sorted(map(tuple, got2[key].values.tolist())))  # partition-independent
+
+    df = pq.read_table(f"{SF_DIR}/documents.parquet",
+                       columns=["doc_id", "lang"]).to_pandas()
+    sizes = df.groupby("lang").size()
+    out_sizes = got.groupby("lang").size()
+    for lang, n in sizes.items():
+        base, extra_p = 150 // n, (150 % n) / n
+        # deterministic hash thresholding: E = 150, binomial spread
+        lo = base * n
+        hi = (base + 1) * n
+        assert lo <= out_sizes[lang] <= hi
+    # per-doc brute force on copy counts
+    per_doc = got.groupby("doc_id").size()
+    for i, lang in list(zip(df["doc_id"], df["lang"]))[:300]:
+        n = sizes[lang]
+        thr = int(np.floor((150 % n) * 4294967296.0 / n))
+        h32 = int.from_bytes(
+            hashlib.sha256(str(i).encode()).digest()[:4], "big")
+        want = 150 // n + (1 if h32 < thr else 0)
+        assert per_doc.get(i, 0) == want
+        if want:
+            cps = sorted(got.loc[got["doc_id"] == i, "copy_idx"])
+            assert cps == list(range(want))
