@@ -152,6 +152,77 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _read_frags(path: str):
+    import ray.data as rd
+
+    inp = Path(path)
+    frags = (sorted(str(p) for p in inp.glob("*.parquet"))
+             if inp.is_dir() else [str(inp)])
+    if not frags:
+        raise FileNotFoundError(f"no parquet fragments under {inp}")
+    return rd.read_parquet(frags)
+
+
+def cmd_sample(args: argparse.Namespace) -> int:
+    """Deterministic sampling over a parquet corpus: ``split``
+    appends the train/val/test assignment, ``stratified`` keeps k
+    hash-rank rows per group, ``balance`` re-balances groups to a
+    target size (adds ``copy_idx``)."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        ds = _read_frags(args.input)
+        if args.mode == "split":
+            from .stages.sampling import hash_split
+            out = hash_split(ds, id_col=args.id_col)
+        elif args.mode == "stratified":
+            from .stages.sampling import stratified_hash_sample
+            out = stratified_hash_sample(ds, k=args.k,
+                                         group_col=args.group_col,
+                                         id_col=args.id_col)
+        else:
+            from .stages.sampling import balance_groups
+            out = balance_groups(ds, target=args.target,
+                                 group_col=args.group_col,
+                                 id_col=args.id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_decontaminate(args: argparse.Namespace) -> int:
+    """Flag corpus docs sharing any n-token shingle with a benchmark
+    parquet (columns: id + text); writes (id, n_hits, contaminated)."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .stages.decontaminate import decontaminate
+        out = decontaminate(_read_frags(args.input),
+                            _read_frags(args.benchmark),
+                            n=args.ngram, text_col=args.text_col,
+                            id_col=args.id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        flagged = rows = 0
+        for f in Path(args.output).rglob("*.parquet"):
+            t = pq.read_table(f, columns=["contaminated"])
+            rows += len(t)
+            flagged += t["contaminated"].to_pandas().sum()
+        print(json.dumps({"rows_out": rows, "flagged": int(flagged),
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -189,6 +260,33 @@ def main(argv=None) -> int:
                     help="simhash: max Hamming distance for a pair")
     dd.add_argument("--num-cpus", type=int, default=8)
     dd.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("sample",
+                        help="deterministic split / stratified / balance")
+    sp.add_argument("input", help="parquet file or directory of fragments")
+    sp.add_argument("output", help="output parquet directory")
+    sp.add_argument("--mode", default="split",
+                    choices=["split", "stratified", "balance"])
+    sp.add_argument("--group-col", default="lang")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--k", type=int, default=100,
+                    help="stratified: rows kept per group")
+    sp.add_argument("--target", type=int, default=1000,
+                    help="balance: target rows per group")
+    sp.add_argument("--num-cpus", type=int, default=8)
+    sp.set_defaults(fn=cmd_sample)
+
+    dc = sub.add_parser("decontaminate",
+                        help="flag docs overlapping a benchmark set")
+    dc.add_argument("input", help="corpus parquet file or directory")
+    dc.add_argument("output", help="output parquet directory")
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark parquet file or directory")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--num-cpus", type=int, default=8)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

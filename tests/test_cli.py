@@ -99,3 +99,51 @@ def test_cli_dedup_empty_corpus(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary["rows_out"] == 0
+
+
+def test_cli_sample_balance(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": list(range(40)),
+        "lang": ["en"] * 30 + ["fr"] * 10,
+        "text": [f"doc {i}" for i in range(40)],
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "part0.parquet")
+    out = tmp_path / "out"
+    p = _run("sample", str(src), str(out), "--mode", "balance",
+             "--target", "20", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] > 0
+    got = pq.read_table(sorted(out.rglob("*.parquet"))[0].parent
+                        if False else str(out)).to_pandas()
+    # en downsampled toward 20, fr upsampled toward 20 (±rounding)
+    sizes = got.groupby("lang").size()
+    assert 10 <= sizes["en"] <= 30 and 10 <= sizes["fr"] <= 20
+    assert "copy_idx" in got.columns
+
+
+def test_cli_decontaminate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    src, bench = tmp_path / "in", tmp_path / "bench"
+    src.mkdir(); bench.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [1, 2],
+        "text": ["x " + bench_text, "nothing shared here at all ok"],
+    }), src / "p.parquet")
+    pq.write_table(pa.table({"doc_id": [9], "text": [bench_text]}),
+                   bench / "b.parquet")
+    out = tmp_path / "out"
+    p = _run("decontaminate", str(src), str(out), "--benchmark",
+             str(bench), "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary == {"rows_out": 2, "flagged": 1,
+                       "output": str(out)}
