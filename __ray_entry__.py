@@ -246,6 +246,26 @@ def _q_exact_dedup_first(sf_dir: str):
         ["text_sha256", "doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact token-3-gram Jaccard near-dup pairs over documents
+    (inverted-index join, df-capped candidates, exact full-set
+    scores)."""
+    from fast_langdetect_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents"), n=3, jaccard_threshold=0.5, max_df=64)
+
+
+def _q_ngram_dedup_corpus(sf_dir: str):
+    """Keep-first dedup of documents under exact token-3-gram Jaccard
+    (pairs → connected components → LEFT ANTI join) — the one dedup
+    family member whose ENTIRE chain is SQL-expressible (recursive-CTE
+    transitive closure in the oracle)."""
+    from fast_langdetect_ray.stages.dedup import ngram_dedup_corpus
+    ds = ngram_dedup_corpus(
+        _read(sf_dir, "documents"), n=3, jaccard_threshold=0.5, max_df=64)
+    return ds.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _q_events_tumbling(sf_dir: str):
     """Tumbling 1-minute window aggregate over the events stream."""
     from ray.data.aggregate import Sum
@@ -1114,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_first": _q_exact_dedup_first,
         "normalized_dedup": _q_normalized_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_dedup_corpus": _q_ngram_dedup_corpus,
         "hash_split_assign": _q_hash_split_assign,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
@@ -1175,6 +1197,48 @@ def _sql_scrubbed(col: str) -> str:
         expr = (f"regexp_replace({expr}, '{pat}', "
                 f"'[REDACTED:{tag}]', 'g')")
     return expr
+
+
+# shared CTE chain for the exact token-3-gram Jaccard join
+# (n=3, jaccard_threshold=0.5, max_df=64 — mirrors
+# stages/dedup.py:ngram_jaccard_pairs defaults used by the queries)
+_SQL_NGRAM_PAIR_CTES = """tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[gi:gi+2], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 1)) AS gi) r
+              WHERE len(t) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz
+                      FROM grams GROUP BY doc_id),
+            rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 64),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+              GROUP BY c.id_a, c.id_b
+            ),
+            pairs AS (
+              SELECT i.id_a, i.id_b,
+                     CAST(i.n_inter AS DOUBLE)
+                         / (sa.sz + sb.sz - i.n_inter) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE CAST(i.n_inter AS DOUBLE)
+                        / (sa.sz + sb.sz - i.n_inter) >= 0.5
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1361,6 +1425,29 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        # exact token-3-gram Jaccard set-similarity join: candidates
+        # share >=1 rare gram (df <= 64 — the engine's drop_over df
+        # cut), scores are exact over the full distinct-gram sets
+        "ngram_jaccard_pairs": f"""
+            WITH {_SQL_NGRAM_PAIR_CTES}
+            SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        # same pairs -> transitive closure (recursive CTE) -> keep-first
+        "ngram_dedup_corpus": f"""
+            WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            comp AS (SELECT s AS node, least(s, min(d)) AS component
+                     FROM reach GROUP BY s)
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT node FROM comp WHERE component < node)
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,

@@ -536,15 +536,24 @@ _BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant
 
 
 def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
-                    max_group: int):
+                    max_group: int, drop_over: bool = False):
     """Vectorized all-pairs emission over MANY equal-(band, key) runs
-    at once.  For every run: sort ids, truncate at ``max_group``
-    (documented adversarial-skew cap), emit all within-run
-    (id_a < id_b) pairs.  No Python loop over runs — runs are grouped
-    BY LENGTH and each length class emits its pairs with one
-    ``triu_indices`` broadcast over an (n_runs, k) matrix; the loop
-    count is ≤ max_group length classes, independent of how many
-    buckets exist."""
+    at once.  For every run: sort ids, apply the ``max_group`` skew
+    cap, emit all within-run (id_a < id_b) pairs.  Two cap semantics:
+
+    * ``drop_over=False`` (LSH banding): truncate the run at
+      ``max_group`` sorted ids — documented recall truncation on
+      adversarial skew;
+    * ``drop_over=True`` (inverted-index / document-frequency join):
+      DROP the whole run — a gram shared by more than ``max_group``
+      docs is a stopword gram that carries no near-dup signal, the
+      standard df cut of set-similarity joins (and exactly
+      expressible in SQL as ``HAVING count(*) <= max_group``).
+
+    No Python loop over runs — runs are grouped BY LENGTH and each
+    length class emits its pairs with one ``triu_indices`` broadcast
+    over an (n_runs, k) matrix; the loop count is ≤ max_group length
+    classes, independent of how many buckets exist."""
     if len(ids) == 0:
         return (np.empty(0, dtype=np.int64),) * 2
     order = np.lexsort((ids, band, key))
@@ -554,11 +563,18 @@ def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
     boundary[1:] = (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])
     starts = np.flatnonzero(boundary)
     lengths = np.diff(np.append(starts, len(ids_s)))
-    # run-relative position → truncation mask
-    pos = np.arange(len(ids_s)) - np.repeat(starts, lengths)
-    keep = pos < max_group
-    ids_s = ids_s[keep]
-    lengths = np.minimum(lengths, max_group)
+    if drop_over:
+        run_keep = lengths <= max_group
+        ids_s = ids_s[np.repeat(run_keep, lengths)]
+        lengths = lengths[run_keep]
+        if lengths.size == 0:
+            return (np.empty(0, dtype=np.int64),) * 2
+    else:
+        # run-relative position → truncation mask
+        pos = np.arange(len(ids_s)) - np.repeat(starts, lengths)
+        keep = pos < max_group
+        ids_s = ids_s[keep]
+        lengths = np.minimum(lengths, max_group)
     starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
 
     out_a, out_b = [], []
@@ -581,7 +597,7 @@ def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
 
 
 def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
-                            max_group: int):
+                            max_group: int, drop_over: bool = False):
     """Shared LSH bucketing core: (id, band, band_key[int64]) rows →
     deduped candidate pairs (id_a < id_b), or None when no bucket
     collides.
@@ -614,7 +630,8 @@ def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
     def emit(g: pa.Table) -> pa.Table:
         a, b = _emit_run_pairs(
             g[id_col].to_numpy().astype(np.int64),
-            g["band"].to_numpy(), g["band_key"].to_numpy(), max_group)
+            g["band"].to_numpy(), g["band_key"].to_numpy(), max_group,
+            drop_over=drop_over)
         return pa.table({"id_a": pa.array(a, type=pa.int64()),
                          "id_b": pa.array(b, type=pa.int64())})
 
@@ -886,6 +903,154 @@ def simhash_near_dup_pairs(
         return out.filter(pc.less_equal(out["hamming"], max_hamming))
 
     return empty.union(withsig.map_batches(verify, batch_format="pyarrow"))
+
+
+def batch_token_ngram_jaccard(col_a, col_b, n: int = 3) -> np.ndarray:
+    """Exact TOKEN ``n``-gram Jaccard for m text pairs in one
+    vectorized pass.  Tokenization matches the decontamination oracle
+    (lowercased ``\\s+`` split, empties dropped); gram sets are the
+    distinct full-width n-token shingles (docs with < n tokens have
+    the empty set).  Same pair-intersection trick as
+    :func:`batch_ngram_jaccard`: one shingle pass over all 2m texts,
+    per-doc set dedup, then one (pair, hash) sort — a hash appearing
+    twice within a pair is in both sides.  No Python per pair."""
+    from .decontaminate import _distinct_per_doc, _doc_shingle_hashes
+
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if isinstance(col_b, pa.ChunkedArray):
+        col_b = col_b.combine_chunks()
+    m = len(col_a)
+    if m == 0:
+        return np.empty(0, dtype=np.float64)
+    chunk = 8192  # bound the transient token-hash arrays per pass
+    if m > chunk:
+        return np.concatenate([
+            batch_token_ngram_jaccard(col_a.slice(s, chunk),
+                                      col_b.slice(s, chunk), n)
+            for s in range(0, m, chunk)])
+    both = pa.concat_arrays([col_a.cast(pa.large_string()),
+                             col_b.cast(pa.large_string())])
+    parent, hashes = _distinct_per_doc(*_doc_shingle_hashes(both, n))
+    sizes = np.bincount(parent, minlength=2 * m)
+    pair = np.where(parent < m, parent, parent - m)
+    order = np.lexsort((hashes, pair))
+    p_s, h_s = pair[order], hashes[order]
+    dup = (p_s[1:] == p_s[:-1]) & (h_s[1:] == h_s[:-1])
+    inter = np.bincount(p_s[1:][dup], minlength=m).astype(np.float64)
+    union = (sizes[:m] + sizes[m:]).astype(np.float64) - inter
+    return np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
+
+
+def token_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Scalar token n-gram Jaccard — same kernel as the batch path."""
+    return float(batch_token_ngram_jaccard(
+        pa.array([a], type=pa.string()),
+        pa.array([b], type=pa.string()), n)[0])
+
+
+def ngram_jaccard_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    jaccard_threshold: float = 0.5, max_df: int = 64,
+    num_partitions: int | None = None,
+):
+    """EXACT token n-gram Jaccard near-dup pairs — the set-similarity
+    join of the dedup family (vs MinHash's probabilistic recall):
+    (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold, over all
+    pairs sharing at least one RARE gram (document frequency ≤
+    ``max_df``).  The Jaccard value itself is exact over the FULL
+    distinct-gram sets — only candidate generation is df-capped.
+
+    Scale shape (classic distributed inverted-index join):
+
+    1. one posting pass emits (gram_hash, doc_id) rows, distinct per
+       doc — grams never move as strings, only 64-bit hashes;
+    2. candidates come from the shared bucket core
+       (:func:`_bucket_candidate_pairs`) with ``drop_over=True``:
+       ONE hash shuffle co-locates whole posting lists (run length in
+       the group == exact global df), stopword grams (df > max_df)
+       are dropped whole — the standard df cut that keeps pair
+       emission O(max_df²) per gram instead of O(corpus²) on "the of
+       the"-type grams.  The cut is a *candidate recall* knob, not an
+       accuracy knob, and is exactly mirrored by the SQL oracle
+       (``HAVING count(*) <= max_df``);
+    3. verification joins pair ids back to the column-pruned text and
+       computes exact Jaccard with the vectorized
+       :func:`batch_token_ngram_jaccard` kernel.
+
+    Nothing dup-count-sized touches the driver."""
+    import ray.data as rd
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+    from .decontaminate import _distinct_per_doc, _doc_shingle_hashes
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        p, h = _distinct_per_doc(
+            *_doc_shingle_hashes(batch[text_col], n))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[p], type=pa.int64()),
+            "band": pa.array(np.zeros(p.size, dtype=np.int64)),
+            "band_key": pa.array(h.view(np.int64)),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    empty = _typed_empty_pairs(rd, "jaccard")
+    pairs = _bucket_candidate_pairs(posts, id_col, num_partitions,
+                                    max_df, drop_over=True)
+    if pairs is None:
+        return empty
+    withtext = _attach_pair_features(
+        pairs, ds.select_columns([id_col, text_col]), id_col, text_col,
+        num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = batch_token_ngram_jaccard(batch["_a"], batch["_b"], n)
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "jaccard": pa.array(jac, type=pa.float64())})
+        return out.filter(
+            pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
+
+    return empty.union(withtext.map_batches(verify, batch_format="pyarrow"))
+
+
+def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, jaccard_threshold: float = 0.5,
+                       max_df: int = 64,
+                       num_partitions: int | None = None):
+    """Keep-first dedup under exact token n-gram Jaccard: pairs
+    (:func:`ngram_jaccard_pairs`) → connected components → drop every
+    doc whose component representative (min id) is another doc, via a
+    distributed LEFT ANTI join — same shape as :func:`near_dup_dedup`
+    but with exact (SQL-checkable) pair semantics end to end."""
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    pairs = ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, n=n,
+        jaccard_threshold=jaccard_threshold, max_df=max_df,
+        num_partitions=num_partitions).materialize()
+    if not pairs.take(1):
+        return ds
+    comp = connected_components(pairs, out_id=id_col,
+                                num_partitions=num_partitions)
+    drop_ids = comp.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b[id_col], b["component"])
+        ).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.join(drop_ids, join_type="left_anti", on=(id_col,),
+                   num_partitions=num_partitions)
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -1,0 +1,138 @@
+"""Exact token n-gram Jaccard family: kernel correctness vs a
+pure-Python set oracle, batch/scalar equivalence, the df-drop
+candidate cut, and keep-first dedup vs a brute-force union-find."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.stages.dedup import (
+    batch_token_ngram_jaccard,
+    ngram_dedup_corpus,
+    ngram_jaccard_pairs,
+    token_ngram_jaccard,
+)
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def grams(t):
+        toks = [x for x in t.lower().split() if x]
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    union = len(ga | gb)
+    return len(ga & gb) / union if union else 1.0
+
+
+CASES = [
+    ("the quick brown fox jumps over the lazy dog",
+     "the quick brown fox leaps over the lazy dog"),
+    ("a b c d e", "a b c d e"),
+    ("one two", "one two three four five"),  # one side has no 3-grams
+    ("", "x y z"),
+    ("", ""),                                # both empty → 1.0 convention
+    ("Hello World Foo Bar", "hello  world\tfoo bar"),  # case + ws runs
+    ("alpha beta gamma", "delta epsilon zeta eta"),    # disjoint
+]
+
+
+@pytest.mark.parametrize("a,b", CASES)
+def test_scalar_matches_python_sets(a, b):
+    assert token_ngram_jaccard(a, b) == pytest.approx(
+        _py_jaccard(a, b), abs=1e-12)
+
+
+def test_batch_equals_scalar():
+    ca = pa.array([c[0] for c in CASES])
+    cb = pa.array([c[1] for c in CASES])
+    batch = batch_token_ngram_jaccard(ca, cb)
+    want = [token_ngram_jaccard(a, b) for a, b in CASES]
+    assert np.allclose(batch, want)
+
+
+def _toy_ds():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": list(range(8)),
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",   # near-dup of 0
+            "one two three four five six seven",
+            "one two three four five six eight",    # near-dup of 2
+            "totally different content here now",
+            "unrelated words entirely something else",
+            "alpha beta gamma delta epsilon zeta",  # exact dup of 0
+            "short text",                           # < 3 tokens: no grams
+        ],
+    }))
+
+
+def test_pairs_exact_values(ray_session):
+    pairs = ngram_jaccard_pairs(
+        _toy_ds(), n=3, jaccard_threshold=0.4, max_df=64).to_pandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert got == {
+        (0, 1): pytest.approx(0.6),
+        (0, 6): pytest.approx(1.0),
+        (1, 6): pytest.approx(0.6),
+        (2, 3): pytest.approx(2 / 3),
+    }
+
+
+def test_df_cut_drops_stopword_grams(ray_session):
+    """A gram shared by > max_df docs yields NO candidates, even for
+    pairs that would pass the threshold through it."""
+    import ray.data as rd
+    # five docs all sharing the gram "a b c"; pairwise jaccard 1.0 for
+    # identical ones — but with max_df=4 (< 5) the only shared gram is
+    # a stopword gram, so no pairs are emitted at all
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(5)),
+        "text": ["a b c"] * 5,
+    }))
+    pairs = ngram_jaccard_pairs(
+        ds, n=3, jaccard_threshold=0.5, max_df=4).to_pandas()
+    assert len(pairs) == 0
+    # raise the cap: all 10 pairs appear at jaccard 1.0
+    pairs = ngram_jaccard_pairs(
+        ds, n=3, jaccard_threshold=0.5, max_df=5).to_pandas()
+    assert len(pairs) == 10
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_dedup_corpus_keep_first_union_find(ray_session):
+    kept = sorted(ngram_dedup_corpus(
+        _toy_ds(), n=3, jaccard_threshold=0.4,
+        max_df=64).to_pandas()["doc_id"])
+    # brute-force union-find over the exact pair graph
+    parent = list(range(8))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    texts = _toy_ds().to_pandas()["text"].tolist()
+    for i in range(8):
+        for j in range(i + 1, 8):
+            g_i = {tuple(texts[i].lower().split()[k:k + 3])
+                   for k in range(len(texts[i].split()) - 2)}
+            g_j = {tuple(texts[j].lower().split()[k:k + 3])
+                   for k in range(len(texts[j].split()) - 2)}
+            u = len(g_i | g_j)
+            if g_i & g_j and u and len(g_i & g_j) / u >= 0.4:
+                parent[find(i)] = find(j)
+    want = sorted(i for i in range(8)
+                  if min(j for j in range(8) if find(j) == find(i)) == i)
+    assert kept == want
+
+
+def test_no_pairs_returns_input_unchanged(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta", "one two three four"],
+    }))
+    out = ngram_dedup_corpus(ds, n=3, jaccard_threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
