@@ -266,6 +266,40 @@ def _q_ngram_dedup_corpus(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _q_prune_boilerplate(sf_dir: str):
+    """CCNet-style high-df segment pruning.  The synthetic corpus has
+    no newlines, so the demo separator is a space — the operator
+    degenerates to df-based stopword pruning (tokens in > 400 of the
+    docs removed); with sep='\\n' the same code is line-level
+    boilerplate removal."""
+    from fast_langdetect_ray.stages.boilerplate import prune_boilerplate
+    return prune_boilerplate(
+        _read(sf_dir, "documents"), sep=" ", max_df=400)
+
+
+def _q_events_asof_join(sf_dir: str):
+    """Backward as-of join: every click event picks up the user's most
+    recent prior (ts-inclusive) error event — checked against DuckDB's
+    native ASOF LEFT JOIN.  Right numeric columns are nullable
+    (unmatched clicks) hence float64 on both sides."""
+    from fast_langdetect_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events")
+
+    def pick(et, cols):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], et)).select(cols)
+        return fn
+
+    clicks = ev.map_batches(pick("click", ["event_id", "user_id", "ts"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    errors = ev.map_batches(pick("error", ["user_id", "ts", "event_id",
+                                           "value"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(clicks, errors, key_col="user_id", ts_col="ts",
+                     suffix="_err", tie_col="event_id")
+
+
 def _q_events_tumbling(sf_dir: str):
     """Tumbling 1-minute window aggregate over the events stream."""
     from ray.data.aggregate import Sum
@@ -1136,6 +1170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_dedup_corpus": _q_ngram_dedup_corpus,
+        "prune_boilerplate": _q_prune_boilerplate,
+        "events_asof_join": _q_events_asof_join,
         "hash_split_assign": _q_hash_split_assign,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
@@ -1425,6 +1461,56 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        # backward as-of LEFT join, tie rule = max event_id per
+        # (user, ts); unmatched right columns are NULL → both engines
+        # lower the nullable BIGINT to float64
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, ts, event_id, value,
+                          row_number() OVER (
+                              PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+                   FROM events WHERE event_type = 'error'),
+            r AS (SELECT user_id, ts AS ts_err,
+                         event_id AS event_id_err, value AS value_err
+                  FROM r0 WHERE rn = 1)
+            SELECT l.event_id, l.user_id, l.ts, r.ts_err,
+                   CAST(r.event_id_err AS DOUBLE) AS event_id_err,
+                   r.value_err
+            FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts_err
+        """,
+        # CCNet-style segment pruning with sep=' ': literal split
+        # (consecutive separators yield empty segments, which are
+        # df-exempt and always kept), df over DISTINCT docs, rejoin
+        # preserves original order
+        "prune_boilerplate": """
+            WITH segs AS (
+              SELECT doc_id, gi, ls[gi] AS seg
+              FROM (SELECT doc_id, string_split(text, ' ') AS ls
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS gi) r
+            ),
+            bp AS (
+              SELECT seg FROM segs WHERE seg <> ''
+              GROUP BY seg HAVING count(DISTINCT doc_id) > 400
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_segments
+                    FROM segs GROUP BY doc_id),
+            keptagg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY gi) AS text_clean
+              FROM segs WHERE seg NOT IN (SELECT seg FROM bp)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean,
+                   CAST(t.n_segments AS BIGINT) AS n_segments,
+                   CAST(t.n_segments - coalesce(k.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tot t LEFT JOIN keptagg k USING (doc_id)
         """,
         # exact token-3-gram Jaccard set-similarity join: candidates
         # share >=1 rare gram (df <= 64 — the engine's drop_over df

@@ -1,0 +1,154 @@
+"""Segment-level boilerplate pruning (CCNet-style line dedup,
+generalized): split every document on a literal separator, drop the
+segments whose document frequency exceeds ``max_df`` (navigation
+chrome, cookie banners, repeated headers — with ``sep="\\n"`` this is
+the classic line-level dedup of CommonCrawl pipelines; with
+``sep=" "`` it degenerates to df-based stopword pruning), and rejoin
+the survivors with the same separator.
+
+Scale shape
+-----------
+Two corpus passes, one vocab-sized shuffle, no corpus shuffle:
+
+1. **df pass** — per batch: split, hash each distinct-per-doc segment
+   (one vectorized polynomial-hash pass over the batch's shared byte
+   buffer, :func:`..functions.hashing.hash_string_array`), emit
+   (segment_hash, partial_df) rows.  A doc never spans two batches,
+   so per-batch distinct-doc counts SUM exactly; the
+   ``groupby(hash).sum`` shuffle moves vocabulary-sized rows only.
+2. **broadcast** — the high-df subset (df > max_df) streams to the
+   driver and is ``ray.put`` once as a sorted uint64 array.  This is
+   the *boilerplate vocabulary*: bounded by total_segments / max_df,
+   and in natural corpora tiny (only segments repeated across > max_df
+   documents qualify).  If it ever outgrew driver memory the fallback
+   is a hash-partitioned anti-join of segments against it — the same
+   shape as ``dedup.exact_dedup`` — not needed at boilerplate sizes.
+3. **prune pass** — the corpus streams through ONE stateless
+   ``map_batches``: split, hash, ``searchsorted`` membership, rebuild
+   the list offsets from kept counts, and reassemble the text with the
+   vectorized ``pyarrow.compute.binary_join`` — no Python per doc.
+
+Semantics (mirrored exactly by ``oracle_sql()['prune_boilerplate']``):
+segments are the LITERAL ``sep`` split (consecutive separators yield
+empty segments); empty segments are exempt from df counting and never
+removed (they preserve separator runs through the rejoin); matching is
+on 64-bit splitmix-finalized polynomial hashes — equal segments always
+match, a false removal needs a 2^-64 collision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import hash_string_array
+
+_BP_SEED = 0x626F696C  # "boil" — separates this hash family
+
+
+def _split_and_hash(col, sep: str):
+    """Literal-``sep`` split of a string column → (flat segments,
+    parent doc index, per-segment hash, n_docs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    segs = pc.split_pattern(col, sep)
+    flat = pc.list_flatten(segs)
+    parent = pc.list_parent_indices(segs).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return flat, parent, hash_string_array(flat, seed=_BP_SEED), len(col)
+
+
+def boilerplate_hashes(ds, sep: str = "\n", max_df: int = 2,
+                       text_col: str = "text") -> np.ndarray:
+    """Sorted unique hash array of the segments whose document
+    frequency exceeds ``max_df`` (empty segments exempt)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, parent, h, _ = _split_and_hash(batch[text_col], sep)
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False).astype(bool)
+        parent, h = parent[nonempty], h[nonempty]
+        if h.size:
+            # distinct (hash, doc) within the batch → partial df
+            o = np.lexsort((h, parent))
+            p_s, h_s = parent[o], h[o]
+            first = np.empty(h.size, dtype=bool)
+            first[0] = True
+            first[1:] = (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])
+            h_u = h_s[first]
+            uniq, cnt = np.unique(h_u, return_counts=True)
+        else:
+            uniq = np.empty(0, dtype=np.uint64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "h": pa.array(uniq.view(np.int64), type=pa.int64()),
+            "partial_df": pa.array(cnt.astype(np.int64)),
+        })
+
+    df = (
+        ds.select_columns([text_col])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("partial_df", alias_name="df"))
+    )
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in df.filter(expr=f"df > {int(max_df)}")
+        .select_columns(["h"])
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts).view(np.uint64))
+
+
+def prune_segments(ds, bp_hashes: np.ndarray, sep: str = "\n",
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """(id, text_clean, n_segments, n_removed) per doc: drop the
+    broadcast boilerplate segments, rejoin with ``sep``."""
+    ref = ray.put(np.ascontiguousarray(bp_hashes, dtype=np.uint64))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bp = ray.get(ref)
+        flat, parent, h, n_docs = _split_and_hash(batch[text_col], sep)
+        if bp.size and h.size:
+            idx = np.searchsorted(bp, h)
+            idx[idx == bp.size] = 0
+            drop = bp[idx] == h
+        else:
+            drop = np.zeros(h.size, dtype=bool)
+        keep = ~drop
+        kept_counts = np.bincount(parent[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.filter(pa.array(keep)).cast(pa.string()))
+        clean = pc.binary_join(kept_list, sep)
+        total = np.bincount(parent, minlength=n_docs)
+        return pa.table({
+            id_col: batch[id_col],
+            "text_clean": clean,
+            "n_segments": pa.array(total.astype(np.int64)),
+            "n_removed": pa.array((total - kept_counts).astype(np.int64)),
+        })
+
+    return ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def prune_boilerplate(ds, sep: str = "\n", max_df: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Convenience: df pass + broadcast + prune pass over ``ds``.
+
+    NOTE: ``ds`` lineage executes twice (df pass + prune pass) — for a
+    plain parquet read that is two pruned scans; checkpoint first if
+    ``ds`` is an expensive derived pipeline."""
+    return prune_segments(
+        ds, boilerplate_hashes(ds, sep=sep, max_df=max_df,
+                               text_col=text_col),
+        sep=sep, text_col=text_col, id_col=id_col)

@@ -1,0 +1,121 @@
+"""Distributed backward as-of join: match semantics, equal-ts
+inclusivity, tie rule, unmatched-null handling, dtype stability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.stages.asof import asof_join
+
+
+def _ts(*vals):
+    return pa.array(pd.to_datetime(list(vals)), type=pa.timestamp("us"))
+
+
+def _sides():
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [10, 10, 10, 20, 30],
+        "ts": _ts("2024-01-01 00:05", "2024-01-01 00:10",
+                  "2024-01-01 00:01", "2024-01-01 00:07",
+                  "2024-01-01 00:09"),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": [10, 10, 20, 20],
+        "ts": _ts("2024-01-01 00:04", "2024-01-01 00:08",
+                  "2024-01-01 00:07", "2024-01-01 00:06"),
+        "state_id": [100, 200, 300, 400],
+        "val": [1.5, 2.5, 3.5, 4.5],
+    }))
+    return left, right
+
+
+def test_backward_match_and_nulls(ray_session):
+    left, right = _sides()
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    tie_col="state_id").to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    # most recent prior state per user; ts equality is inclusive
+    assert out["state_id_r"].tolist()[0] == 100.0   # 00:05 → 00:04
+    assert out["state_id_r"].tolist()[1] == 200.0   # 00:10 → 00:08
+    assert np.isnan(out["state_id_r"].tolist()[2])  # 00:01: none prior
+    assert out["state_id_r"].tolist()[3] == 300.0   # 00:07 == 00:07
+    assert np.isnan(out["state_id_r"].tolist()[4])  # user 30: no rights
+    # left columns keep their integer dtypes; right ints are nullable
+    assert str(out["event_id"].dtype) == "int64"
+    assert str(out["state_id_r"].dtype) == "float64"
+    assert len(out) == 5
+
+
+def test_equal_ts_tie_takes_max_tie_col(ray_session):
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "event_id": [1], "user_id": [7],
+        "ts": _ts("2024-01-01 00:10"),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": [7, 7, 7],
+        "ts": _ts("2024-01-01 00:05", "2024-01-01 00:05",
+                  "2024-01-01 00:05"),
+        "state_id": [3, 9, 1],
+    }))
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    tie_col="state_id").to_pandas()
+    assert out["state_id_r"].tolist() == [9.0]
+
+
+def test_empty_right_returns_left_with_nulls(ray_session):
+    import ray.data as rd
+    left, _ = _sides()
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "state_id": pa.array([], type=pa.int64()),
+        "val": pa.array([], type=pa.float64()),
+    }))
+    out = asof_join(left, right, key_col="user_id",
+                    ts_col="ts").to_pandas()
+    assert len(out) == 5
+    assert out["state_id_r"].isna().all()
+
+
+def test_suffix_clash_raises(ray_session):
+    left, right = _sides()
+    with pytest.raises(ValueError, match="clash"):
+        # suffix "" makes right 'ts' collide with left 'ts'
+        asof_join(left, right, key_col="user_id", ts_col="ts", suffix="")
+
+
+def test_matches_pandas_merge_asof_reference(ray_session):
+    """Randomized cross-check vs a single-process pd.merge_asof."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    nl, nr = 400, 300
+    base = pd.Timestamp("2024-01-01")
+    l = pd.DataFrame({
+        "event_id": np.arange(nl),
+        "user_id": rng.randint(0, 37, nl),
+        "ts": base + pd.to_timedelta(rng.randint(0, 10_000, nl), unit="s"),
+    })
+    r = pd.DataFrame({
+        "user_id": rng.randint(0, 37, nr),
+        "ts": base + pd.to_timedelta(rng.randint(0, 10_000, nr), unit="s"),
+        "state_id": np.arange(nr),
+    })
+    out = asof_join(
+        rd.from_pandas(l), rd.from_pandas(r), key_col="user_id",
+        ts_col="ts", tie_col="state_id").to_pandas()
+    want = pd.merge_asof(
+        l.sort_values("ts", kind="stable"),
+        r.sort_values(["ts", "state_id"], kind="stable").rename(
+            columns={"ts": "ts_r", "state_id": "state_id_r"}),
+        left_on="ts", right_on="ts_r", by="user_id",
+        direction="backward")
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert np.allclose(got["state_id_r"].to_numpy(dtype=float),
+                       want["state_id_r"].to_numpy(dtype=float),
+                       equal_nan=True)

@@ -1,0 +1,76 @@
+"""Segment-level boilerplate pruning: df semantics, empty-segment
+exemption, separator round-trip, and the two-pass broadcast shape."""
+
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.stages.boilerplate import (
+    boilerplate_hashes,
+    prune_boilerplate,
+)
+
+
+def _ds(texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": texts,
+    }))
+
+
+def test_line_boilerplate_removed(ray_session):
+    out = prune_boilerplate(_ds([
+        "COOKIE BANNER\nreal content one\nfooter",
+        "COOKIE BANNER\nreal content two\nfooter",
+        "COOKIE BANNER\nunique middle\nfooter",
+        "standalone document\n\nwith empty line",
+    ]), sep="\n", max_df=2).to_pandas().sort_values("doc_id")
+    assert out["text_clean"].tolist() == [
+        "real content one", "real content two", "unique middle",
+        "standalone document\n\nwith empty line",
+    ]
+    assert out["n_segments"].tolist() == [3, 3, 3, 3]
+    assert out["n_removed"].tolist() == [2, 2, 2, 0]
+
+
+def test_df_boundary_is_strict(ray_session):
+    """Segments in exactly max_df docs survive; > max_df are cut."""
+    texts = ["edge\nbody %d" % i for i in range(3)]
+    # df("edge") == 3: survives at max_df=3, removed at max_df=2
+    keep = prune_boilerplate(_ds(texts), sep="\n",
+                             max_df=3).to_pandas()
+    assert (keep["n_removed"] == 0).all()
+    cut = prune_boilerplate(_ds(texts), sep="\n", max_df=2).to_pandas()
+    assert (cut["n_removed"] == 1).all()
+    assert not cut["text_clean"].str.contains("edge").any()
+
+
+def test_empty_segments_exempt(ray_session):
+    """Runs of separators (empty segments) are never counted or
+    removed — they round-trip so spacing survives the rejoin."""
+    texts = ["a\n\n\nb", "c\n\n\nd", "e\n\n\nf"]
+    out = prune_boilerplate(_ds(texts), sep="\n",
+                            max_df=1).to_pandas().sort_values("doc_id")
+    assert out["text_clean"].tolist() == texts  # all segs unique + empties
+    assert (out["n_removed"] == 0).all()
+
+
+def test_round_trip_when_nothing_common(ray_session):
+    texts = ["alpha beta", "gamma delta", ""]
+    out = prune_boilerplate(_ds(texts), sep=" ",
+                            max_df=1).to_pandas().sort_values("doc_id")
+    assert out["text_clean"].tolist() == texts
+
+
+def test_boilerplate_hashes_empty_when_under_cap(ray_session):
+    bp = boilerplate_hashes(_ds(["x\ny", "z\nw"]), sep="\n", max_df=2)
+    assert bp.size == 0
+
+
+def test_duplicate_segment_within_doc_counts_once(ray_session):
+    """df is over DISTINCT docs — repeating a line 5× inside one doc
+    doesn't push it over the cap."""
+    texts = ["dup\ndup\ndup\ndup\ndup\nrest", "other\nlines"]
+    out = prune_boilerplate(_ds(texts), sep="\n",
+                            max_df=1).to_pandas().sort_values("doc_id")
+    assert out["text_clean"].tolist() == texts
