@@ -300,6 +300,35 @@ def _q_events_asof_join(sf_dir: str):
                      suffix="_err", tie_col="event_id")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Interval containment: every purchase joined to each signup
+    window [signup_ts, signup_ts + 1 h) of the same user — the
+    bucketed (granule-explode) distributed range join."""
+    from fast_langdetect_ray.stages.rangejoin import range_join
+
+    ev = _read(sf_dir, "events")
+
+    def purchases(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts", "value"])
+
+    def signup_windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "signup"))
+        start = b["ts"]
+        end = pc.cast(pc.add(pc.cast(start, pa.int64()),
+                             pa.scalar(3_600_000_000, type=pa.int64())),
+                      pa.timestamp("us"))
+        return pa.table({"user_id": b["user_id"], "start_ts": start,
+                         "end_ts": end, "signup_id": b["event_id"]})
+
+    left = ev.map_batches(purchases, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ev.map_batches(signup_windows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return range_join(left, right, key_col="user_id", ts_col="ts",
+                      start_col="start_ts", end_col="end_ts", suffix="")
+
+
 def _q_events_tumbling(sf_dir: str):
     """Tumbling 1-minute window aggregate over the events stream."""
     from ray.data.aggregate import Sum
@@ -1172,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_corpus": _q_ngram_dedup_corpus,
         "prune_boilerplate": _q_prune_boilerplate,
         "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "hash_split_assign": _q_hash_split_assign,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
@@ -1481,6 +1511,19 @@ def oracle_sql() -> dict[str, str]:
                    r.value_err
             FROM l ASOF LEFT JOIN r
                  ON l.user_id = r.user_id AND l.ts >= r.ts_err
+        """,
+        # inner interval-containment join (start <= ts < end)
+        "events_range_join": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts AS start_ts,
+                         ts + INTERVAL 1 HOUR AS end_ts,
+                         event_id AS signup_id
+                  FROM events WHERE event_type = 'signup')
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.start_ts, r.end_ts, r.signup_id
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.ts >= r.start_ts AND l.ts < r.end_ts
         """,
         # CCNet-style segment pruning with sep=' ': literal split
         # (consecutive separators yield empty segments, which are

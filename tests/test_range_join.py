@@ -1,0 +1,113 @@
+"""Bucketed range join: containment semantics, boundary rules,
+multi-granule intervals, one-to-many fan-out, no duplicate emission."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.stages.rangejoin import range_join
+
+
+def _ts(*vals):
+    return pa.array(pd.to_datetime(list(vals)), type=pa.timestamp("us"))
+
+
+def _join(left_tbl, right_tbl, **kw):
+    import ray.data as rd
+    return range_join(rd.from_arrow(left_tbl), rd.from_arrow(right_tbl),
+                      key_col="k", ts_col="ts", start_col="start",
+                      end_col="end", **kw).to_pandas()
+
+
+def test_boundaries_half_open(ray_session):
+    left = pa.table({
+        "row": [1, 2, 3],
+        "k": [5, 5, 5],
+        "ts": _ts("2024-01-01 01:00",   # == start → match
+                  "2024-01-01 02:00",   # == end → no match
+                  "2024-01-01 01:30"),  # inside
+    })
+    right = pa.table({
+        "k": [5],
+        "start": _ts("2024-01-01 01:00"),
+        "end": _ts("2024-01-01 02:00"),
+        "iv": [7],
+    })
+    out = _join(left, right)
+    assert sorted(out["row"]) == [1, 3]
+
+
+def test_one_to_many_and_empty_interval(ray_session):
+    left = pa.table({
+        "row": [1], "k": [9], "ts": _ts("2024-01-01 05:30"),
+    })
+    right = pa.table({
+        "k": [9, 9, 9],
+        "start": _ts("2024-01-01 05:00", "2024-01-01 05:15",
+                     "2024-01-01 06:00"),
+        "end": _ts("2024-01-01 06:00", "2024-01-01 05:45",
+                   "2024-01-01 06:00"),   # third: empty (end == start)
+        "iv": [1, 2, 3],
+    })
+    out = _join(left, right)
+    assert sorted(out["iv_r"]) == [1, 2]
+
+
+def test_interval_spanning_many_granules_no_dups(ray_session):
+    """An interval 50× the granule still matches each contained row
+    exactly once (ts lives in exactly one cell)."""
+    left = pa.table({
+        "row": [1, 2], "k": [3, 3],
+        "ts": _ts("2024-01-01 00:00:25", "2024-01-01 00:01:40"),
+    })
+    right = pa.table({
+        "k": [3],
+        "start": _ts("2024-01-01 00:00:10"),
+        "end": _ts("2024-01-01 00:01:00"),
+        "iv": [1],
+    })
+    out = _join(left, right, granule_us=1_000_000)  # 1 s cells
+    assert out["row"].tolist() == [1]
+    assert len(out) == 1
+
+
+def test_matches_brute_force(ray_session):
+    rng = np.random.RandomState(11)
+    nl, nr = 300, 120
+    base = pd.Timestamp("2024-01-01").value // 1000
+    l_us = base + rng.randint(0, 200_000, nl) * 1_000_000
+    r_start = base + rng.randint(0, 200_000, nr) * 1_000_000
+    r_len = rng.randint(0, 20_000, nr) * 1_000_000
+    left = pa.table({
+        "row": np.arange(nl), "k": rng.randint(0, 9, nl),
+        "ts": pa.array(l_us, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k": rng.randint(0, 9, nr),
+        "start": pa.array(r_start, type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "end": pa.array(r_start + r_len, type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "iv": np.arange(nr),
+    })
+    out = _join(left, right)
+    got = sorted(zip(out["row"], out["iv_r"]))
+    lk, rk = left.to_pandas(), right.to_pandas()
+    want = sorted(
+        (int(lr.row), int(rr.iv))
+        for lr in lk.itertuples() for rr in rk.itertuples()
+        if lr.k == rr.k and rr.start <= lr.ts < rr.end)
+    assert got == want
+
+
+def test_suffix_clash_raises(ray_session):
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": [1], "ts": _ts("2024-01-01"), "iv": [0]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1], "start": _ts("2024-01-01"),
+        "end": _ts("2024-01-02"), "iv": [0]}))
+    with pytest.raises(ValueError, match="clash"):
+        range_join(left, right, key_col="k", ts_col="ts",
+                   start_col="start", end_col="end", suffix="")
