@@ -248,8 +248,8 @@ def _q_exact_dedup_first(sf_dir: str):
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
     """Exact token-3-gram Jaccard near-dup pairs over documents
-    (inverted-index join, df-capped candidates, exact full-set
-    scores)."""
+    (inverted-index join; scores over the rare-gram sets, which equals
+    full-set Jaccard here since no corpus gram exceeds the df cap)."""
     from fast_langdetect_ray.stages.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
         _read(sf_dir, "documents"), n=3, jaccard_threshold=0.5, max_df=64)
@@ -1280,20 +1280,16 @@ _SQL_NGRAM_PAIR_CTES = """tok AS (
                    LATERAL (SELECT unnest(range(1, len(t) - 1)) AS gi) r
               WHERE len(t) >= 3
             ),
-            sizes AS (SELECT doc_id, count(*) AS sz
-                      FROM grams GROUP BY doc_id),
             rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 64),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
-              WHERE a.doc_id < b.doc_id
-            ),
+            rg AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
+            sizes AS (SELECT doc_id, count(*) AS sz
+                      FROM rg GROUP BY doc_id),
             inter AS (
-              SELECT c.id_a, c.id_b, count(*) AS n_inter
-              FROM cand c
-              JOIN grams ga ON ga.doc_id = c.id_a
-              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
-              GROUP BY c.id_a, c.id_b
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM rg a JOIN rg b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
             ),
             pairs AS (
               SELECT i.id_a, i.id_b,
@@ -1555,9 +1551,9 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM tot t LEFT JOIN keptagg k USING (doc_id)
         """,
-        # exact token-3-gram Jaccard set-similarity join: candidates
-        # share >=1 rare gram (df <= 64 — the engine's drop_over df
-        # cut), scores are exact over the full distinct-gram sets
+        # exact token-3-gram Jaccard set-similarity join over the
+        # RARE-gram sets (df <= 64 — the engine's df cut; no corpus
+        # gram exceeds it at test sf, so this equals full-set Jaccard)
         "ngram_jaccard_pairs": f"""
             WITH {_SQL_NGRAM_PAIR_CTES}
             SELECT id_a, id_b, jaccard FROM pairs

@@ -62,6 +62,11 @@ HEADLINE = [
     "orders_by_nation",
     "repetition_stats",
     "decontaminate",
+    "ngram_jaccard_pairs",
+    "ngram_dedup_corpus",
+    "prune_boilerplate",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 

@@ -596,6 +596,54 @@ def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
     return a[neq], b[neq]
 
 
+def _count_unique_pairs(pairs, weight_col: str | None = None,
+                        out_col: str = "n"):
+    """(id_a, id_b[, weight]) rows → one (id_a, id_b, ``out_col``) row
+    per distinct pair, ``out_col`` = row count (or weight sum).
+
+    Scale shape: a per-key ``groupby(id_a, id_b).aggregate`` pays
+    per-distinct-key overhead — measured ~100 µs/key in Ray 2.49's
+    sort-based aggregate, i.e. minutes for 10⁶ pairs.  Instead the
+    pairs are hash-bucketed (vectorized mix of both ids, 256 groups)
+    and each group counts ALL its pairs in one numpy pass (lexsort →
+    run boundaries → ``add.reduceat``): the shuffle sorts a 256-value
+    key, and Python runs once per bucket, never per pair."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().view(np.uint64)
+        b = batch["id_b"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (a * _BUCKET_MIX + b) * _BUCKET_MIX
+        bucket = (mixed % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+        return batch.append_column("pbucket", pa.array(bucket))
+
+    def reduce(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy().astype(np.int64)
+        b = g["id_b"].to_numpy().astype(np.int64)
+        w = (g[weight_col].to_numpy().astype(np.int64)
+             if weight_col else np.ones(a.size, dtype=np.int64))
+        order = np.lexsort((b, a))
+        a_s, b_s, w_s = a[order], b[order], w[order]
+        first = np.empty(a.size, dtype=bool)
+        if a.size:
+            first[0] = True
+            first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "id_a": pa.array(a_s[starts]),
+            "id_b": pa.array(b_s[starts]),
+            out_col: pa.array(np.add.reduceat(w_s, starts)
+                              if starts.size else
+                              np.empty(0, dtype=np.int64)),
+        })
+
+    return (
+        pairs.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+
+
 def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
                             max_group: int, drop_over: bool = False):
     """Shared LSH bucketing core: (id, band, band_key[int64]) rows →
@@ -615,10 +663,9 @@ def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
       dup clusters still runs B Python calls, not 10⁸;
     * hot buckets truncate at ``max_group`` sorted ids — documented
       truncation instead of a quadratic blowup on adversarial skew;
-    * cross-band duplicate pairs collapse with a vectorized
-      ``groupby(id_a, id_b).aggregate(Count)``."""
-    from ray.data.aggregate import Count
-
+    * cross-band duplicate pairs collapse with the bucketed
+      vectorized counter (:func:`_count_unique_pairs` — one numpy
+      pass per bucket, no per-pair aggregate overhead)."""
     def bucketize(batch: pa.Table) -> pa.Table:
         band = batch["band"].to_numpy().view(np.uint64)
         key = batch["band_key"].to_numpy().view(np.uint64)
@@ -635,15 +682,13 @@ def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
         return pa.table({"id_a": pa.array(a, type=pa.int64()),
                          "id_b": pa.array(b, type=pa.int64())})
 
-    pairs = (
+    pairs = _count_unique_pairs(
         bands.map_batches(bucketize, batch_format="pyarrow",
                           zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands_hit"))
-        .drop_columns(["n_bands_hit"])
-    ).materialize()  # dup-graph sized; read by the probe AND the joins
+    ).drop_columns(["n"]).materialize()
+    # dup-graph sized; read by the probe AND the joins
     # no-collision short-circuit: a block-less dataset loses its schema
     # and breaks the downstream hash-joins' key resolution
     if not pairs.take(1):
@@ -956,29 +1001,40 @@ def ngram_jaccard_pairs(
 ):
     """EXACT token n-gram Jaccard near-dup pairs — the set-similarity
     join of the dedup family (vs MinHash's probabilistic recall):
-    (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold, over all
-    pairs sharing at least one RARE gram (document frequency ≤
-    ``max_df``).  The Jaccard value itself is exact over the FULL
-    distinct-gram sets — only candidate generation is df-capped.
+    (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold, computed
+    over each doc's RARE-gram set (grams with document frequency ≤
+    ``max_df``; stopword grams carry no near-dup signal and are
+    excluded from both candidates and scores — the standard df cut of
+    set-similarity joins, exactly mirrored by the SQL oracle).  When
+    no gram exceeds the cap, this IS the full-set Jaccard.
 
-    Scale shape (classic distributed inverted-index join):
+    Scale shape (classic distributed inverted-index join) — the score
+    is derived from the index itself, so after the posting pass *no
+    text, signature, or corpus row ever moves again*:
 
     1. one posting pass emits (gram_hash, doc_id) rows, distinct per
-       doc — grams never move as strings, only 64-bit hashes;
-    2. candidates come from the shared bucket core
-       (:func:`_bucket_candidate_pairs`) with ``drop_over=True``:
-       ONE hash shuffle co-locates whole posting lists (run length in
-       the group == exact global df), stopword grams (df > max_df)
-       are dropped whole — the standard df cut that keeps pair
-       emission O(max_df²) per gram instead of O(corpus²) on "the of
-       the"-type grams.  The cut is a *candidate recall* knob, not an
-       accuracy knob, and is exactly mirrored by the SQL oracle
-       (``HAVING count(*) <= max_df``);
-    3. verification joins pair ids back to the column-pruned text and
-       computes exact Jaccard with the vectorized
-       :func:`batch_token_ngram_jaccard` kernel.
+       doc — grams move as 64-bit hashes, never strings;
+    2. ONE hash-bucket shuffle co-locates whole posting lists (run
+       length in the group == exact global df); runs longer than
+       ``max_df`` are dropped whole (pair emission stays O(max_df²)
+       per gram instead of O(corpus²) on "the of the"-type grams);
+       each kept run emits its within-run pairs (vectorized
+       :func:`_emit_run_pairs`) PLUS one (id, -1) sentinel row per
+       posting, so a single downstream bucketed pair count
+       (:func:`_count_unique_pairs` — numpy per bucket, no per-pair
+       aggregate overhead) yields BOTH the exact per-pair shared-gram
+       count (= rare-set intersection, since every rare gram of a doc
+       hits exactly one run) AND the per-doc rare-set size (the
+       sentinel group);
+    3. two int-table hash-joins attach the sizes to the pair ends and
+       ``jaccard = inter / (sz_a + sz_b - inter)`` is filtered
+       vectorized.
 
-    Nothing dup-count-sized touches the driver."""
+    Nothing dup-count-sized touches the driver.  (The exact-over-full-
+    sets kernel :func:`batch_token_ngram_jaccard` remains available
+    for verification-style workloads where the cap must not affect
+    scores.)"""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from ..state.pools import default_join_partitions
@@ -995,29 +1051,75 @@ def ngram_jaccard_pairs(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             id_col: pa.array(ids[p], type=pa.int64()),
-            "band": pa.array(np.zeros(p.size, dtype=np.int64)),
             "band_key": pa.array(h.view(np.int64)),
         })
 
-    posts = ds.map_batches(postings, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    empty = _typed_empty_pairs(rd, "jaccard")
-    pairs = _bucket_candidate_pairs(posts, id_col, num_partitions,
-                                    max_df, drop_over=True)
-    if pairs is None:
-        return empty
-    withtext = _attach_pair_features(
-        pairs, ds.select_columns([id_col, text_col]), id_col, text_col,
-        num_partitions)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        key = batch["band_key"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((key * _BUCKET_MIX)
+                      % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        jac = batch_token_ngram_jaccard(batch["_a"], batch["_b"], n)
+    zero = np.zeros(0, dtype=np.int64)
+
+    def emit(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        key = g["band_key"].to_numpy()
+        band = np.zeros(ids.size, dtype=np.int64)
+        a, b = _emit_run_pairs(ids, band, key, max_df, drop_over=True)
+        # sentinel (id, -1) per posting in a KEPT (df ≤ max_df) run:
+        # Count over the sentinel group == the doc's rare-set size
+        order = np.argsort(key, kind="stable")
+        k_s, ids_s = key[order], ids[order]
+        if k_s.size:
+            starts = np.flatnonzero(np.concatenate(
+                ([True], k_s[1:] != k_s[:-1])))
+            lengths = np.diff(np.append(starts, k_s.size))
+            rare_ids = ids_s[np.repeat(lengths <= max_df, lengths)]
+        else:
+            rare_ids = zero
+        return pa.table({
+            "id_a": pa.array(np.concatenate([a, rare_ids])),
+            "id_b": pa.array(np.concatenate(
+                [b, np.full(rare_ids.size, -1, dtype=np.int64)])),
+        })
+
+    counted = _count_unique_pairs(
+        ds.map_batches(postings, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow"),
+        out_col="n_shared",
+    ).materialize()  # read by the sizes filter AND the pairs filter
+
+    empty = _typed_empty_pairs(rd, "jaccard")
+    sizes = counted.map_batches(
+        lambda b: pa.table({
+            id_col: b.filter(pc.equal(b["id_b"], -1))["id_a"],
+            "_sz": b.filter(pc.equal(b["id_b"], -1))["n_shared"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = counted.map_batches(
+        lambda b: b.filter(pc.not_equal(b["id_b"], -1)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if not pairs.take(1):
+        return empty
+    withsz = _attach_pair_features(pairs, sizes, id_col, "_sz",
+                                   num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        inter = batch["n_shared"].to_numpy().astype(np.float64)
+        union = (batch["_a"].to_numpy() + batch["_b"].to_numpy()
+                 ).astype(np.float64) - inter
+        jac = inter / np.maximum(union, 1.0)
         out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
                         "jaccard": pa.array(jac, type=pa.float64())})
         return out.filter(
             pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
 
-    return empty.union(withtext.map_batches(verify, batch_format="pyarrow"))
+    return empty.union(withsz.map_batches(score, batch_format="pyarrow"))
 
 
 def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
