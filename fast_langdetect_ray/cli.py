@@ -103,8 +103,10 @@ def _init_ray(num_cpus: int) -> None:
 
 def cmd_dedup(args: argparse.Namespace) -> int:
     """Deduplicate a parquet corpus: ``exact`` writes the keep-first
-    dataset; ``minhash`` / ``simhash`` write verified near-dup pair
-    tables the caller can anti-join against."""
+    dataset; ``minhash`` / ``simhash`` / ``ngram`` write verified
+    near-dup pair tables (``--emit corpus`` turns minhash/ngram pairs
+    into the keep-first deduped corpus via connected components +
+    anti-join)."""
     import ray
 
     _init_ray(args.num_cpus)
@@ -126,16 +128,37 @@ def cmd_dedup(args: argparse.Namespace) -> int:
             print(json.dumps({"mode": args.mode, "rows_out": 0,
                               "output": str(args.output)}))
             return 0
+        if args.emit == "corpus" and args.mode == "simhash":
+            print("--emit corpus supports modes exact/minhash/ngram "
+                  "(simhash emits pairs only)", file=sys.stderr)
+            return 1
         ds = rd.read_parquet(frags)
         if args.mode == "exact":
             from .stages.dedup import exact_dedup
             out = exact_dedup(ds, text_col=args.text_col,
                               id_col=args.id_col)
         elif args.mode == "minhash":
-            from .stages.dedup import minhash_candidate_pairs
-            out = minhash_candidate_pairs(
-                ds, text_col=args.text_col, id_col=args.id_col,
-                jaccard_threshold=args.threshold)
+            if args.emit == "corpus":
+                from .stages.dedup import near_dup_dedup
+                out = near_dup_dedup(ds, text_col=args.text_col,
+                                     id_col=args.id_col,
+                                     jaccard_threshold=args.threshold)
+            else:
+                from .stages.dedup import minhash_candidate_pairs
+                out = minhash_candidate_pairs(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    jaccard_threshold=args.threshold)
+        elif args.mode == "ngram":
+            if args.emit == "corpus":
+                from .stages.dedup import ngram_dedup_corpus
+                out = ngram_dedup_corpus(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    n=args.ngram, jaccard_threshold=args.threshold)
+            else:
+                from .stages.dedup import ngram_jaccard_pairs
+                out = ngram_jaccard_pairs(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    n=args.ngram, jaccard_threshold=args.threshold)
         else:
             from .stages.dedup import simhash_near_dup_pairs
             out = simhash_near_dup_pairs(
@@ -223,6 +246,59 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prune(args: argparse.Namespace) -> int:
+    """Strip boilerplate segments (lines/paragraphs whose exact text
+    repeats across > --max-df docs) from a parquet corpus."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .stages.boilerplate import prune_boilerplate
+        sep = args.sep.encode().decode("unicode_escape")
+        out = prune_boilerplate(_read_frags(args.input), sep=sep,
+                                max_df=args.max_df,
+                                text_col=args.text_col,
+                                id_col=args.id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"rows_out": rows, "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_join(args: argparse.Namespace) -> int:
+    """Distributed as-of / range join of two parquet inputs on
+    (--key-col, time). Right columns come back suffixed."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        left = _read_frags(args.input)
+        right = _read_frags(args.right)
+        if args.mode == "asof":
+            from .stages.asof import asof_join
+            out = asof_join(left, right, key_col=args.key_col,
+                            ts_col=args.ts_col, suffix=args.suffix)
+        else:
+            from .stages.rangejoin import range_join
+            out = range_join(left, right, key_col=args.key_col,
+                             ts_col=args.ts_col,
+                             start_col=args.start_col,
+                             end_col=args.end_col, suffix=args.suffix)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -251,11 +327,16 @@ def main(argv=None) -> int:
     dd.add_argument("input", help="parquet file or directory of fragments")
     dd.add_argument("output", help="output parquet directory")
     dd.add_argument("--mode", default="exact",
-                    choices=["exact", "minhash", "simhash"])
+                    choices=["exact", "minhash", "simhash", "ngram"])
+    dd.add_argument("--emit", default="pairs", choices=["pairs", "corpus"],
+                    help="minhash/ngram: write verified pair table or the "
+                         "keep-first deduped corpus (exact always corpus)")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--threshold", type=float, default=0.7,
-                    help="minhash: true-Jaccard verify threshold")
+                    help="minhash/ngram: true-Jaccard verify threshold")
+    dd.add_argument("--ngram", type=int, default=3,
+                    help="ngram: token n-gram width")
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="simhash: max Hamming distance for a pair")
     dd.add_argument("--num-cpus", type=int, default=8)
@@ -287,6 +368,36 @@ def main(argv=None) -> int:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--num-cpus", type=int, default=8)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    pr = sub.add_parser("prune",
+                        help="strip repeated boilerplate segments")
+    pr.add_argument("input", help="parquet file or directory of fragments")
+    pr.add_argument("output", help="output parquet directory")
+    pr.add_argument("--sep", default="\\n",
+                    help=r"segment separator (escapes OK, e.g. '\n\n')")
+    pr.add_argument("--max-df", type=int, default=2,
+                    help="segments in more than this many docs are dropped")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--num-cpus", type=int, default=8)
+    pr.set_defaults(fn=cmd_prune)
+
+    jn = sub.add_parser("join", help="distributed as-of / range join")
+    jn.add_argument("input", help="left parquet file or directory")
+    jn.add_argument("output", help="output parquet directory")
+    jn.add_argument("--right", required=True,
+                    help="right parquet file or directory")
+    jn.add_argument("--mode", default="asof", choices=["asof", "range"])
+    jn.add_argument("--key-col", required=True)
+    jn.add_argument("--ts-col", required=True,
+                    help="left timestamp column (asof: also right's)")
+    jn.add_argument("--start-col", default="start_ts",
+                    help="range: right interval start column")
+    jn.add_argument("--end-col", default="end_ts",
+                    help="range: right interval end (exclusive) column")
+    jn.add_argument("--suffix", default="_r")
+    jn.add_argument("--num-cpus", type=int, default=8)
+    jn.set_defaults(fn=cmd_join)
 
     args = ap.parse_args(argv)
     return args.fn(args)

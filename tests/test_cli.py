@@ -147,3 +147,98 @@ def test_cli_decontaminate(tmp_path):
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary == {"rows_out": 2, "flagged": 1,
                        "output": str(out)}
+
+
+def test_cli_dedup_ngram_corpus(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "one two three four five six seven eight nine ten"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [base, base + " eleven", "totally different words here"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "deduped"
+    p = _run("dedup", str(src), str(out), "--mode", "ngram",
+             "--emit", "corpus", "--threshold", "0.5",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2  # doc 1 collapses into doc 0
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 2]
+
+
+def test_cli_dedup_simhash_corpus_rejected(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": ["anything"]}), src)
+    p = _run("dedup", str(src), str(tmp_path / "o"), "--mode", "simhash",
+             "--emit", "corpus", "--num-cpus", "4", timeout=300)
+    assert p.returncode == 1
+    assert "pairs only" in p.stderr
+
+
+def test_cli_prune(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    footer = "subscribe to our newsletter"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [f"unique body zero\n{footer}",
+                 f"unique body one\n{footer}",
+                 f"unique body two\n{footer}"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "pruned"
+    p = _run("prune", str(src), str(out), "--max-df", "2",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id")
+    assert list(got["text_clean"]) == ["unique body zero",
+                                       "unique body one",
+                                       "unique body two"]
+    assert list(got["n_removed"]) == [1, 1, 1]
+
+
+def test_cli_join_asof(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.timestamp("us")
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([100_000_000, 200_000_000, 150_000_000], type=ts),
+        "event": ["a", "b", "c"],
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([90_000_000, 180_000_000], type=ts),
+        "state": ["old", "new"],
+    })
+    lsrc, rsrc = tmp_path / "l.parquet", tmp_path / "r.parquet"
+    pq.write_table(left, lsrc)
+    pq.write_table(right, rsrc)
+    out = tmp_path / "joined"
+    p = _run("join", str(lsrc), str(out), "--right", str(rsrc),
+             "--mode", "asof", "--key-col", "user_id", "--ts-col", "ts",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values(["user_id", "ts"])
+    assert list(got["state_r"].fillna("-")) == ["old", "new", "-"]
