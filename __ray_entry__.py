@@ -266,6 +266,17 @@ def _q_ngram_dedup_corpus(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _q_ngram_containment_pairs(sf_dir: str):
+    """Exact token-3-gram set-CONTAINMENT pairs (inter/min(|A|,|B|) >=
+    0.8) — catches quote/excerpt subset duplication Jaccard dilutes.
+    Same inverted-index join as ngram_jaccard_pairs, different final
+    kernel."""
+    from fast_langdetect_ray.stages.dedup import ngram_containment_pairs
+    return ngram_containment_pairs(
+        _read(sf_dir, "documents"), n=3, containment_threshold=0.8,
+        max_df=64)
+
+
 def _q_prune_boilerplate(sf_dir: str):
     """CCNet-style high-df segment pruning.  The synthetic corpus has
     no newlines, so the demo separator is a space — the operator
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_first": _q_exact_dedup_first,
         "normalized_dedup": _q_normalized_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "ngram_dedup_corpus": _q_ngram_dedup_corpus,
         "prune_boilerplate": _q_prune_boilerplate,
         "events_asof_join": _q_events_asof_join,
@@ -1265,10 +1277,27 @@ def _sql_scrubbed(col: str) -> str:
     return expr
 
 
-# shared CTE chain for the exact token-3-gram Jaccard join
-# (n=3, jaccard_threshold=0.5, max_df=64 — mirrors
-# stages/dedup.py:ngram_jaccard_pairs defaults used by the queries)
-_SQL_NGRAM_PAIR_CTES = """tok AS (
+# shared CTE chain for the exact token-3-gram set-similarity join
+# (n=3, max_df=64 — mirrors stages/dedup.py:ngram_jaccard_pairs
+# defaults used by the queries); `metric` picks the final score:
+# jaccard = inter/union, containment = inter/min(|A|,|B|)
+def _sql_ngram_pair_ctes(metric: str = "jaccard",
+                         threshold: float = 0.5) -> str:
+    score = (
+        "CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)"
+        if metric == "jaccard"
+        else "CAST(i.n_inter AS DOUBLE) / least(sa.sz, sb.sz)")
+    return _SQL_NGRAM_INDEX_CTES + f""",
+            pairs AS (
+              SELECT i.id_a, i.id_b, {score} AS {metric}
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE {score} >= {threshold}
+            )"""
+
+
+_SQL_NGRAM_INDEX_CTES = """tok AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS t
@@ -1290,17 +1319,9 @@ _SQL_NGRAM_PAIR_CTES = """tok AS (
               FROM rg a JOIN rg b USING (g)
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT i.id_a, i.id_b,
-                     CAST(i.n_inter AS DOUBLE)
-                         / (sa.sz + sb.sz - i.n_inter) AS jaccard
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.id_a
-              JOIN sizes sb ON sb.doc_id = i.id_b
-              WHERE CAST(i.n_inter AS DOUBLE)
-                        / (sa.sz + sb.sz - i.n_inter) >= 0.5
             )"""
+
+_SQL_NGRAM_PAIR_CTES = _sql_ngram_pair_ctes("jaccard", 0.5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1557,6 +1578,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH {_SQL_NGRAM_PAIR_CTES}
             SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        # same inverted-index CTEs, containment score inter/min(szA,szB)
+        "ngram_containment_pairs": f"""
+            WITH {_sql_ngram_pair_ctes("containment", 0.8)}
+            SELECT id_a, id_b, containment FROM pairs
         """,
         # same pairs -> transitive closure (recursive CTE) -> keep-first
         "ngram_dedup_corpus": f"""

@@ -997,7 +997,7 @@ def token_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 def ngram_jaccard_pairs(
     ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
     jaccard_threshold: float = 0.5, max_df: int = 64,
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, metric: str = "jaccard",
 ):
     """EXACT token n-gram Jaccard near-dup pairs — the set-similarity
     join of the dedup family (vs MinHash's probabilistic recall):
@@ -1033,7 +1033,13 @@ def ngram_jaccard_pairs(
     Nothing dup-count-sized touches the driver.  (The exact-over-full-
     sets kernel :func:`batch_token_ngram_jaccard` remains available
     for verification-style workloads where the cap must not affect
-    scores.)"""
+    scores.)
+
+    ``metric="containment"`` scores ``inter / min(sz_a, sz_b)``
+    instead (output column ``containment``) — the set-containment
+    coefficient, which catches subset relations Jaccard dilutes: a
+    short doc fully quoted inside a long one has high containment but
+    low Jaccard.  Same index, same shuffle, different final kernel."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1041,6 +1047,8 @@ def ngram_jaccard_pairs(
     from ..state.rayjoin import ensure_join_schema_broadcast_fix
     from .decontaminate import _distinct_per_doc, _doc_shingle_hashes
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     ensure_join_schema_broadcast_fix()
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -1095,7 +1103,7 @@ def ngram_jaccard_pairs(
         out_col="n_shared",
     ).materialize()  # read by the sizes filter AND the pairs filter
 
-    empty = _typed_empty_pairs(rd, "jaccard")
+    empty = _typed_empty_pairs(rd, metric)
     sizes = counted.map_batches(
         lambda b: pa.table({
             id_col: b.filter(pc.equal(b["id_b"], -1))["id_a"],
@@ -1111,15 +1119,36 @@ def ngram_jaccard_pairs(
 
     def score(batch: pa.Table) -> pa.Table:
         inter = batch["n_shared"].to_numpy().astype(np.float64)
-        union = (batch["_a"].to_numpy() + batch["_b"].to_numpy()
-                 ).astype(np.float64) - inter
-        jac = inter / np.maximum(union, 1.0)
+        sz_a = batch["_a"].to_numpy().astype(np.float64)
+        sz_b = batch["_b"].to_numpy().astype(np.float64)
+        if metric == "containment":
+            val = inter / np.maximum(np.minimum(sz_a, sz_b), 1.0)
+        else:
+            val = inter / np.maximum(sz_a + sz_b - inter, 1.0)
         out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                        "jaccard": pa.array(jac, type=pa.float64())})
+                        metric: pa.array(val, type=pa.float64())})
         return out.filter(
-            pa.compute.greater_equal(out["jaccard"], jaccard_threshold))
+            pa.compute.greater_equal(out[metric], jaccard_threshold))
 
     return empty.union(withsz.map_batches(score, batch_format="pyarrow"))
+
+
+def ngram_containment_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    containment_threshold: float = 0.8, max_df: int = 64,
+    num_partitions: int | None = None,
+):
+    """Exact token n-gram set-CONTAINMENT pairs: (id_a, id_b,
+    containment) with ``containment = |A∩B| / min(|A|, |B|)`` over the
+    rare-gram sets — detects quote/excerpt/subset duplication that
+    Jaccard misses (a doc embedded verbatim in a 10× longer one scores
+    containment 1.0 but Jaccard ≈ 0.1).  Thin wrapper over the
+    :func:`ngram_jaccard_pairs` inverted-index machinery; see its
+    docstring for the distributed shape."""
+    return ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, n=n,
+        jaccard_threshold=containment_threshold, max_df=max_df,
+        num_partitions=num_partitions, metric="containment")
 
 
 def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -136,3 +136,54 @@ def test_no_pairs_returns_input_unchanged(ray_session):
     }))
     out = ngram_dedup_corpus(ds, n=3, jaccard_threshold=0.5).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_containment_catches_subset_pairs_jaccard_misses(ray_session):
+    """A short doc fully quoted inside a long one: containment 1.0,
+    Jaccard well below threshold — the operator's reason to exist."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import ngram_containment_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon plus lots of extra "
+            "trailing words continuing on and on",
+            "totally different content in this one okay",
+        ],
+    }))
+    got = ngram_containment_pairs(
+        ds, n=3, containment_threshold=0.9, max_df=64).to_pandas()
+    pairs = {(r.id_a, r.id_b): r.containment for r in got.itertuples()}
+    assert pairs == {(0, 1): pytest.approx(1.0)}
+    # the same threshold under Jaccard finds nothing: subset diluted
+    jac = ngram_jaccard_pairs(
+        ds, n=3, jaccard_threshold=0.9, max_df=64).to_pandas()
+    assert len(jac) == 0
+
+
+def test_containment_matches_python_sets(ray_session):
+    """Exact-value check vs a pure-Python set oracle on the toy corpus."""
+    from fast_langdetect_ray.stages.dedup import ngram_containment_pairs
+
+    texts = _toy_ds().to_pandas()["text"].tolist()
+
+    def grams(t):
+        toks = [x for x in t.lower().split() if x]
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = grams(texts[i]), grams(texts[j])
+            if not gi or not gj:
+                continue
+            c = len(gi & gj) / min(len(gi), len(gj))
+            if c >= 0.4 and gi & gj:
+                want[(i, j)] = pytest.approx(c)
+    got = ngram_containment_pairs(
+        _toy_ds(), n=3, containment_threshold=0.4, max_df=64).to_pandas()
+    assert {(r.id_a, r.id_b): r.containment
+            for r in got.itertuples()} == want
