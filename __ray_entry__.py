@@ -1006,6 +1006,26 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_dup_cluster_histogram(sf_dir: str):
+    """Duplicate-cluster size distribution (cluster_size, n_clusters,
+    n_docs) — the dedup diagnostic that tells you whether a corpus is
+    dominated by a few mega-clusters or a long tail of pairs.  Only
+    the pruned (sha256, id) projection ever shuffles; the histogram
+    itself exchanges a few hundred partial rows."""
+    from fast_langdetect_ray.stages.dedup import dup_cluster_histogram
+    return dup_cluster_histogram(_read(sf_dir, "documents"))
+
+
+def _q_distinct_tokens_exact(sf_dir: str):
+    """EXACT distinct lowercased tokens per language — the exact twin
+    of the HLL sketch query (same tokenizer), one (lang, token)
+    distinct shuffle moving the vocabulary once."""
+    from fast_langdetect_ray.stages.sketch import (
+        distinct_tokens_exact_per_group,
+    )
+    return distinct_tokens_exact_per_group(_read(sf_dir, "documents"))
+
+
 def _q_distinct_tokens_per_lang(sf_dir: str):
     """HyperLogLog distinct-token estimate per language (mergeable
     sketch: one 4 KiB register array per (lang, batch) through the
@@ -1243,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_fingerprints,
         "distinct_tokens_per_lang": _q_distinct_tokens_per_lang,
+        "distinct_tokens_exact": _q_distinct_tokens_exact,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1685,6 +1707,26 @@ def oracle_sql() -> dict[str, str]:
                       (PARTITION BY text ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        "dup_cluster_histogram": """
+            WITH clusters AS (
+              SELECT sha256(text) AS h, count(*) AS cluster_size
+              FROM documents GROUP BY 1
+            )
+            SELECT cluster_size,
+                   count(*) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM clusters GROUP BY cluster_size
+        """,
+        "distinct_tokens_exact": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(string_split_regex(lower(text),
+                                               '[^\\pL\\pN]+')) AS token
+              FROM documents
+            )
+            SELECT lang, count(DISTINCT token) AS distinct_tokens
+            FROM tok WHERE token <> '' GROUP BY lang
         """,
         "events_tumbling": """
             SELECT event_type,

@@ -339,6 +339,49 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dup_cluster_histogram(ds, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Duplicate-cluster size distribution — the dedup diagnostic:
+    (cluster_size, n_clusters, n_docs) where a cluster is one distinct
+    content hash and ``n_docs = cluster_size × n_clusters``.
+
+    Scale shape: the only corpus-sized movement is the pruned
+    (text_sha256, id) shuffle inside :func:`exact_dup_groups`; the
+    histogram's second groupby runs over one int64 column of
+    distinct-content-sized rows, pre-shrunk again by per-batch
+    ``value_counts`` partials, so the final exchange is
+    O(n_batches × n_distinct_sizes) — a few hundred rows at any
+    corpus size (cluster sizes are power-law, the size domain is
+    tiny)."""
+    from ray.data.aggregate import Sum
+
+    groups = exact_dup_groups(ds, text_col, id_col)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sizes = batch["n_dups"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(sizes, return_counts=True)
+        return pa.table({
+            "cluster_size": pa.array(uniq.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        size = batch["cluster_size"].to_numpy(zero_copy_only=False)
+        n_cl = batch["n_clusters"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "n_docs", pa.array((size * n_cl).astype(np.int64)))
+
+    return (
+        groups.select_columns(["n_dups"])
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("cluster_size")
+        .aggregate(Sum("cnt", alias_name="n_clusters"))
+        .map_batches(finalize, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None):
     """Keep-first exact dedup: one row (min id) per distinct content,

@@ -161,3 +161,61 @@ def distinct_tokens_per_group(ds, group_col: str = "lang",
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def distinct_tokens_exact_per_group(ds, group_col: str = "lang",
+                                    text_col: str = "text"):
+    """EXACT distinct lowercased word tokens per group — the exact
+    twin of :func:`distinct_tokens_per_group` (same ``[^\\pL\\pN]+``
+    tokenizer), for when the ~1.6% HLL error is not acceptable.
+
+    Returns ``(group, distinct_tokens: int64)``.
+
+    Scale shape: per-batch (group, token) vocabulary dedup (the
+    batch vocabulary is far smaller than its token stream) → ONE
+    distinct shuffle over (group, token) pairs — the unavoidable
+    exact-distinct exchange, moving the global vocabulary once,
+    never the token stream → per-batch count partials → a tiny
+    groupby(group) sum over O(n_batches × n_groups) rows.  Prefer
+    the HLL sketch when the vocabulary itself is too large to
+    shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    def vocab(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"[^\pL\pN]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({group_col: grp.take(parent), "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        return t.group_by([group_col, "token"],
+                          use_threads=False).aggregate([])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            group_col: enc.dictionary,
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ds.select_columns([group_col, text_col])
+        .map_batches(vocab, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "token"])
+        .aggregate(Count(alias_name="_dup"))
+        .select_columns([group_col])
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("cnt", alias_name="distinct_tokens"))
+    )

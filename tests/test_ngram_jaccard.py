@@ -187,3 +187,22 @@ def test_containment_matches_python_sets(ray_session):
         _toy_ds(), n=3, containment_threshold=0.4, max_df=64).to_pandas()
     assert {(r.id_a, r.id_b): r.containment
             for r in got.itertuples()} == want
+
+
+def test_dup_cluster_histogram(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import dup_cluster_histogram
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(10)),
+        "text": (["aaa"] * 4) + (["bbb"] * 2) + (["ccc"] * 2)
+                + ["ddd", "eee"],
+    }))
+    got = dup_cluster_histogram(ds).to_pandas().sort_values(
+        "cluster_size").reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "cluster_size": [1, 2, 4],
+        "n_clusters": [2, 2, 1],
+        "n_docs": [2, 4, 4],
+    }

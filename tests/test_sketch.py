@@ -57,3 +57,49 @@ def test_distinct_tokens_query_vs_exact(ray_session):
     for r in got.itertuples():
         rel = abs(r.distinct_tokens_approx - e[r.lang]) / e[r.lang]
         assert rel < 0.05, (r.lang, r.distinct_tokens_approx, e[r.lang])
+
+
+def test_distinct_tokens_exact_matches_bruteforce(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sketch import (
+        distinct_tokens_exact_per_group,
+    )
+
+    texts = ["the cat SAT on the mat", "The DOG sat!  on-a log",
+             "un deux trois", "deux quatre  cinq", "the end."]
+    langs = ["en", "en", "fr", "fr", "en"]
+    ds = rd.from_arrow(pa.table({"lang": langs, "text": texts}))
+    got = distinct_tokens_exact_per_group(ds).to_pandas()
+    got = dict(zip(got["lang"], got["distinct_tokens"]))
+    want = {}
+    for lang in set(langs):
+        vocab = set()
+        for l, t in zip(langs, texts):
+            if l == lang:
+                vocab |= {w for w in re.split(r"[^\w]+", t.lower()) if w}
+        want[lang] = len(vocab)
+    assert got == want
+
+
+def test_distinct_tokens_exact_vs_hll_on_corpus(ray_session):
+    """The HLL estimate must land within its error band of the exact
+    count on the real test corpus — ties the two operators together."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sketch import (
+        distinct_tokens_exact_per_group,
+        distinct_tokens_per_group,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = distinct_tokens_exact_per_group(ds).to_pandas()
+    approx = distinct_tokens_per_group(ds).to_pandas()
+    e = dict(zip(exact["lang"], exact["distinct_tokens"]))
+    a = dict(zip(approx["lang"], approx["distinct_tokens_approx"]))
+    assert set(e) == set(a)
+    for lang, n in e.items():
+        assert abs(a[lang] - n) / n < 0.08, (lang, n, a[lang])
