@@ -1006,6 +1006,37 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023): log p_target − p_raw
+    under hashed unigram+bigram models, target = the corpus's French
+    docs (a deterministic in-domain sample).  Counts are fixed-size
+    bucket vectors (bounded take_all, broadcast once); scoring is one
+    streaming gather pass.  Rows-only: pinned by the brute-force
+    oracle in tests/test_dsir.py."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.stages.dsir import dsir_importance
+    docs = _read(sf_dir, "documents")
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "fr")),
+        batch_format="pyarrow")
+    return dsir_importance(docs, target, n_buckets=10_000)
+
+
+def _q_dsir_select_top(sf_dir: str):
+    """Gumbel-top-k DSIR selection (k=100) of the raw corpus toward
+    the French-doc target — deterministic without-replacement sample
+    proportional to the importance weights."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.stages.dsir import dsir_select
+    docs = _read(sf_dir, "documents")
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "fr")),
+        batch_format="pyarrow")
+    return dsir_select(docs, target, k=100, n_buckets=10_000, seed=17)
+
+
 def _q_dup_cluster_histogram(sf_dir: str):
     """Duplicate-cluster size distribution (cluster_size, n_clusters,
     n_docs) — the dedup diagnostic that tells you whether a corpus is
@@ -1265,6 +1296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_lang": _q_distinct_tokens_per_lang,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "dsir_scores": _q_dsir_scores,
+        "dsir_select_top": _q_dsir_select_top,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

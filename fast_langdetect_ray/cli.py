@@ -299,6 +299,36 @@ def cmd_join(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_select(args: argparse.Namespace) -> int:
+    """DSIR data selection: score raw docs by hashed-n-gram
+    log(p_target/p_raw) against a target parquet sample; ``--k``
+    keeps a Gumbel-top-k without-replacement sample, else all scores
+    are written."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .stages.dsir import dsir_importance, dsir_select
+        raw = _read_frags(args.input)
+        target = _read_frags(args.target)
+        kw = dict(text_col=args.text_col, id_col=args.id_col,
+                  n_buckets=args.buckets)
+        if args.k:
+            out = dsir_select(raw, target, k=args.k, seed=args.seed,
+                              temperature=args.temperature, **kw)
+        else:
+            out = dsir_importance(raw, target, **kw)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"rows_out": rows, "k": args.k,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -398,6 +428,22 @@ def main(argv=None) -> int:
     jn.add_argument("--suffix", default="_r")
     jn.add_argument("--num-cpus", type=int, default=8)
     jn.set_defaults(fn=cmd_join)
+
+    sl = sub.add_parser(
+        "select", help="DSIR importance scoring / Gumbel-top-k selection")
+    sl.add_argument("--input", required=True)
+    sl.add_argument("--target", required=True,
+                    help="parquet sample of in-domain text")
+    sl.add_argument("--output", required=True)
+    sl.add_argument("--k", type=int, default=0,
+                    help="keep k docs (0 = write all scores)")
+    sl.add_argument("--buckets", type=int, default=10_000)
+    sl.add_argument("--temperature", type=float, default=1.0)
+    sl.add_argument("--seed", type=int, default=17)
+    sl.add_argument("--text-col", default="text")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--num-cpus", type=int, default=None)
+    sl.set_defaults(fn=cmd_select)
 
     args = ap.parse_args(argv)
     return args.fn(args)

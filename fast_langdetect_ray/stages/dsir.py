@@ -1,0 +1,181 @@
+"""DSIR-style hashed n-gram importance scoring for data selection.
+
+Public method from Xie et al., *Data Selection for Language Models
+via Importance Resampling* (NeurIPS 2023): score every raw document
+by ``log p_target(x) − log p_raw(x)`` under bag-of-hashed-n-gram
+(unigram + bigram) multinomial models estimated on a small TARGET
+sample and on the RAW corpus, then select documents by Gumbel-top-k
+over the importance weights (= sampling without replacement
+proportional to the weights, the paper's resampling step, made
+deterministic here by hashing the doc id instead of drawing RNG).
+
+Ray-Data scale shape:
+
+1. **Feature counts are fixed-size vectors.**  Both models live in
+   ``n_buckets`` hashed-gram buckets, so the global count pass is:
+   per-batch ``np.bincount`` partials emitted as nonzero
+   ``(bucket, cnt)`` rows → ``groupby(bucket).sum`` →
+   ``take_all()`` of ≤ ``n_buckets`` rows.  That materialization is
+   **bounded by the bucket count, corpus-independent** (default 10k
+   rows ≈ 160 KB) — the canonical "small side" that is then
+   broadcast once via ``ray.put``.
+2. **Scoring is one streaming gather pass**: each batch re-derives
+   its gram buckets and sums ``log λ_t[b] − log λ_r[b]`` per doc via
+   ``np.add.at`` — no shuffle, no Python per token (tokenizing and
+   hashing ride :func:`whitespace_token_hashes`).
+3. **Selection** adds per-doc deterministic Gumbel noise (splitmix64
+   of the id, no RNG → resume-stable) and takes a global top-k with
+   per-batch partial top-k BEFORE the sort, so the all-to-all sorts
+   ≤ k × n_batches rows.
+
+The reference repo has no data-selection operator; this extends the
+quality-filter family (SURVEY.md §2.3) with the standard
+importance-resampling curation step used ahead of LLM pretraining.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import (
+    _P,
+    splitmix64,
+    whitespace_token_hashes,
+)
+
+_DSIR_SEED = 0x5D51  # separates this operator family's hash stream
+
+
+def _gram_buckets(col, n_buckets: int
+                  ) -> tuple[np.ndarray, np.ndarray, int]:
+    """(parent_doc, bucket) for every unigram AND bigram occurrence in
+    a string column (bag semantics: multiplicity kept).  Bigrams are
+    order-sensitive combines of adjacent same-doc token hashes."""
+    parent, th, n_docs = whitespace_token_hashes(col, seed=_DSIR_SEED)
+    uni = (th % np.uint64(n_buckets)).astype(np.int64)
+    if th.size >= 2:
+        same = parent[1:] == parent[:-1]
+        with np.errstate(over="ignore"):
+            raw = splitmix64(th[:-1] * _P + th[1:])
+        big = (raw[same] % np.uint64(n_buckets)).astype(np.int64)
+        bparent = parent[1:][same]
+    else:
+        big = np.empty(0, dtype=np.int64)
+        bparent = np.empty(0, dtype=np.int64)
+    return (np.concatenate([parent, bparent]),
+            np.concatenate([uni, big]), n_docs)
+
+
+def _global_bucket_counts(ds, text_col: str, n_buckets: int) -> np.ndarray:
+    """Dense global hashed-gram count vector for a corpus — the ONLY
+    materialization in the operator, bounded at ``n_buckets`` rows."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, buckets, _ = _gram_buckets(batch[text_col], n_buckets)
+        cnt = np.bincount(buckets, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    rows = (ds.select_columns([text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())  # ≤ n_buckets rows — bounded, corpus-independent
+    out = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        out[r["bucket"]] = r["cnt"]
+    return out
+
+
+def log_ratio_vector(target_counts: np.ndarray, raw_counts: np.ndarray,
+                     smoothing: float = 1.0) -> np.ndarray:
+    """log λ_target − log λ_raw per bucket under add-α smoothed
+    multinomials (α keeps buckets unseen in the target finite)."""
+    n = target_counts.size
+
+    def logp(c):
+        tot = float(c.sum()) + smoothing * n
+        return np.log((c + smoothing) / tot)
+
+    return logp(target_counts.astype(np.float64)) \
+        - logp(raw_counts.astype(np.float64))
+
+
+def dsir_importance(ds, target_ds, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 10_000,
+                    smoothing: float = 1.0):
+    """Per-doc DSIR importance scores: ``(id, dsir_logratio, n_grams)``
+    where ``dsir_logratio = Σ_grams (log λ_t[b(g)] − log λ_r[b(g)])``.
+
+    ``target_ds`` is the (small) sample of in-domain text; ``ds`` is
+    the raw corpus.  Both count passes stream; the two count vectors
+    are the only driver-side state and are broadcast once."""
+    import ray
+
+    t_counts = _global_bucket_counts(target_ds, text_col, n_buckets)
+    r_counts = _global_bucket_counts(ds, text_col, n_buckets)
+    lr_ref = ray.put(log_ratio_vector(t_counts, r_counts, smoothing))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        parent, buckets, n_docs = _gram_buckets(batch[text_col], n_buckets)
+        s = np.zeros(n_docs, dtype=np.float64)
+        np.add.at(s, parent, lr[buckets])
+        ng = np.bincount(parent, minlength=n_docs)
+        return pa.table({
+            id_col: batch[id_col],
+            "dsir_logratio": pa.array(s),
+            "n_grams": pa.array(ng.astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gumbel_from_ids(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic standard-Gumbel noise per id — splitmix64 of
+    (id ⊕ seed) → uniform(0,1) → −log(−log u).  No RNG state, so the
+    draw is identical on every node and across resumed runs."""
+    h = splitmix64(ids.astype(np.uint64)
+                   ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    # map to (0, 1): add 0.5 in the 2^64 grid so u is never 0 or 1
+    u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+    return -np.log(-np.log(u))
+
+
+def dsir_select(ds, target_ds, k: int, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 10_000,
+                smoothing: float = 1.0, temperature: float = 1.0,
+                seed: int = 17):
+    """Gumbel-top-k DSIR selection: keep the ``k`` raw docs with the
+    largest ``dsir_logratio / temperature + Gumbel(id)`` — i.e. a
+    without-replacement sample proportional to the softmax of the
+    importance weights (the paper's resampling step).
+    ``temperature → 0`` degenerates to deterministic top-k by score.
+
+    Scale: per-batch partial top-k runs BEFORE the global sort, so
+    the all-to-all carries ≤ k × n_batches rows."""
+    scored = dsir_importance(ds, target_ds, text_col=text_col,
+                             id_col=id_col, n_buckets=n_buckets,
+                             smoothing=smoothing)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = batch["dsir_logratio"].to_numpy(zero_copy_only=False)
+        key = s / max(temperature, 1e-12) + _gumbel_from_ids(
+            ids.astype(np.int64), seed)
+        out = batch.append_column("_gumbel_key", pa.array(key))
+        if out.num_rows > k:  # lossless partial top-k
+            order = np.argsort(key)[::-1][:k]
+            out = out.take(np.sort(order))
+        return out
+
+    return (scored.map_batches(keyed, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .sort("_gumbel_key", descending=True)
+            .limit(k)
+            .drop_columns(["_gumbel_key"]))

@@ -242,3 +242,37 @@ def test_cli_join_asof(tmp_path):
         pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
     ]).to_pandas().sort_values(["user_id", "ts"])
     assert list(got["state_r"].fillna("-")) == ["old", "new", "-"]
+
+
+def test_cli_select_dsir(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "text": ["le chat dort sur le tapis",
+                 "la maison est grande et belle",
+                 "the cat sleeps on the mat",
+                 "the house is large and beautiful",
+                 "le chien mange dans la cuisine",
+                 "stock market prices rose sharply"],
+    })
+    target = pa.table({
+        "doc_id": pa.array([100, 101], type=pa.int64()),
+        "text": ["le chat et le chien", "la cuisine de la maison"],
+    })
+    rsrc, tsrc = tmp_path / "raw.parquet", tmp_path / "tgt.parquet"
+    pq.write_table(raw, rsrc)
+    pq.write_table(target, tsrc)
+    out = tmp_path / "selected"
+    p = _run("select", "--input", str(rsrc), "--target", str(tsrc),
+             "--output", str(out), "--k", "3", "--buckets", "512",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert set(got.columns) == {"doc_id", "dsir_logratio", "n_grams"}
+    assert len(got) == 3

@@ -1,0 +1,114 @@
+"""DSIR importance scoring: exact-value check vs a pure-numpy
+single-process oracle (same hash kernels, independent count/score
+logic), behavioral in-domain ranking, and Gumbel-top-k determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _toy():
+    import ray.data as rd
+
+    texts = [
+        "le chat dort sur le tapis rouge",
+        "la maison est grande et belle aujourd'hui",
+        "the cat sleeps on the red mat",
+        "the house is large and beautiful today",
+        "le chien mange dans la cuisine",
+        "stock market prices rose sharply this quarter",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+
+
+def _target():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": ["le chat et le chien dorment",
+                 "la cuisine de la maison est rouge"],
+    }))
+
+
+def _brute_scores(raw_texts, target_texts, n_buckets=256, smoothing=1.0):
+    """Independent reimplementation over the shared hash kernels."""
+    from fast_langdetect_ray.stages.dsir import (
+        _gram_buckets,
+        log_ratio_vector,
+    )
+
+    def counts(texts):
+        parent, buckets, _ = _gram_buckets(
+            pa.array(texts, type=pa.string()), n_buckets)
+        return np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+
+    lr = log_ratio_vector(counts(target_texts), counts(raw_texts),
+                          smoothing)
+    out = []
+    for t in raw_texts:
+        parent, buckets, n = _gram_buckets(
+            pa.array([t], type=pa.string()), n_buckets)
+        out.append(float(lr[buckets].sum()))
+    return out
+
+
+def test_scores_match_bruteforce(ray_session):
+    from fast_langdetect_ray.stages.dsir import dsir_importance
+
+    got = dsir_importance(
+        _toy(), _target(), n_buckets=256).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    raw = _toy().to_pandas()["text"].tolist()
+    tgt = _target().to_pandas()["text"].tolist()
+    want = _brute_scores(raw, tgt, n_buckets=256)
+    assert np.allclose(got["dsir_logratio"].to_numpy(), want)
+    # n_grams = unigrams + bigrams = 2L-1 for L>=1 whitespace tokens
+    lens = [len(t.split()) for t in raw]
+    assert got["n_grams"].tolist() == [2 * L - 1 for L in lens]
+
+
+def test_in_domain_docs_outscore(ray_session):
+    """French raw docs must outrank English ones under a French
+    target sample (normalized per gram to remove length effects)."""
+    from fast_langdetect_ray.stages.dsir import dsir_importance
+
+    df = dsir_importance(
+        _toy(), _target(), n_buckets=4096).to_pandas()
+    per_gram = dict(zip(
+        df["doc_id"], df["dsir_logratio"] / df["n_grams"]))
+    fr, en = [0, 1, 4], [2, 3, 5]
+    assert min(per_gram[i] for i in fr) > max(per_gram[i] for i in en)
+
+
+def test_select_is_deterministic_and_sized(ray_session):
+    from fast_langdetect_ray.stages.dsir import dsir_select
+
+    a = dsir_select(_toy(), _target(), k=3, n_buckets=512,
+                    seed=7).to_pandas()
+    b = dsir_select(_toy(), _target(), k=3, n_buckets=512,
+                    seed=7).to_pandas()
+    assert len(a) == 3
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # resume-stable
+    assert set(a.columns) == {"doc_id", "dsir_logratio", "n_grams"}
+    # temperature→0 degenerates to deterministic top-3 by raw score
+    t0 = dsir_select(_toy(), _target(), k=3, n_buckets=512,
+                     temperature=1e-9).to_pandas()
+    from fast_langdetect_ray.stages.dsir import dsir_importance
+    top = dsir_importance(_toy(), _target(), n_buckets=512).to_pandas() \
+        .nlargest(3, "dsir_logratio")["doc_id"]
+    assert sorted(t0["doc_id"]) == sorted(top)
+
+
+def test_empty_text_scores_zero(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dsir import dsir_importance
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": ["", "un deux"]}))
+    got = dsir_importance(ds, _target(), n_buckets=128).to_pandas() \
+        .sort_values("doc_id")
+    assert got["dsir_logratio"].iloc[0] == 0.0
+    assert got["n_grams"].iloc[0] == 0
