@@ -1006,6 +1006,17 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means over embeddings, then
+    within-cluster cosine components at sim >= 0.4 (the synthetic
+    embeddings are spread out), keep = min-id representative.
+    Rows-only: pinned by the per-cluster union-find oracle in
+    tests/test_semantic_dedup.py."""
+    from fast_langdetect_ray.stages.similarity import semantic_dedup
+    return semantic_dedup(
+        _read(sf_dir, "embeddings"), k=8, eps=0.6, iters=3)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR importance scores (Xie et al. 2023): log p_target − p_raw
     under hashed unigram+bigram models, target = the corpus's French
@@ -1298,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "dsir_scores": _q_dsir_scores,
         "dsir_select_top": _q_dsir_select_top,
+        "semantic_dedup": _q_semantic_dedup,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

@@ -530,3 +530,86 @@ def embedding_near_dup_dedup(ds, threshold: float = 0.95,
               num_partitions=num_partitions)
     return kept.map_batches(decode, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def _component_min_labels(X: np.ndarray, ids: np.ndarray,
+                          eps: float) -> np.ndarray:
+    """Min-id label per cosine-similarity component (sim ≥ 1−eps)
+    over row-normalized ``X`` — vectorized min-label propagation on
+    the dense in-cluster adjacency (O(c²) per round, ≤ diameter
+    rounds, no Python per edge)."""
+    sims = X @ X.T
+    adj = sims >= (1.0 - eps)          # diagonal is True (sim = 1)
+    labels = ids.astype(np.int64).copy()
+    big = np.iinfo(np.int64).max
+    for _ in range(len(ids)):
+        neigh = np.where(adj, labels[None, :], big).min(axis=1)
+        if np.array_equal(neigh, labels):
+            break
+        labels = neigh
+    return labels
+
+
+def semantic_dedup(ds, k: int = 32, eps: float = 0.05, iters: int = 5,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   max_cluster: int = 20_000, concurrency=None):
+    """SemDeDup (Abbas et al. 2023, public): k-means over the
+    embedding column, then within each cluster drop all but the
+    min-id member of every cosine-similarity component at
+    ``sim ≥ 1 − eps``.  Returns ``(id, cluster, keep)`` — filter on
+    ``keep`` and join back on the id to dedup the corpus.
+
+    Scale shape: centroids come from the streaming
+    :func:`kmeans_cluster` reduce (fixed-size partials, broadcast
+    back via ``ray.put``); the corpus then shuffles ONCE by cluster
+    id and each cluster runs one vectorized pairwise-cosine +
+    min-label-propagation pass — O(c²) memory/compute per cluster is
+    the documented SemDeDup trade, so pick ``k ≈ N / target_cluster``
+    to bound c.  Clusters larger than ``max_cluster`` are sub-split
+    deterministically by id hash before the pairwise pass (near-dups
+    straddling sub-splits are missed — recall loss only, never a
+    wrongly dropped representative)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    _, cent = kmeans_cluster(ds, k=k, iters=iters, id_col=id_col,
+                             emb_col=emb_col)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = _embedding_matrix(batch, emb_col, dtype=np.float64)
+        d2 = (emb * emb).sum(1, keepdims=True) \
+            - 2.0 * (emb @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table({
+            id_col: batch[id_col],
+            emb_col: batch[emb_col],
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+        })
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        X = _normalize(np.asarray(g[emb_col].tolist(), dtype=np.float64))
+        keep = np.zeros(len(ids), dtype=bool)
+        if len(ids) > max_cluster:  # deterministic sub-split
+            sub = (splitmix64(ids.astype(np.uint64))
+                   % np.uint64(-(-len(ids) // max_cluster))).astype(np.int64)
+        else:
+            sub = np.zeros(len(ids), dtype=np.int64)
+        for s in np.unique(sub):
+            m = sub == s
+            labels = _component_min_labels(X[m], ids[m], eps)
+            keep[m] = ids[m] == labels
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": g["cluster"].to_numpy(),
+            "keep": keep,
+        })
+
+    return (ds.select_columns([id_col, emb_col])
+            .map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

@@ -1,0 +1,86 @@
+"""SemDeDup: exact keep-set check vs a brute-force per-cluster
+union-find oracle on the real embeddings table, plus a constructed
+toy corpus with known components."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _uf_components(ids, X, eps):
+    """Brute-force union-find over the exact cosine pair graph."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = X @ X.T
+    n = len(ids)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if sims[a, b] >= 1.0 - eps:
+                parent[find(ids[a])] = find(ids[b])
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    return {i: min(members) for r, members in comp.items()
+            for i in members}
+
+
+def test_toy_components_keep_first(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import semantic_dedup
+
+    # two tight bundles + one isolated point, in 3-D
+    base_a = np.array([1.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0])
+    vecs = [
+        base_a, base_a + 0.01, base_a + 0.02,     # component {0,1,2}
+        base_b, base_b * 3.0,                     # scale-invariant {3,4}
+        np.array([0.0, 0.0, 1.0]),                # singleton {5}
+    ]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(6)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64())),
+    }))
+    out = semantic_dedup(ds, k=2, eps=0.001, iters=4).to_pandas()
+    kept = sorted(out[out["keep"]]["vec_id"])
+    assert kept == [0, 3, 5]
+    assert len(out) == 6  # every input id present with a verdict
+
+
+def test_matches_bruteforce_on_corpus(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import (
+        kmeans_cluster,
+        semantic_dedup,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(src)
+    eps = 0.6  # the synthetic embeddings are spread out (max offdiag
+    # cosine ≈ 0.48); sim ≥ 0.4 makes real components form
+    out = semantic_dedup(ds, k=4, eps=eps, iters=3).to_pandas()
+    kept = set(out[out["keep"]]["vec_id"])
+
+    # oracle: same centroids (same deterministic kmeans), brute-force
+    # union-find per cluster over exact normalized cosines
+    assign, cent = kmeans_cluster(rd.read_parquet(src), k=4, iters=3)
+    a = assign.to_pandas()
+    t = pq.read_table(src).to_pandas().set_index("vec_id")
+    want = set()
+    for c in sorted(a["cluster"].unique()):
+        ids = sorted(a[a["cluster"] == c]["vec_id"])
+        X = np.asarray([t.loc[i, "embedding"] for i in ids],
+                       dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        reps = _uf_components(ids, X, eps)
+        want |= {i for i in ids if reps[i] == i}
+    assert kept == want
+    assert len(kept) < len(out)  # something actually deduped
