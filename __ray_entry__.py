@@ -1006,6 +1006,25 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_cross_corpus_dedup(sf_dir: str):
+    """Incremental exact dedup of the corpus against a 'prior
+    snapshot' (the even-id half): every doc whose content hash
+    appears in the prior half is dropped — even-id docs drop by
+    self-membership, odd-id docs survive unless they duplicate an
+    even doc's text."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.stages.dedup import cross_corpus_dedup
+    docs = _read(sf_dir, "documents")
+    prior = docs.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    out = cross_corpus_dedup(docs, prior)
+    return out.select_columns(
+        ["text_sha256", "doc_id", "lang", "n_chars"])
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means over embeddings, then
     within-cluster cosine components at sim >= 0.4 (the synthetic
@@ -1310,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "dsir_select_top": _q_dsir_select_top,
         "semantic_dedup": _q_semantic_dedup,
+        "cross_corpus_dedup": _q_cross_corpus_dedup,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1752,6 +1772,13 @@ def oracle_sql() -> dict[str, str]:
                       (PARTITION BY text ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        "cross_corpus_dedup": """
+            SELECT sha256(text) AS text_sha256, doc_id, lang, n_chars
+            FROM documents
+            WHERE sha256(text) NOT IN
+                  (SELECT sha256(text) FROM documents
+                   WHERE doc_id % 2 = 0)
         """,
         "dup_cluster_histogram": """
             WITH clusters AS (

@@ -339,6 +339,50 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def cross_corpus_dedup(ds, prior_ds, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_partitions: int | None = None):
+    """Incremental exact dedup against a prior corpus snapshot: drop
+    every ``ds`` doc whose content sha256 appears anywhere in
+    ``prior_ds`` (the standard "don't re-ingest what the last crawl
+    already kept" step).  Returns the surviving ``ds`` rows with
+    ``text_sha256`` appended.
+
+    Scale shape: the prior corpus reduces to its DISTINCT content
+    hashes (within-batch dedup, then a pruned groupby — one 64-hex
+    column ever moves); the new corpus is hashed once and dropped via
+    a distributed LEFT ANTI hash join on the hash — never a broadcast
+    (the prior hash set is O(distinct prior contents), far too big
+    for ``ray.put`` at snapshot scale)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def prior_hashes(batch: pa.Table) -> pa.Table:
+        batch = add_sha256(batch.select([text_col]), text_col=text_col)
+        return pa.table({
+            "text_sha256": pc.unique(batch["text_sha256"])})
+
+    prior = (prior_ds.map_batches(prior_hashes, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+             .groupby("text_sha256")
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["text_sha256"]))
+
+    hashed = ds.map_batches(add_sha256, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"text_col": text_col})
+    return hashed.join(prior, join_type="left_anti",
+                       on=("text_sha256",),
+                       num_partitions=num_partitions)
+
+
 def dup_cluster_histogram(ds, text_col: str = "text",
                           id_col: str = "doc_id"):
     """Duplicate-cluster size distribution — the dedup diagnostic:

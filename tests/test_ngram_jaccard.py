@@ -206,3 +206,21 @@ def test_dup_cluster_histogram(ray_session):
         "n_clusters": [2, 2, 1],
         "n_docs": [2, 4, 4],
     }
+
+
+def test_cross_corpus_dedup(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import cross_corpus_dedup
+
+    new = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["seen before", "brand new", "also seen", "fresh"],
+    }))
+    prior = rd.from_arrow(pa.table({
+        "doc_id": [90, 91, 92],
+        "text": ["seen before", "also seen", "prior only"],
+    }))
+    got = cross_corpus_dedup(new, prior).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 3]
+    assert "text_sha256" in got.columns
