@@ -1006,6 +1006,16 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_remove_repeated_spans(sf_dir: str):
+    """Intra-doc repeated-span removal (within-document case of
+    Lee et al. 2022 span dedup): tokens covered by a repeat of an
+    already-seen 8-token span are dropped, survivors space-rejoined.
+    Stateless per-doc transform, no shuffle.  Rows-only: pinned by
+    the pure-Python oracle in tests/test_spans.py (incl. fuzz)."""
+    from fast_langdetect_ray.stages.spans import remove_repeated_spans
+    return remove_repeated_spans(_read(sf_dir, "documents"), width=8)
+
+
 def _q_cross_corpus_dedup(sf_dir: str):
     """Incremental exact dedup of the corpus against a 'prior
     snapshot' (the even-id half): every doc whose content hash
@@ -1330,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_top": _q_dsir_select_top,
         "semantic_dedup": _q_semantic_dedup,
         "cross_corpus_dedup": _q_cross_corpus_dedup,
+        "remove_repeated_spans": _q_remove_repeated_spans,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

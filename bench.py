@@ -67,6 +67,10 @@ HEADLINE = [
     "prune_boilerplate",
     "events_asof_join",
     "events_range_join",
+    "dsir_scores",
+    "semantic_dedup",
+    "cross_corpus_dedup",
+    "distinct_tokens_exact",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Intra-document repeated-span removal — the self-repetition
+cleaning step of LLM data pipelines (the within-document case of
+span-level dedup à la Lee et al. 2022, *Deduplicating Training Data
+Makes Language Models Better*; complements
+``textstats.repetition_stats``, which only SCORES repetition).
+
+A document that repeats the same ``width``-token span (copy-pasted
+paragraphs, generated boilerplate loops, scraper stutter) keeps the
+FIRST occurrence; every token covered by a later occurrence of an
+already-seen span is dropped, and the survivors are rejoined with
+single spaces (whitespace runs are normalized by design — the
+operator's contract is token-level, mirrored by the test oracle).
+
+Scale shape: one stateless ``map_batches`` pass — the operator is
+per-document, so there is NO shuffle at any corpus size.  Inside the
+batch everything is vectorized: one whitespace-tokenize + one
+polynomial token-hash pass over the shared byte buffer, ``width``
+shifted adds for the rolling span hashes, one (doc, hash, pos)
+lexsort to find repeats, a diff-array cumsum for span coverage, and
+one Arrow ``binary_join`` to reassemble texts.  No Python per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import _P, hash_string_array, splitmix64
+
+_SPAN_SEED = 0x51A2
+
+
+def _repeated_span_mask(parent: np.ndarray, th: np.ndarray,
+                        width: int) -> np.ndarray:
+    """Boolean drop-mask over the flat token array: True where the
+    token is covered by a repeat (2nd+ in-doc occurrence) of a
+    ``width``-token span."""
+    nt = th.size
+    drop = np.zeros(nt, dtype=bool)
+    if nt < 2 * width:
+        return drop
+    # rolling span hash at every start position whose window stays
+    # inside one doc
+    n_starts = nt - width + 1
+    acc = np.zeros(n_starts, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(width):
+            acc += th[k:n_starts + k] * (_P ** np.uint64(width - 1 - k))
+    acc = splitmix64(acc)
+    valid = parent[:n_starts] == parent[width - 1:]
+    starts = np.flatnonzero(valid)
+    if starts.size == 0:
+        return drop
+    doc = parent[starts]
+    h = acc[starts]
+    # 2nd+ occurrence of (doc, hash), by position: lexsort + first-of-
+    # run mask (sort is stable on position within equal (doc, hash))
+    order = np.lexsort((starts, h, doc))
+    d_s, h_s = doc[order], h[order]
+    rep = np.concatenate(
+        ([False], (d_s[1:] == d_s[:-1]) & (h_s[1:] == h_s[:-1])))
+    rep_starts = starts[order][rep]
+    if rep_starts.size == 0:
+        return drop
+    # coverage via diff-array cumsum: token i dropped iff any repeated
+    # span covers it
+    diff = np.zeros(nt + 1, dtype=np.int64)
+    np.add.at(diff, rep_starts, 1)
+    np.add.at(diff, rep_starts + width, -1)
+    return np.cumsum(diff[:-1]) > 0
+
+
+def remove_repeated_spans(ds, text_col: str = "text",
+                          id_col: str = "doc_id", width: int = 8):
+    """Drop every token covered by a repeat of an already-seen
+    ``width``-token span WITHIN the same document; rejoin survivors
+    with single spaces.  Returns
+    ``(id, text_clean, n_tokens, n_removed)``.
+
+    Stateless per-document transform — streams with no shuffle."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        # drop empty tokens while keeping parent alignment
+        toks_all = pc.utf8_split_whitespace(col)
+        parent = pc.list_parent_indices(toks_all).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks_all)
+        nonempty = pc.not_equal(flat, "")
+        keepne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+        if not keepne.all():
+            flat = flat.filter(nonempty)
+            parent = parent[keepne]
+        th = hash_string_array(flat, seed=_SPAN_SEED)
+        drop = _repeated_span_mask(parent, th, width)
+        keep = ~drop
+        kept_tokens = flat.filter(pa.array(keep))
+        kept_parent = parent[keep]
+        n_docs = len(col)
+        counts = np.bincount(kept_parent, minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if isinstance(kept_tokens, pa.ChunkedArray):
+            kept_tokens = kept_tokens.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            kept_tokens.cast(pa.large_string()))
+        clean_text = pc.binary_join(
+            lists, pa.scalar(" ", type=pa.large_string()))
+        total = np.bincount(parent, minlength=n_docs)
+        return pa.table({
+            id_col: batch[id_col],
+            "text_clean": clean_text.cast(pa.string()),
+            "n_tokens": pa.array(total.astype(np.int64)),
+            "n_removed": pa.array((total - counts).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True)

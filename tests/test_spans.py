@@ -1,0 +1,92 @@
+"""Intra-doc repeated-span removal vs a pure-Python oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _py_clean(text: str, width: int) -> str:
+    toks = text.split()
+    n = len(toks)
+    seen = set()
+    rep_starts = []
+    for s in range(n - width + 1):
+        span = tuple(toks[s:s + width])
+        if span in seen:
+            rep_starts.append(s)
+        else:
+            seen.add(span)
+    drop = [False] * n
+    for s in rep_starts:
+        for i in range(s, s + width):
+            drop[i] = True
+    return " ".join(t for t, d in zip(toks, drop) if not d)
+
+
+CASES = [
+    # verbatim paragraph repeat
+    ("alpha beta gamma delta . alpha beta gamma delta .", 4),
+    # stutter
+    ("a a a a a a a a", 2),
+    # no repeats
+    ("one two three four five six seven eight nine ten", 3),
+    # repeat with different tail
+    ("x y z w q x y z w r", 4),
+    # short doc (< 2*width tokens): untouched
+    ("p q r", 2),
+    # whitespace runs normalize
+    ("m  n\t o m n o", 3),
+    ("", 4),
+]
+
+
+def test_matches_python_oracle(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import remove_repeated_spans
+
+    for text, width in CASES:
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": [text]}))
+        got = remove_repeated_spans(ds, width=width).to_pandas()
+        assert got["text_clean"].iloc[0] == _py_clean(text, width), \
+            (text, width)
+        toks = text.split()
+        assert got["n_tokens"].iloc[0] == len(toks)
+        assert got["n_removed"].iloc[0] == \
+            len(toks) - len(_py_clean(text, width).split())
+
+
+def test_batch_with_mixed_docs(ray_session):
+    """Docs in one batch must not leak spans into each other."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import remove_repeated_spans
+
+    same = "alpha beta gamma delta"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": [same, same],  # identical docs: no INTRA-doc repeat
+    }))
+    got = remove_repeated_spans(ds, width=4).to_pandas()
+    assert (got["text_clean"] == same).all()
+    assert (got["n_removed"] == 0).all()
+
+
+def test_corpus_fuzz_vs_oracle(ray_session):
+    """Random repetitive docs, engine == oracle on every row."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import remove_repeated_spans
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(60):
+        toks = [vocab[rng.randint(len(vocab))]
+                for _ in range(rng.randint(0, 40))]
+        texts.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = remove_repeated_spans(ds, width=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        assert got["text_clean"].iloc[i] == _py_clean(t, 3), (i, t)
