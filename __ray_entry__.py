@@ -155,6 +155,24 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def _q_decontaminate_join(sf_dir: str):
+    """Same contamination semantics as `decontaminate`, computed by
+    the fully DISTRIBUTED join path (broadcast=False) — the scale
+    route for corpus-sized benchmark sides.  Shares the oracle SQL
+    with the broadcast query (identical output contract)."""
+    from fast_langdetect_ray.stages.decontaminate import decontaminate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return decontaminate(docs, bench, n=8, broadcast=False)
+
+
 def _q_heuristic_rules(sf_dir: str):
     """Rules E3 over documents (langid/ppl neutralized so the decision
     is exactly SQL-expressible: allowlist + length + alpha-ratio)."""
@@ -1289,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "decontaminate_join": _q_decontaminate_join,
         "quantile_band_filter": _q_quantile_band_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "balance_groups": _q_balance_groups,
@@ -1422,6 +1441,32 @@ _SQL_NGRAM_INDEX_CTES = """tok AS (
 _SQL_NGRAM_PAIR_CTES = _sql_ngram_pair_ctes("jaccard", 0.5)
 
 
+_SQL_DECONTAMINATE = """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+              WHERE len(t) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams JOIN bench USING (g)
+              GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     allow = ", ".join(f"'{l}'" for l in TARGET_LANGS)
     return {
@@ -1504,30 +1549,9 @@ def oracle_sql() -> dict[str, str]:
         # decontamination vs the synthetic benchmark slice: string
         # 8-gram equality in SQL, 64-bit gram hashes in the engine
         # (equal grams always match; FP needs a 2^-64 collision)
-        "decontaminate": """
-            WITH tok AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS t
-              FROM documents
-            ),
-            grams AS (
-              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
-              FROM tok,
-                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
-              WHERE len(t) >= 8
-            ),
-            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-            hits AS (
-              SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-              FROM grams JOIN bench USING (g)
-              GROUP BY grams.doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-                   coalesce(h.n_hits, 0) > 0 AS contaminated
-            FROM documents d LEFT JOIN hits h USING (doc_id)
-        """,
+        "decontaminate": _SQL_DECONTAMINATE,
+        # identical semantics via the distributed join path
+        "decontaminate_join": _SQL_DECONTAMINATE,
         "stratified_sample": """
             SELECT doc_id, text, lang, source, n_chars
             FROM (SELECT *, row_number() OVER (

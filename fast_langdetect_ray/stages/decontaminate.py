@@ -117,8 +117,86 @@ def flag_contaminated(ds, bench_hashes: np.ndarray, n: int = 8,
                           zero_copy_batch=True)
 
 
+def flag_contaminated_join(ds, bench_ds, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_partitions: int | None = None):
+    """The module docstring's scale fallback, made real: the same
+    (id, n_hits, contaminated) output computed with a DISTRIBUTED
+    hash join instead of a driver broadcast — for when the "bench"
+    side is another corpus (cross-corpus n-gram contamination) and
+    its shingle vocabulary outgrows driver memory.
+
+    Shape: both sides reduce to distinct 64-bit shingle-hash rows
+    (per-batch dedup, then a pruned groupby on the bench side so each
+    hash moves once); an inner hash join co-locates corpus postings
+    with bench hashes; ``groupby(id).count`` yields per-doc hit
+    counts; one LEFT OUTER join attaches them back to the pruned
+    (id) spine, nulls filled as clean.  Nothing vocabulary-sized
+    touches the driver."""
+    from ray.data.aggregate import Count
+
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[p]),
+            # int64 view: join keys stay a vectorizable primitive
+            "sh": pa.array(h.view(np.int64)),
+        })
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        _, h = _doc_shingle_hashes(batch[text_col], n)
+        return pa.table({"sh": pa.array(np.unique(h).view(np.int64))})
+
+    bench = (bench_ds.select_columns([text_col])
+             .map_batches(bench_hashes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("sh").aggregate(Count(alias_name="_n"))
+             .select_columns(["sh"]))
+
+    hits = (ds.select_columns([id_col, text_col])
+            .map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .join(bench, join_type="inner", on=("sh",),
+                  num_partitions=num_partitions)
+            .groupby(id_col)
+            .aggregate(Count(alias_name="n_hits")))
+
+    spine = ds.select_columns([id_col])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nh = pc.fill_null(batch["n_hits"], 0).cast(pa.int64())
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hits": nh,
+            "contaminated": pc.greater(nh, 0),
+        })
+
+    return (spine.join(hits, join_type="left_outer", on=(id_col,),
+                       num_partitions=num_partitions)
+            .map_batches(finalize, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
-                  id_col: str = "doc_id"):
-    """Convenience: flag every row of ``ds`` against ``bench_ds``."""
+                  id_col: str = "doc_id", broadcast: bool = True,
+                  num_partitions: int | None = None):
+    """Convenience: flag every row of ``ds`` against ``bench_ds``.
+    ``broadcast=True`` (default) uses the eval-set-sized driver
+    broadcast; ``broadcast=False`` runs the fully distributed join
+    path (:func:`flag_contaminated_join`) for corpus-sized bench
+    sides — identical output either way."""
+    if not broadcast:
+        return flag_contaminated_join(ds, bench_ds, n=n,
+                                      text_col=text_col, id_col=id_col,
+                                      num_partitions=num_partitions)
     return flag_contaminated(ds, benchmark_shingles(bench_ds, n, text_col),
                              n=n, text_col=text_col, id_col=id_col)

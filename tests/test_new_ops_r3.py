@@ -303,3 +303,44 @@ def test_balance_groups_deterministic_and_expectation_exact(ray_session):
         if want:
             cps = sorted(got.loc[got["doc_id"] == i, "copy_idx"])
             assert cps == list(range(want))
+
+
+def test_decontaminate_join_path_equals_broadcast(ray_session):
+    """broadcast=False (distributed join fallback) must be output-
+    identical to the broadcast path — planted overlaps AND the real
+    corpus against its own French docs as the 'benchmark'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    corpus = pa.table({
+        "doc_id": list(range(4)),
+        "text": [
+            "x alpha beta gamma delta epsilon zeta eta theta y",
+            bench_text + " " + bench_text,
+            "totally different words with no overlap at all here ok",
+            "alpha beta gamma",
+        ],
+    })
+    bench = rd.from_arrow(pa.table({"doc_id": [100],
+                                    "text": [bench_text]}))
+    a = decontaminate(rd.from_arrow(corpus), bench, n=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate(rd.from_arrow(corpus), bench, n=8,
+                      broadcast=False) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    fr = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "fr")),
+        batch_format="pyarrow")
+    x = decontaminate(docs, fr, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    y = decontaminate(docs, fr, n=8, broadcast=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert x.equals(y[x.columns])
+    assert x["contaminated"].sum() > 0  # fr docs self-flag
