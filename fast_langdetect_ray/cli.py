@@ -159,6 +159,20 @@ def cmd_dedup(args: argparse.Namespace) -> int:
                 out = ngram_jaccard_pairs(
                     ds, text_col=args.text_col, id_col=args.id_col,
                     n=args.ngram, jaccard_threshold=args.threshold)
+        elif args.mode == "containment":
+            from .stages.dedup import ngram_containment_pairs
+            out = ngram_containment_pairs(
+                ds, text_col=args.text_col, id_col=args.id_col,
+                n=args.ngram, containment_threshold=args.threshold)
+        elif args.mode == "cross":
+            if not args.prior:
+                print("--prior is required for mode=cross",
+                      file=sys.stderr)
+                return 1
+            from .stages.dedup import cross_corpus_dedup
+            out = cross_corpus_dedup(
+                ds, _read_frags(args.prior),
+                text_col=args.text_col, id_col=args.id_col)
         else:
             from .stages.dedup import simhash_near_dup_pairs
             out = simhash_near_dup_pairs(
@@ -248,17 +262,24 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
 
 def cmd_prune(args: argparse.Namespace) -> int:
     """Strip boilerplate segments (lines/paragraphs whose exact text
-    repeats across > --max-df docs) from a parquet corpus."""
+    repeats across > --max-df docs) from a parquet corpus; ``--mode
+    spans`` removes intra-document repeated token spans instead."""
     import ray
 
     _init_ray(args.num_cpus)
     try:
-        from .stages.boilerplate import prune_boilerplate
-        sep = args.sep.encode().decode("unicode_escape")
-        out = prune_boilerplate(_read_frags(args.input), sep=sep,
-                                max_df=args.max_df,
-                                text_col=args.text_col,
-                                id_col=args.id_col)
+        if args.mode == "spans":
+            from .stages.spans import remove_repeated_spans
+            out = remove_repeated_spans(
+                _read_frags(args.input), width=args.span_width,
+                text_col=args.text_col, id_col=args.id_col)
+        else:
+            from .stages.boilerplate import prune_boilerplate
+            sep = args.sep.encode().decode("unicode_escape")
+            out = prune_boilerplate(_read_frags(args.input), sep=sep,
+                                    max_df=args.max_df,
+                                    text_col=args.text_col,
+                                    id_col=args.id_col)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq
         rows = sum(pq.ParquetFile(f).metadata.num_rows
@@ -357,10 +378,14 @@ def main(argv=None) -> int:
     dd.add_argument("input", help="parquet file or directory of fragments")
     dd.add_argument("output", help="output parquet directory")
     dd.add_argument("--mode", default="exact",
-                    choices=["exact", "minhash", "simhash", "ngram"])
+                    choices=["exact", "minhash", "simhash", "ngram",
+                             "containment", "cross"])
     dd.add_argument("--emit", default="pairs", choices=["pairs", "corpus"],
                     help="minhash/ngram: write verified pair table or the "
                          "keep-first deduped corpus (exact always corpus)")
+    dd.add_argument("--prior", default=None,
+                    help="cross: parquet of the prior snapshot to dedup "
+                         "against")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--threshold", type=float, default=0.7,
@@ -403,6 +428,12 @@ def main(argv=None) -> int:
                         help="strip repeated boilerplate segments")
     pr.add_argument("input", help="parquet file or directory of fragments")
     pr.add_argument("output", help="output parquet directory")
+    pr.add_argument("--mode", default="segments",
+                    choices=["segments", "spans"],
+                    help="segments: cross-doc boilerplate df cut; "
+                         "spans: intra-doc repeated-span removal")
+    pr.add_argument("--span-width", type=int, default=8,
+                    help="spans: token width of the repeat window")
     pr.add_argument("--sep", default="\\n",
                     help=r"segment separator (escapes OK, e.g. '\n\n')")
     pr.add_argument("--max-df", type=int, default=2,

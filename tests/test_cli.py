@@ -276,3 +276,50 @@ def test_cli_select_dsir(tmp_path):
     ]).to_pandas()
     assert set(got.columns) == {"doc_id", "dsir_logratio", "n_grams"}
     assert len(got) == 3
+
+
+def test_cli_dedup_cross(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["seen before", "brand new", "fresh"],
+    })
+    prior = pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": ["seen before"],
+    })
+    nsrc, psrc = tmp_path / "new.parquet", tmp_path / "prior.parquet"
+    pq.write_table(new, nsrc)
+    pq.write_table(prior, psrc)
+    out = tmp_path / "deduped"
+    p = _run("dedup", str(nsrc), str(out), "--mode", "cross",
+             "--prior", str(psrc), "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2]
+
+
+def test_cli_prune_spans(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": ["alpha beta gamma delta alpha beta gamma delta"],
+    }), src)
+    out = tmp_path / "pruned"
+    p = _run("prune", str(src), str(out), "--mode", "spans",
+             "--span-width", "4", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert got["text_clean"].iloc[0] == "alpha beta gamma delta"
+    assert got["n_removed"].iloc[0] == 4
