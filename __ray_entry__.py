@@ -1024,6 +1024,15 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: EOS-separated hashed-vocab token
+    stream cut into fixed 512-id sequences, batch-local pack units
+    (parallel, shuffle-free).  Rows-only: pinned by the exact
+    stream-reconstruction oracle in tests/test_packing.py."""
+    from fast_langdetect_ray.stages.packing import pack_sequences
+    return pack_sequences(_read(sf_dir, "documents"), seq_len=512)
+
+
 def _q_remove_repeated_spans(sf_dir: str):
     """Intra-doc repeated-span removal (within-document case of
     Lee et al. 2022 span dedup): tokens covered by a repeat of an
@@ -1360,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "cross_corpus_dedup": _q_cross_corpus_dedup,
         "remove_repeated_spans": _q_remove_repeated_spans,
+        "pack_sequences": _q_pack_sequences,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

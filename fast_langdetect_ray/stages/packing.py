@@ -1,0 +1,103 @@
+"""Sequence packing — the last step of a pretraining data pipeline:
+concatenate tokenized documents (EOS-separated) and cut the stream
+into fixed-length training sequences (GPT-style packing; every
+sequence is exactly ``seq_len`` ids, the final partial sequence of a
+pack unit is padded and carries its real length).
+
+No real tokenizer ships in this sandbox, so ids come from a
+deterministic HASHED vocabulary over whitespace tokens
+(``2 + hash(token) % (vocab_size − 2)``, ids 0/1 reserved for
+EOS/PAD) — the packing arithmetic, schema, and batch plumbing are the
+real product; swap ``_token_ids`` for a real tokenizer when one is
+installed (same seam pattern as ``stages/multimodal.py``).
+
+Scale shape: ONE stateless ``map_batches`` pass — packing is
+batch-local by design (each batch is an independent pack unit, so
+blocks can pack in parallel with no shuffle and no cross-block
+state; waste is < seq_len tokens per batch, amortized to nothing at
+``batch_size`` in the thousands).  Everything inside the batch is
+vectorized: one token-hash pass, one scatter to interleave EOS
+markers, one reshape to (n_seqs, seq_len) — no Python per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64, whitespace_token_hashes
+
+_PACK_SEED = 0x9ACC
+EOS_ID = 0
+PAD_ID = 1
+
+
+def _token_ids(col, vocab_size: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(parent_doc, token_id) per whitespace token — hashed vocab."""
+    parent, th, n_docs = whitespace_token_hashes(col, seed=_PACK_SEED)
+    ids = (np.uint64(2) + th % np.uint64(vocab_size - 2)).astype(np.int32)
+    return parent, ids, n_docs
+
+
+def pack_sequences(ds, seq_len: int = 512, text_col: str = "text",
+                   vocab_size: int = 50_000):
+    """Pack a document dataset into fixed-length token sequences.
+
+    Returns ``(seq_id, input_ids list<int32>[seq_len], n_real,
+    n_docs_completed)`` — ``seq_id`` is a content hash (deterministic
+    across runs for the same pack unit), ``n_real`` counts non-PAD
+    positions, ``n_docs_completed`` counts EOS markers in the
+    sequence."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parent, tids, n_docs = _token_ids(col, vocab_size)
+        nt = tids.size
+        total = nt + n_docs                      # one EOS per doc
+        if total == 0:
+            return pa.table({
+                "seq_id": pa.array([], type=pa.int64()),
+                "input_ids": pa.array([], type=pa.list_(pa.int32())),
+                "n_real": pa.array([], type=pa.int32()),
+                "n_docs_completed": pa.array([], type=pa.int32()),
+            })
+        counts = np.bincount(parent, minlength=n_docs) \
+            if nt else np.zeros(n_docs, dtype=np.int64)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        stream = np.full(total, EOS_ID, dtype=np.int32)
+        if nt:
+            # token j of doc p lands at j_global + p (each earlier doc
+            # contributed one EOS); parent is non-decreasing
+            stream[np.arange(nt) + parent] = tids
+        n_seqs = -(-total // seq_len)
+        padded = np.full(n_seqs * seq_len, PAD_ID, dtype=np.int32)
+        padded[:total] = stream
+        mat = padded.reshape(n_seqs, seq_len)
+        n_real = np.full(n_seqs, seq_len, dtype=np.int32)
+        n_real[-1] = total - (n_seqs - 1) * seq_len
+        n_eos = (mat == EOS_ID).sum(axis=1).astype(np.int32)
+        # PAD occupies only the tail of the last row, EOS never PADs:
+        # subtract nothing — EOS_ID != PAD_ID by construction
+        with np.errstate(over="ignore"):
+            row = mat.astype(np.uint64)
+            # content hash salted with the in-pack row index, so ids
+            # are deterministic across runs yet unique within a pack
+            # unit even for byte-identical sequences
+            acc = splitmix64(np.arange(n_seqs, dtype=np.uint64))
+            for c in range(0, seq_len, 64):  # fold in 64-col strides
+                acc = splitmix64(
+                    acc ^ splitmix64(row[:, c:c + 64].sum(
+                        axis=1, dtype=np.uint64) + np.uint64(c)))
+        seq_id = (acc >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            "seq_id": pa.array(seq_id),
+            "input_ids": pa.array(list(mat), type=pa.list_(pa.int32())),
+            "n_real": pa.array(n_real),
+            "n_docs_completed": pa.array(n_eos),
+        })
+
+    return ds.select_columns([text_col]).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True)

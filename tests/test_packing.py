@@ -1,0 +1,83 @@
+"""Sequence packing: stream reconstruction, shape invariants,
+determinism."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _expected_stream(texts, vocab_size):
+    from fast_langdetect_ray.stages.packing import (
+        EOS_ID,
+        _token_ids,
+    )
+
+    parent, ids, n_docs = _token_ids(
+        pa.array(texts, type=pa.string()), vocab_size)
+    out = []
+    for d in range(n_docs):
+        out.extend(ids[parent == d].tolist())
+        out.append(EOS_ID)
+    return out
+
+
+def test_pack_reconstructs_stream(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.packing import (
+        PAD_ID,
+        pack_sequences,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                       # empty doc: just an EOS
+        "one two three",
+        "a much longer document with quite a few more tokens in it "
+        "to force the pack across a sequence boundary here",
+    ]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(1)
+    got = pack_sequences(ds, seq_len=16, vocab_size=1000).to_pandas()
+    # shape invariants
+    assert (got["input_ids"].map(len) == 16).all()
+    assert (got["n_real"].iloc[:-1] == 16).all()
+    flat = [t for row in got["input_ids"] for t in row]
+    n_total = int(got["n_real"].sum())
+    assert all(t == PAD_ID for t in flat[n_total:])
+    # exact stream reconstruction
+    want = _expected_stream(texts, 1000)
+    assert flat[:n_total] == want
+    # every doc completes exactly once
+    assert int(got["n_docs_completed"].sum()) == len(texts)
+
+
+def test_pack_deterministic_seq_ids(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.packing import pack_sequences
+
+    t = pa.table({"text": ["alpha beta gamma"] * 40})
+    a = pack_sequences(rd.from_arrow(t).repartition(1),
+                       seq_len=32, vocab_size=500).to_pandas()
+    b = pack_sequences(rd.from_arrow(t).repartition(1),
+                       seq_len=32, vocab_size=500).to_pandas()
+    assert a["seq_id"].tolist() == b["seq_id"].tolist()
+    assert len(set(a["seq_id"])) > 1  # content-hash ids, not constant
+
+
+def test_pack_reserved_ids(ray_session):
+    """Real token ids never collide with EOS/PAD."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.packing import (
+        EOS_ID,
+        PAD_ID,
+        pack_sequences,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["w%d x y z" % i for i in range(50)]})).repartition(1)
+    got = pack_sequences(ds, seq_len=64, vocab_size=100).to_pandas()
+    flat = np.concatenate(got["input_ids"].to_numpy())
+    n_eos = int((flat == EOS_ID).sum())
+    assert n_eos == 50  # one per doc, never from a real token
+    assert ((flat >= 2) | (flat == EOS_ID) | (flat == PAD_ID)).all()
