@@ -1024,6 +1024,28 @@ def _q_doc_length_quantiles(sf_dir: str):
     )
 
 
+def _q_curate_and_pack(sf_dir: str):
+    """END-TO-END curation flagship: dedup → decontaminate (vs the
+    doc_id % 97 bench slice) → scrub/score/rules → keep-filter →
+    span removal → sequence packing.  Two shuffles total; every
+    other stage streams.  Rows-only: each stage is pinned by its own
+    oracle; the composition by tests/test_packing.py."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.pipelines.quality_filter import (
+        curate_and_pack,
+    )
+    docs = _read(sf_dir, "documents")
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return curate_and_pack(docs, bench, seq_len=512, concurrency=2)
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: EOS-separated hashed-vocab token
     stream cut into fixed 512-id sequences, batch-local pack units
@@ -1370,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_dedup": _q_cross_corpus_dedup,
         "remove_repeated_spans": _q_remove_repeated_spans,
         "pack_sequences": _q_pack_sequences,
+        "curate_and_pack": _q_curate_and_pack,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

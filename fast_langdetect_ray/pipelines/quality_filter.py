@@ -284,3 +284,50 @@ def dedup_quality_pipeline(ds, *, text_col: str = "text",
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
     return build_pipeline(ds, text_col=text_col, **pipeline_kwargs)
+
+
+def curate_and_pack(ds, bench_ds=None, *, text_col: str = "text",
+                    id_col: str = "doc_id", seq_len: int = 512,
+                    span_width: int = 8, dedup_method: str = "exact",
+                    shingle_n: int = 8, **pipeline_kwargs):
+    """The END-TO-END curation flagship: raw corpus → training
+    sequences in one lazy streaming plan.
+
+        dedup (keep-first) → [decontaminate vs ``bench_ds``, drop
+        contaminated] → scrub → langid+perplexity score → heuristic
+        rules → keep-filter → intra-doc repeated-span removal →
+        GPT-style sequence packing
+
+    Exactly two shuffles run at any corpus size — the dedup content-
+    hash exchange and its id join; every other stage is a stateless
+    or actor-pool ``map_batches`` that streams with backpressure.
+    The decontamination step uses the broadcast path (eval sets are
+    small by assumption; pass a pre-flagged corpus and skip
+    ``bench_ds`` when the bench side is corpus-sized — see
+    ``stages.decontaminate.flag_contaminated_join``)."""
+    import pyarrow.compute as pc
+
+    from ..stages.decontaminate import benchmark_shingles, flag_contaminated
+    from ..stages.packing import pack_sequences
+    from ..stages.spans import remove_repeated_spans
+
+    pipeline_kwargs.setdefault("concurrency", 2)
+    curated = dedup_quality_pipeline(
+        ds, text_col=text_col, id_col=id_col, method=dedup_method,
+        **pipeline_kwargs)
+    if bench_ds is not None:
+        hashes = benchmark_shingles(bench_ds, n=shingle_n,
+                                    text_col=text_col)
+        curated = flag_contaminated(
+            curated, hashes, n=shingle_n, text_col=text_col,
+            id_col=id_col, passthrough=True)
+        curated = curated.map_batches(
+            lambda b: b.filter(pc.invert(b["contaminated"])),
+            batch_format="pyarrow", zero_copy_batch=True)
+    kept = curated.map_batches(
+        lambda b: b.filter(b["keep"]).select([id_col, "scrubbed"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cleaned = remove_repeated_spans(kept, text_col="scrubbed",
+                                    id_col=id_col, width=span_width)
+    return pack_sequences(cleaned, seq_len=seq_len,
+                          text_col="text_clean")

@@ -94,9 +94,13 @@ def benchmark_shingles(bench_ds, n: int = 8,
 
 
 def flag_contaminated(ds, bench_hashes: np.ndarray, n: int = 8,
-                      text_col: str = "text", id_col: str = "doc_id"):
+                      text_col: str = "text", id_col: str = "doc_id",
+                      passthrough: bool = False):
     """(id, n_hits, contaminated) per corpus doc: membership of the
-    doc's distinct shingles in the broadcast benchmark set."""
+    doc's distinct shingles in the broadcast benchmark set.
+    ``passthrough=True`` appends the two flag columns to the input
+    rows instead, so a downstream drop-filter streams without a
+    join."""
     ref = ray.put(np.ascontiguousarray(bench_hashes, dtype=np.uint64))
 
     def check(batch: pa.Table) -> pa.Table:
@@ -107,6 +111,13 @@ def flag_contaminated(ds, bench_hashes: np.ndarray, n: int = 8,
             idx = np.searchsorted(bench, h)
             idx[idx == bench.size] = 0
             np.add.at(hits, p[bench[idx] == h], 1)
+        if passthrough:
+            for name in ("n_hits", "contaminated"):
+                if name in batch.column_names:
+                    batch = batch.drop_columns([name])
+            return batch.append_column(
+                "n_hits", pa.array(hits)
+            ).append_column("contaminated", pa.array(hits > 0))
         return pa.table({
             id_col: batch[id_col],
             "n_hits": pa.array(hits),

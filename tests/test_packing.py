@@ -81,3 +81,43 @@ def test_pack_reserved_ids(ray_session):
     n_eos = int((flat == EOS_ID).sum())
     assert n_eos == 50  # one per doc, never from a real token
     assert ((flat >= 2) | (flat == EOS_ID) | (flat == PAD_ID)).all()
+
+
+def test_curate_and_pack_end_to_end(ray_session):
+    """Raw corpus -> training sequences: dedup drops the exact dup,
+    decontamination drops the benchmark quote, rules drop the short
+    doc, spans clean the stutter, and the pack completes each
+    surviving doc exactly once."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.pipelines.quality_filter import (
+        curate_and_pack,
+    )
+    from fast_langdetect_ray.stages.rules import RuleConfig
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "on running through the quiet green field all morning")
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(5)),
+        "text": [
+            good,
+            good,                       # exact dup: dropped by dedup
+            "x " + bench_text + " y",   # contaminated: dropped
+            "too short",                # rules: dropped (min length)
+            good.replace("morning", "evening") + " " + good.replace(
+                "morning", "evening"),  # intra-doc repeat: cleaned
+        ],
+    }))
+    bench = rd.from_arrow(pa.table({"doc_id": [100],
+                                    "text": [bench_text]}))
+    cfg = RuleConfig(min_chars=20, min_score=0.0, ppl_thresholds={})
+    out = curate_and_pack(ds, bench, seq_len=64, span_width=8,
+                          rule_config=cfg).to_pandas()
+    # 2 surviving docs (ids 0 and 4), each completed exactly once
+    assert int(out["n_docs_completed"].sum()) == 2
+    assert (out["input_ids"].map(len) == 64).all()
+    # the stutter really was cleaned: survivor token count < 2x good
+    n_real = int(out["n_real"].sum())
+    n_good = len(good.split()) + 1   # + EOS
+    assert n_real < 2 * (2 * n_good)
