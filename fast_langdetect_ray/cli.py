@@ -350,6 +350,36 @@ def cmd_select(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """End-to-end curation: dedup → [decontaminate] → scrub/score/
+    rules → span removal → sequence packing; writes the packed
+    training sequences as parquet."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .pipelines.quality_filter import curate_and_pack
+        bench = _read_frags(args.benchmark) if args.benchmark else None
+        out = curate_and_pack(
+            _read_frags(args.input), bench,
+            text_col=args.text_col, id_col=args.id_col,
+            seq_len=args.seq_len, span_width=args.span_width,
+            dedup_method=args.dedup, concurrency=args.concurrency)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        seqs = tokens = 0
+        for f in Path(args.output).rglob("*.parquet"):
+            t = pq.read_table(f, columns=["n_real"])
+            seqs += len(t)
+            tokens += int(t["n_real"].to_pandas().sum())
+        print(json.dumps({"sequences": seqs, "real_tokens": tokens,
+                          "seq_len": args.seq_len,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fast_langdetect_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -475,6 +505,24 @@ def main(argv=None) -> int:
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--num-cpus", type=int, default=None)
     sl.set_defaults(fn=cmd_select)
+
+    cu = sub.add_parser(
+        "curate", help="dedup+decontaminate+filter+clean+pack, end to end")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--benchmark", default=None,
+                    help="optional eval-set parquet to decontaminate "
+                         "against")
+    cu.add_argument("--dedup", default="exact",
+                    choices=["exact", "minhash"])
+    cu.add_argument("--seq-len", type=int, default=512)
+    cu.add_argument("--span-width", type=int, default=8)
+    cu.add_argument("--concurrency", type=int, default=2,
+                    help="quality-scorer actor pool size")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -323,3 +323,28 @@ def test_cli_prune_spans(tmp_path):
     ]).to_pandas()
     assert got["text_clean"].iloc[0] == "alpha beta gamma delta"
     assert got["n_removed"].iloc[0] == 4
+
+
+def test_cli_curate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "on running through the quiet green field all morning")
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [good, good, good.replace("fox", "cat")],
+    }), src)
+    out = tmp_path / "packed"
+    p = _run("curate", "--input", str(src), "--output", str(out),
+             "--seq-len", "64", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["sequences"] >= 1
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    # the exact dup was removed: exactly 2 docs complete in the pack
+    assert int(got["n_docs_completed"].sum()) == 2
+    assert (got["input_ids"].map(len) == 64).all()
