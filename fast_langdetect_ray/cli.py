@@ -173,6 +173,11 @@ def cmd_dedup(args: argparse.Namespace) -> int:
             out = cross_corpus_dedup(
                 ds, _read_frags(args.prior),
                 text_col=args.text_col, id_col=args.id_col)
+        elif args.mode == "semantic":
+            from .stages.similarity import semantic_dedup
+            out = semantic_dedup(
+                ds, k=args.clusters, eps=args.eps,
+                id_col=args.id_col, emb_col=args.emb_col)
         else:
             from .stages.dedup import simhash_near_dup_pairs
             out = simhash_near_dup_pairs(
@@ -409,7 +414,13 @@ def main(argv=None) -> int:
     dd.add_argument("output", help="output parquet directory")
     dd.add_argument("--mode", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "containment", "cross"])
+                             "containment", "cross", "semantic"])
+    dd.add_argument("--clusters", type=int, default=32,
+                    help="semantic: k-means cluster count")
+    dd.add_argument("--eps", type=float, default=0.05,
+                    help="semantic: drop if cosine >= 1-eps in-cluster")
+    dd.add_argument("--emb-col", default="embedding",
+                    help="semantic: embedding list<float> column")
     dd.add_argument("--emit", default="pairs", choices=["pairs", "corpus"],
                     help="minhash/ngram: write verified pair table or the "
                          "keep-first deduped corpus (exact always corpus)")

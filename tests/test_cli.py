@@ -348,3 +348,29 @@ def test_cli_curate(tmp_path):
     # the exact dup was removed: exactly 2 docs complete in the pack
     assert int(got["n_docs_completed"].sum()) == 2
     assert (got["input_ids"].map(len) == 64).all()
+
+
+def test_cli_dedup_semantic(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_a = [1.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0]
+    src = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [base_a, [1.0, 0.001, 0.0], base_b, [0.0, 3.0, 0.0]],
+            type=pa.list_(pa.float64())),
+    }), src)
+    out = tmp_path / "sem"
+    p = _run("dedup", str(src), str(out), "--mode", "semantic",
+             "--clusters", "2", "--eps", "0.001", "--id-col", "vec_id",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    kept = sorted(got[got["keep"]]["vec_id"])
+    assert kept == [0, 2]
