@@ -1300,6 +1300,25 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_shard_shuffle(sf_dir: str):
+    """Deterministic hash-shard global shuffle: shard and within-shard
+    position are pure functions of sha256(str(doc_id)) — the scale
+    path to a training-data shuffle (one pruned hash exchange, stable
+    under re-run/resume, per-shard rebuildable) vs random_shuffle's
+    full-corpus all-to-all.  Oracle: row_number over (shard, digest)."""
+    from fast_langdetect_ray.stages.sampling import shard_shuffle
+    return shard_shuffle(_read(sf_dir, "documents"), n_shards=16)
+
+
+def _q_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonicalization with an is-ASCII vectorized
+    prefilter (ASCII rows never touch Python); DuckDB nfc_normalize
+    computes the identical composed form and codepoint count."""
+    from fast_langdetect_ray.stages.normalize import nfc_normalize_docs
+    return nfc_normalize_docs(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_normalized_dedup(sf_dir: str):
     """Keep-first dedup under lowercase/whitespace-collapse
     normalization (the canonicalization step before exact dedup)."""
@@ -1356,6 +1375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "hash_split_assign": _q_hash_split_assign,
+        "shard_shuffle": _q_shard_shuffle,
+        "nfc_normalize_docs": _q_nfc_normalize,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1510,6 +1531,36 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
                              < 'e6' THEN 'val'
                         ELSE 'test' END AS split
+            FROM documents
+        """,
+        # shard = first sha256 digest byte % 16 (nibble arithmetic on
+        # the hex string), position = row_number over the full digest
+        "shard_shuffle": """
+            WITH h AS (
+              SELECT doc_id,
+                     sha256(CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, hk,
+                     CAST(((position(substr(hk, 1, 1) IN
+                            '0123456789abcdef') - 1) * 16
+                           + position(substr(hk, 2, 1) IN
+                             '0123456789abcdef') - 1) % 16
+                          AS BIGINT) AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY hk, doc_id) - 1 AS BIGINT) AS shard_pos
+            FROM s
+        """,
+        "nfc_normalize_docs": """
+            SELECT doc_id, text,
+                   nfc_normalize(text) AS text_nfc,
+                   nfc_normalize(text) <> text AS changed,
+                   CAST(length(nfc_normalize(text)) AS BIGINT)
+                       AS n_chars_nfc
             FROM documents
         """,
         # deterministic group balancing to ~150 rows/lang: copy count

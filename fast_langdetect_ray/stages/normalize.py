@@ -1,0 +1,66 @@
+"""Unicode NFC normalization stage (training-data text hygiene).
+
+Web-crawled text mixes composed and decomposed Unicode forms ("é" as
+U+00E9 vs "e"+U+0301), which breaks exact dedup, tokenization and
+n-gram matching across sources.  ``nfc_normalize_docs`` canonicalizes
+every document to NFC and reports whether the text changed plus the
+post-normalization codepoint count — the standard first pass of a
+corpus pipeline (CCNet normalizes before hashing for exactly this
+reason).
+
+Engine shape: stateless ``map_batches`` over zero-copy Arrow batches.
+``pyarrow.compute.utf8_normalize(form="NFC")`` in pyarrow 16 does NOT
+compose canonical sequences (verified: "e"+U+0301 stays decomposed),
+so the normalization itself is CPython's ``unicodedata.normalize`` —
+a C call per row.  To keep the hot path vectorized on real corpora we
+prefilter with ``pyarrow.compute.string_is_ascii`` (one C++ pass):
+ASCII rows are NFC-invariant and skip Python entirely, so the per-row
+cost only applies to the non-ASCII minority.  No shuffle at any
+corpus size.
+
+Oracle: DuckDB ``nfc_normalize`` + ``length`` (codepoints) compute
+identical values (verified against ``unicodedata.normalize``).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def nfc_batch(batch: pa.Table, text_col: str = "text",
+              out_col: str = "text_nfc") -> pa.Table:
+    """map_batches body: append ``text_nfc`` (NFC form), ``changed``
+    (bool) and ``n_chars_nfc`` (int64 codepoint count)."""
+    txt = batch[text_col]
+    if txt.num_chunks != 1:
+        txt = txt.combine_chunks()
+    arr = txt.chunk(0) if isinstance(txt, pa.ChunkedArray) else txt
+    is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    nonascii = np.flatnonzero(~is_ascii)
+    if nonascii.size:
+        vals = arr.take(pa.array(nonascii)).to_pylist()
+        fixed = [v if v is None else unicodedata.normalize("NFC", v)
+                 for v in vals]
+        # splice normalized rows back over the ASCII-passthrough column
+        out_py = arr.to_pylist()
+        for i, v in zip(nonascii, fixed):
+            out_py[i] = v
+        out = pa.array(out_py, type=pa.string())
+    else:
+        out = arr
+    changed = pc.not_equal(out, arr)
+    nch = pc.cast(pc.utf8_length(out), pa.int64())
+    return (batch.append_column(out_col, out)
+            .append_column("changed", changed)
+            .append_column("n_chars_nfc", nch))
+
+
+def nfc_normalize_docs(ds, text_col: str = "text"):
+    """Append NFC-normalized text + change flag + codepoint count."""
+    return ds.map_batches(nfc_batch, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_kwargs={"text_col": text_col})

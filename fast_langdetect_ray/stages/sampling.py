@@ -103,6 +103,50 @@ def stratified_hash_sample(ds, k: int, group_col: str = "lang",
             .map_groups(head_k, batch_format="pandas"))
 
 
+def shard_shuffle(ds, n_shards: int = 64, id_col: str = "doc_id"):
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    The scale-sane alternative to ``Dataset.random_shuffle`` for
+    training-data prep: every row's shard AND its position within the
+    shard are pure functions of its id — ``shard = byte0(sha256(str
+    (id))) % n_shards``, within-shard order = (full hex digest, id) —
+    so re-runs, resumes and different partitionings produce the same
+    shuffled order, and a failed job can rebuild one shard without
+    touching the rest.  sha256 scrambles ids uniformly, so the result
+    is statistically indistinguishable from a random permutation while
+    costing ONE hash-partition exchange of the pruned (id, digest)
+    projection (vs random_shuffle's full-corpus all-to-all + RNG).
+
+    Partitioning assumption: one shard (≈ corpus/n_shards ids + hex
+    digests, not payloads) must fit in a worker for the position sort;
+    size n_shards accordingly (65k shards at 100 TB).  Payload columns
+    do not ride the shuffle — join them back on ``id_col``.
+
+    Oracle: ``row_number() OVER (PARTITION BY shard ORDER BY
+    sha256(CAST(id AS VARCHAR)), id) - 1``.
+    """
+    import pandas as pd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        digs = [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
+        shard = np.fromiter((int(d[:2], 16) % n_shards for d in digs),
+                            dtype=np.int64, count=len(ids))
+        return pa.table({id_col: batch[id_col], "shard": shard,
+                         "_hkey": pa.array(digs, type=pa.string())})
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_hkey", id_col]).reset_index(drop=True)
+        g["shard_pos"] = np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_hkey"])
+
+    return (ds.select_columns([id_col])
+            .map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(number, batch_format="pandas"))
+
+
 def balance_groups(ds, target: int, group_col: str = "lang",
                    id_col: str = "doc_id"):
     """Deterministic group re-balancing for training-data mixing:
