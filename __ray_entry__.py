@@ -1300,6 +1300,18 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Mergeable heavy-hitter summary (Misra-Gries/SpaceSaving family):
+    per-batch capped exact counts + dropped-mass sentinel rows give
+    guaranteed [lower, upper] bounds after one summary-sized shuffle.
+    On this corpus (31-token vocabulary < cap) no batch drops, so the
+    bounds collapse to exact counts and the DuckDB top-k oracle checks
+    the full plumbing; the approximate regime is pinned by a tiny-cap
+    accuracy test (tests/test_new_ops_r3b.py)."""
+    from fast_langdetect_ray.stages.sketch import heavy_hitter_tokens
+    return heavy_hitter_tokens(_read(sf_dir, "documents"), k=20, cap=256)
+
+
 def _q_shard_shuffle(sf_dir: str):
     """Deterministic hash-shard global shuffle: shard and within-shard
     position are pure functions of sha256(str(doc_id)) — the scale
@@ -1377,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_assign": _q_hash_split_assign,
         "shard_shuffle": _q_shard_shuffle,
         "nfc_normalize_docs": _q_nfc_normalize,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -1554,6 +1567,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY hk, doc_id) - 1 AS BIGINT) AS shard_pos
             FROM s
+        """,
+        # exact regime of the heavy-hitter sketch (vocab < cap: no
+        # batch drops, bounds collapse to exact counts)
+        "heavy_hitter_tokens": """
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '[^\\pL\\pN]+'),
+                  x -> x <> '')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY token
+            )
+            SELECT token, n AS count_lower, n AS count_upper
+            FROM c ORDER BY n DESC, token ASC LIMIT 20
         """,
         "nfc_normalize_docs": """
             SELECT doc_id, text,

@@ -163,6 +163,112 @@ def distinct_tokens_per_group(ds, group_col: str = "lang",
     )
 
 
+def heavy_hitter_tokens(ds, k: int = 20, cap: int = 256,
+                        text_col: str = "text"):
+    """Approximate global top-``k`` tokens with DETERMINISTIC error
+    bounds — the mergeable heavy-hitter summary (Misra-Gries /
+    SpaceSaving family, Agarwal et al. 2012 "Mergeable summaries")
+    for corpora whose vocabulary is too large to shuffle exactly.
+
+    Per batch: exact vectorized token counts, keep the ``cap``
+    largest, record ``dmax_b`` = the largest DROPPED count (0 if
+    nothing dropped).  A token absent from a batch's summary has a
+    true batch count ≤ ``dmax_b``, so after a (token)-keyed sum:
+
+    * ``count_lower``  = Σ counts over batches where present — a
+      guaranteed lower bound of the true count (it IS exact when the
+      token survived every batch cut);
+    * ``count_upper``  = lower + Σ_{absent batches} dmax_b
+                       = lower + total_dropped − Σ_{present} dmax_b.
+
+    Any token whose true count exceeds ``max_b dmax_b × n_batches``
+    is guaranteed present.  Scale shape: the shuffle moves ≤ cap+1
+    rows per batch (summaries, never the token stream); the summed
+    summary is materialized ONCE in the object store (bounded by the
+    surviving vocabulary, corpus-row independent) and feeds the tiny
+    sentinel lookup + the top-k finish (batch-local partials before
+    the sort, all-to-all sees ≤ k×n_batches rows).  Returns
+    ``(token, count_lower, count_upper)``, top-k by (lower desc,
+    token asc).  Deterministic, no RNG."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"[^\pL\pN]+")
+        flat = pc.list_flatten(toks)
+        t = pa.table({"token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        counts = t.group_by(["token"], use_threads=False).aggregate(
+            [("token", "count")])
+        tok = counts["token"]
+        cnt = counts.column(1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if cnt.size > cap:
+            order = np.argsort(-cnt, kind="stable")
+            keep, drop = order[:cap], order[cap:]
+            dmax = int(cnt[drop].max())
+            tok = tok.take(pa.array(keep))
+            cnt = cnt[keep]
+        else:
+            dmax = 0
+        # sentinel row ("" is never a real token): carries this
+        # batch's dropped-mass bound for the upper-bound arithmetic
+        return pa.table({
+            "token": pa.concat_arrays(
+                [tok.combine_chunks() if isinstance(tok, pa.ChunkedArray)
+                 else tok, pa.array([""], type=pa.string())]),
+            "cnt": pa.array(np.concatenate([cnt, [0]])),
+            "dmax": pa.array(
+                np.concatenate([np.full(cnt.size, dmax, dtype=np.int64),
+                                [dmax]])),
+        })
+
+    summary = (
+        ds.select_columns([text_col])
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="count_lower"),
+                   Sum("dmax", alias_name="dmax_present"))
+        .materialize()
+    )
+    sent = summary.filter(
+        lambda r: r["token"] == "").take_all()
+    total_dropped = int(sent[0]["dmax_present"]) if sent else 0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["token"], "")
+        batch = batch.filter(mask)
+        lower = batch["count_lower"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dpres = batch["dmax_present"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        upper = lower + (total_dropped - dpres)
+        t = pa.table({"token": batch["token"],
+                      "count_lower": pa.array(lower),
+                      "count_upper": pa.array(upper)})
+        # lossless batch-local top-k before the global sort, under the
+        # SAME total order as the final head (lower desc, token asc)
+        if t.num_rows > k:
+            t = t.sort_by([("count_lower", "descending"),
+                           ("token", "ascending")]).slice(0, k)
+        return t
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["count_lower", "token"],
+                              ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    return (summary
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(head, batch_format="pandas"))
+
+
 def distinct_tokens_exact_per_group(ds, group_col: str = "lang",
                                     text_col: str = "text"):
     """EXACT distinct lowercased word tokens per group — the exact

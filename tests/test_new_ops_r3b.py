@@ -57,6 +57,44 @@ def test_nfc_normalize_composes_and_skips_ascii(ray_session):
     assert out.loc[2, "n_chars_nfc"] == len(composed)
 
 
+def test_heavy_hitters_bounds_bracket_truth_in_approx_regime(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sketch import heavy_hitter_tokens
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["text"]).to_pandas()
+    import re
+    # [^\W_]+ == letters+digits, matching the engine's [\pL\pN]+ runs
+    true = pd.Series(
+        [w for s in t["text"] for w in re.findall(r"[^\W_]+", s.lower())],
+        dtype=object).value_counts()
+    # cap=8 << 31-token vocab forces every batch to drop mass
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         override_num_blocks=8)
+    got = heavy_hitter_tokens(ds, k=10, cap=8).to_pandas()
+    assert len(got) == 10
+    assert (got["count_lower"] <= got["count_upper"]).all()
+    approx = False
+    for _, r in got.iterrows():
+        tc = int(true.get(r["token"], 0))
+        assert r["count_lower"] <= tc <= r["count_upper"], dict(r)
+        approx |= r["count_lower"] < r["count_upper"]
+    assert approx  # the cut actually engaged
+    # the true top-1 token must survive any cut
+    assert true.index[0] in set(got["token"])
+    # exact regime: big cap reproduces the exact top-k with tight bounds
+    exact = heavy_hitter_tokens(ds, k=10, cap=10_000).to_pandas()
+    want = true.reset_index()
+    want.columns = ["token", "n"]
+    want = (want.sort_values(["n", "token"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    assert list(exact["token"]) == list(want["token"])
+    assert (exact["count_lower"] == exact["count_upper"]).all()
+    assert list(exact["count_lower"]) == list(want["n"])
+
+
 def test_nfc_query_runs_on_testdata(ray_session):
     import __ray_entry__ as em
 
