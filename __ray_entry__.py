@@ -1300,6 +1300,27 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_cross_corpus_dedup_bloom(sf_dir: str):
+    """Bloom-sketch variant of cross_corpus_dedup: the prior (even-id)
+    half folds into ONE broadcast 1 MiB bitmap; the odd/new corpus
+    streams through a stateless membership pass — no join, no shuffle.
+    No false negatives by construction; at these corpus sizes the
+    false-positive probability is ~1e-12 per doc (m = 2^23 bits,
+    k = 4, n ≈ 2.5k), so the exact NOT-IN oracle holds (verified at
+    sf0.001/0.01/0.1; the op is deterministic, not sampled)."""
+    import pyarrow.compute as pc
+
+    from fast_langdetect_ray.stages.dedup import cross_corpus_dedup_bloom
+    docs = _read(sf_dir, "documents")
+    prior = docs.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    out = cross_corpus_dedup_bloom(docs, prior)
+    return out.select_columns(
+        ["text_sha256", "doc_id", "lang", "n_chars"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Mergeable heavy-hitter summary (Misra-Gries/SpaceSaving family):
     per-batch capped exact counts + dropped-mass sentinel rows give
@@ -1424,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_top": _q_dsir_select_top,
         "semantic_dedup": _q_semantic_dedup,
         "cross_corpus_dedup": _q_cross_corpus_dedup,
+        "cross_corpus_dedup_bloom": _q_cross_corpus_dedup_bloom,
         "remove_repeated_spans": _q_remove_repeated_spans,
         "pack_sequences": _q_pack_sequences,
         "curate_and_pack": _q_curate_and_pack,
@@ -1922,6 +1944,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "cross_corpus_dedup": """
+            SELECT sha256(text) AS text_sha256, doc_id, lang, n_chars
+            FROM documents
+            WHERE sha256(text) NOT IN
+                  (SELECT sha256(text) FROM documents
+                   WHERE doc_id % 2 = 0)
+        """,
+        # same semantics as cross_corpus_dedup: the bloom path has no
+        # false negatives and its FP probability at this m/k/n is
+        # ~1e-12 per doc (deterministic op, verified at every sf)
+        "cross_corpus_dedup_bloom": """
             SELECT sha256(text) AS text_sha256, doc_id, lang, n_chars
             FROM documents
             WHERE sha256(text) NOT IN

@@ -383,6 +383,106 @@ def cross_corpus_dedup(ds, prior_ds, text_col: str = "text",
                        num_partitions=num_partitions)
 
 
+_BLOOM_SEED_A = 0x626C6D31  # "blm1"
+_BLOOM_SEED_B = 0x626C6D32  # "blm2"
+
+
+def _bloom_indices(texts: pa.Array, m_bits: int,
+                   n_hashes: int) -> "np.ndarray":
+    """(n_rows, n_hashes) bit indices via double hashing h1 + i·h2
+    (Kirsch & Mitzenmacher 2006) — two vectorized 64-bit string-hash
+    passes, no Python per row."""
+    from ..functions.hashing import hash_strings
+    h1 = hash_strings(texts, seed=_BLOOM_SEED_A).astype(np.uint64)
+    h2 = hash_strings(texts, seed=_BLOOM_SEED_B).astype(np.uint64) \
+        | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def cross_corpus_dedup_bloom(ds, prior_ds, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             m_bits: int = 1 << 23, n_hashes: int = 4,
+                             fold: int = 32):
+    """Bloom-filter variant of :func:`cross_corpus_dedup` — the
+    broadcast-sketch scale path when even the prior corpus's DISTINCT
+    hash set is too large to ship through an anti-join comfortably.
+
+    The prior snapshot folds into ONE fixed-size bitmap (``m_bits``
+    bits, corpus-independent): per-batch bitmaps OR'd in a two-level
+    reduce (batch partials → ``fold`` grouped ORs → one driver OR of
+    ``fold`` rows), then broadcast once via ``ray.put``; the new
+    corpus streams through one stateless membership pass — no
+    shuffle, no join, the bitmap is the ONLY materialized state.
+
+    Guarantees: NO false negatives — every doc whose exact text
+    appears in the prior corpus is always dropped.  False positives
+    (a new doc wrongly dropped) occur at rate ≈ (1−e^{−kn/m})^k
+    (~1.2% at m=10·n_distinct, k=4); size ``m_bits`` ≈ 10× the
+    expected distinct prior count, or use :func:`cross_corpus_dedup`
+    when exactness is required.  Deterministic end-to-end (seeded
+    vectorized double hashing), so a given corpus pair always yields
+    the same survivors.  Returns surviving ``ds`` rows with
+    ``text_sha256`` appended (parity with the exact variant)."""
+    import ray
+
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+
+    def partial_bitmap(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(col):
+            idx = _bloom_indices(col, m_bits, n_hashes).ravel()
+            np.bitwise_or.at(
+                bm, idx >> 3,
+                np.left_shift(np.uint8(1),
+                              (idx & 7).astype(np.uint8)))
+            fkey = int(idx[0] % fold)
+        else:
+            fkey = 0
+        return pa.table({"fold": pa.array([fkey], type=pa.int64()),
+                         "bm": pa.array([bm.tobytes()],
+                                        type=pa.binary())})
+
+    def or_group(g):
+        import pandas as pd
+        bm = np.bitwise_or.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["bm"]])
+        return pd.DataFrame({"fold": [g["fold"].iloc[0]],
+                             "bm": [bm.tobytes()]})
+
+    folded = (prior_ds.select_columns([text_col])
+              .map_batches(partial_bitmap, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("fold")
+              .map_groups(or_group, batch_format="pandas")
+              .take_all())
+    bitmap = np.bitwise_or.reduce(
+        [np.frombuffer(r["bm"], dtype=np.uint8) for r in folded]) \
+        if folded else np.zeros(m_bits // 8, dtype=np.uint8)
+    ref = ray.put(bitmap)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not len(col):
+            return add_sha256(batch, text_col=text_col)
+        idx = _bloom_indices(col, m_bits, n_hashes)
+        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        hit = bits.all(axis=1)  # all k bits set -> (probably) seen
+        out = batch.filter(pa.array(~hit))
+        return add_sha256(out, text_col=text_col)
+
+    return ds.map_batches(keep_new, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def dup_cluster_histogram(ds, text_col: str = "text",
                           id_col: str = "doc_id"):
     """Duplicate-cluster size distribution — the dedup diagnostic:

@@ -95,6 +95,32 @@ def test_heavy_hitters_bounds_bracket_truth_in_approx_regime(ray_session):
     assert list(exact["count_lower"]) == list(want["n"])
 
 
+def test_bloom_cross_corpus_dedup_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import (cross_corpus_dedup,
+                                                  cross_corpus_dedup_bloom)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           override_num_blocks=4)
+    prior = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    exact = cross_corpus_dedup(docs, prior).to_pandas()
+    bloom = cross_corpus_dedup_bloom(docs, prior).to_pandas()
+    # no false negatives: every drop of the exact path is dropped by
+    # bloom too (bloom survivors are a subset of exact survivors)
+    assert set(bloom["doc_id"]) <= set(exact["doc_id"])
+    # at m=2^23 / n≈250 the FP probability is ~1e-19: exact agreement
+    assert sorted(bloom["doc_id"]) == sorted(exact["doc_id"])
+    # survivors carry the content hash, like the exact variant
+    assert "text_sha256" in bloom.columns
+    # an undersized bitmap must still never produce a false negative
+    tiny = cross_corpus_dedup_bloom(docs, prior, m_bits=256,
+                                    n_hashes=2).to_pandas()
+    assert set(tiny["doc_id"]) <= set(exact["doc_id"])
+    # ... and at 256 bits vs 250 prior docs it MUST false-positive
+    assert len(tiny) < len(exact)
+
+
 def test_nfc_query_runs_on_testdata(ray_session):
     import __ray_entry__ as em
 
