@@ -1065,6 +1065,20 @@ def _q_remove_repeated_spans(sf_dir: str):
     return remove_repeated_spans(_read(sf_dir, "documents"), width=8)
 
 
+def _q_remove_repeated_spans_global(sf_dir: str):
+    """CROSS-document span dedup (the full Lee et al. 2022 case, hash
+    granularity): the globally FIRST (min (doc_id, pos)) occurrence
+    of every 8-token span survives; every later occurrence anywhere
+    in the corpus is removed.  One span-hash bucket shuffle + one
+    dup-sized blob join — the distributed stand-in for their suffix
+    array.  Rows-only: pinned by the corpus-level pure-Python oracle
+    in tests/test_spans.py (crafted + fuzz + intra-reduction)."""
+    from fast_langdetect_ray.stages.spans import \
+        remove_repeated_spans_global
+    return remove_repeated_spans_global(_read(sf_dir, "documents"),
+                                        width=8)
+
+
 def _q_cross_corpus_dedup(sf_dir: str):
     """Incremental exact dedup of the corpus against a 'prior
     snapshot' (the even-id half): every doc whose content hash
@@ -1447,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_dedup": _q_cross_corpus_dedup,
         "cross_corpus_dedup_bloom": _q_cross_corpus_dedup_bloom,
         "remove_repeated_spans": _q_remove_repeated_spans,
+        "remove_repeated_spans_global": _q_remove_repeated_spans_global,
         "pack_sequences": _q_pack_sequences,
         "curate_and_pack": _q_curate_and_pack,
         "lsh_ann_topk": _q_lsh_ann,

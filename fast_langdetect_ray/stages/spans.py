@@ -71,6 +71,227 @@ def _repeated_span_mask(parent: np.ndarray, th: np.ndarray,
     return np.cumsum(diff[:-1]) > 0
 
 
+def _flat_tokens(col: pa.Array):
+    """Whitespace-tokenize a string column, dropping empty tokens but
+    keeping parent-row alignment.  Shared by the intra-doc and global
+    span operators so both passes see identical token streams."""
+    col = pc.fill_null(col, "")
+    toks_all = pc.utf8_split_whitespace(col)
+    parent = pc.list_parent_indices(toks_all).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks_all)
+    nonempty = pc.not_equal(flat, "")
+    keepne = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    if not keepne.all():
+        flat = flat.filter(nonempty)
+        parent = parent[keepne]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent
+
+
+def _span_hashes(parent: np.ndarray, th: np.ndarray, width: int):
+    """(starts, hashes): rolling ``width``-token span hash at every
+    flat position whose window stays inside one document."""
+    nt = th.size
+    if nt < width:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint64))
+    n_starts = nt - width + 1
+    acc = np.zeros(n_starts, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(width):
+            acc += th[k:n_starts + k] * (_P ** np.uint64(width - 1 - k))
+    acc = splitmix64(acc)
+    valid = parent[:n_starts] == parent[width - 1:]
+    starts = np.flatnonzero(valid)
+    return starts, acc[starts]
+
+
+_POS_BITS = 21  # docs up to 2^21 tokens; doc ids up to 2^42
+
+
+def remove_repeated_spans_global(ds, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 width: int = 8,
+                                 n_buckets: int = 256,
+                                 num_partitions: int | None = None):
+    """CROSS-document repeated-span removal — the full corpus-level
+    case of Lee et al. 2022 span dedup (the hash-granularity
+    distributed alternative to their suffix-array ExactSubstr): for
+    every ``width``-token span ANYWHERE in the corpus, the globally
+    first occurrence (minimum ``(doc_id, pos)``) survives; every
+    token covered by a later occurrence — in the same doc or any
+    other — is removed, and survivors are rejoined with single
+    spaces.  Returns ``(id, text_clean, n_tokens, n_removed)``.
+
+    Scale shape (the emission is honestly token-stream sized — so is
+    the suffix array this replaces):
+
+    1. one stateless pass emits ``(span_hash, packed (doc,pos) key)``
+       per span start — vectorized rolling hashes, no Python per doc;
+    2. ONE hash-bucket shuffle (``span_hash % n_buckets``) co-locates
+       equal spans; each bucket group finds repeats for ALL its spans
+       in one lexsort pass (runs of an equal hash: all but the
+       min-key row) — Python runs per bucket, never per span, and
+       globally-unique spans (the vast majority) cost one sort slot
+       each, nothing downstream.  Size ``n_buckets`` ≈ corpus tokens
+       / 10⁷ so a bucket fits a worker;
+    3. repeat starts (DUP-sized, not corpus-sized) pack into one
+       binary positions-blob per doc (second bucket pass over
+       ``doc_id``), which LEFT-OUTER hash-joins back to the corpus —
+       only the dup blobs and the corpus rows move;
+    4. one stateless rebuild pass re-tokenizes, marks coverage with a
+       diff-array cumsum, and reassembles texts via Arrow
+       ``binary_join``.
+
+    Packing assumption (documented): ``pos < 2^21`` tokens per doc
+    and ``0 ≤ doc_id < 2^42`` so ``(doc_id << 21) | pos`` fits an
+    int64 and its natural order is the (doc, pos) order; violations
+    raise.  Intra-doc repeats are a special case — on a corpus with
+    no cross-doc duplication this reduces to
+    :func:`remove_repeated_spans`."""
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def emit_spans(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parent = _flat_tokens(col)
+        th = hash_string_array(flat, seed=_SPAN_SEED)
+        starts, h = _span_hashes(parent, th, width)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # per-doc token offsets -> in-doc positions
+        n_docs = len(col)
+        counts = np.bincount(parent, minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        doc_of = parent[starts] if starts.size else starts
+        pos = starts - offsets[doc_of] if starts.size else starts
+        did = ids[doc_of] if starts.size else starts
+        if pos.size and int(pos.max()) >= (1 << _POS_BITS):
+            raise ValueError(
+                f"doc exceeds 2^{_POS_BITS} tokens; raise _POS_BITS")
+        if did.size and (int(did.max()) >= (1 << (63 - _POS_BITS))
+                         or int(did.min()) < 0):
+            raise ValueError("doc_id out of packable range")
+        key = (did << _POS_BITS) | pos
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "h": pa.array(h.view(np.int64)),
+                         "key": pa.array(key)})
+
+    def find_repeats(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy().view(np.uint64)
+        key = g["key"].to_numpy().astype(np.int64)
+        order = np.lexsort((key, h))
+        h_s, k_s = h[order], key[order]
+        # all but the first (min-key) row of each equal-hash run
+        rep = np.concatenate(([False], h_s[1:] == h_s[:-1])) \
+            if h.size else np.empty(0, dtype=bool)
+        reps = k_s[rep]
+        return pa.table({
+            id_col: pa.array(reps >> _POS_BITS),
+            "pos": pa.array(reps & ((1 << _POS_BITS) - 1)),
+        })
+
+    def bucket_by_doc(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((did + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("dbucket", pa.array(b))
+
+    def pack_blobs(g: pa.Table) -> pa.Table:
+        did = g[id_col].to_numpy().astype(np.int64)
+        pos = g["pos"].to_numpy().astype(np.int64)
+        if did.size == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "rep_pos": pa.array([], type=pa.binary())})
+        order = np.lexsort((pos, did))
+        d_s, p_s = did[order], pos[order]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        blobs = [p_s[a:b].tobytes() for a, b in
+                 zip(firsts, np.append(firsts[1:], d_s.size))]
+        return pa.table({
+            id_col: pa.array(d_s[firsts] if firsts.size else
+                             np.empty(0, dtype=np.int64)),
+            "rep_pos": pa.array(blobs, type=pa.binary()),
+        })
+
+    repeats = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit_spans, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(find_repeats, batch_format="pyarrow")
+    )
+    blobs = (
+        repeats.map_batches(bucket_by_doc, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("dbucket")
+        .map_groups(pack_blobs, batch_format="pyarrow")
+    )
+    joined = ds.select_columns([id_col, text_col]).join(
+        blobs, join_type="left_outer", on=(id_col,),
+        num_partitions=num_partitions)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parent = _flat_tokens(col)
+        n_docs = len(col)
+        counts = np.bincount(parent, minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nt = parent.size
+        diff = np.zeros(nt + 1, dtype=np.int64)
+        rb = batch["rep_pos"]
+        if isinstance(rb, pa.ChunkedArray):
+            rb = rb.combine_chunks()
+        # docs-with-repeats only: concat blobs, one frombuffer
+        have = np.flatnonzero(
+            rb.is_valid().to_numpy(zero_copy_only=False))
+        if have.size:
+            blobs = [rb[int(i)].as_py() for i in have]
+            lens = np.array([len(b) // 8 for b in blobs],
+                            dtype=np.int64)
+            pos = np.frombuffer(b"".join(blobs), dtype=np.int64)
+            base = np.repeat(offsets[have], lens)
+            starts = base + pos
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + width, nt), -1)
+        drop = np.cumsum(diff[:-1]) > 0
+        keep = ~drop
+        kept_tokens = flat.filter(pa.array(keep))
+        kept_parent = parent[keep]
+        kcounts = np.bincount(kept_parent, minlength=n_docs)
+        koffsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kcounts, out=koffsets[1:])
+        if isinstance(kept_tokens, pa.ChunkedArray):
+            kept_tokens = kept_tokens.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(koffsets, type=pa.int64()),
+            kept_tokens.cast(pa.large_string()))
+        clean_text = pc.binary_join(
+            lists, pa.scalar(" ", type=pa.large_string()))
+        return pa.table({
+            id_col: batch[id_col],
+            "text_clean": clean_text.cast(pa.string()),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array((counts - kcounts).astype(np.int64)),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def remove_repeated_spans(ds, text_col: str = "text",
                           id_col: str = "doc_id", width: int = 8):
     """Drop every token covered by a repeat of an already-seen

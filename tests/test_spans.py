@@ -71,6 +71,103 @@ def test_batch_with_mixed_docs(ray_session):
     assert (got["n_removed"] == 0).all()
 
 
+def _py_clean_global(docs, width):
+    """Corpus-level oracle: spans seen in global (doc_id, pos) order;
+    any later occurrence (same doc or other docs) is covered/removed.
+    Returns {doc_id: cleaned_text}."""
+    seen = set()
+    out = {}
+    for did, text in sorted(docs):
+        toks = text.split()
+        n = len(toks)
+        drop = [False] * n
+        for s in range(max(n - width + 1, 0)):
+            span = tuple(toks[s:s + width])
+            if span in seen:
+                for i in range(s, s + width):
+                    drop[i] = True
+            else:
+                seen.add(span)
+        out[did] = " ".join(t for t, d in zip(toks, drop) if not d)
+    return out
+
+
+def test_global_spans_cross_doc_removal(ray_session):
+    """The copied paragraph survives only in the lowest-id doc."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import \
+        remove_repeated_spans_global
+
+    para = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (5, f"intro text here {para} and some unique tail words"),
+        (2, f"{para} plus completely different following content"),
+        (9, para),
+        (1, "unrelated document with no shared spans at all ok"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs],
+        "text": [t for _, t in docs]}))
+    got = (remove_repeated_spans_global(ds, width=5).to_pandas()
+           .set_index("doc_id"))
+    want = _py_clean_global(docs, 5)
+    for did, txt in want.items():
+        assert got.loc[did, "text_clean"] == txt, did
+    # the winner is doc 2 (lowest id containing the span), not doc 5
+    assert para in got.loc[2, "text_clean"]
+    assert para not in got.loc[5, "text_clean"]
+    assert got.loc[9, "n_removed"] > 0
+
+
+def test_global_spans_fuzz_vs_oracle(ray_session):
+    """Random repetitive corpus with cross-doc copies, multiple
+    blocks so the shuffle actually exchanges spans."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import \
+        remove_repeated_spans_global
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = []
+    for _ in range(50):
+        toks = [vocab[rng.randint(len(vocab))]
+                for _ in range(rng.randint(0, 30))]
+        texts.append(" ".join(toks))
+    docs = list(zip(range(len(texts)), texts))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in docs],
+        "text": [t for _, t in docs]})).repartition(6)
+    got = (remove_repeated_spans_global(ds, width=3).to_pandas()
+           .set_index("doc_id"))
+    want = _py_clean_global(docs, 3)
+    assert len(got) == len(docs)
+    for did, txt in want.items():
+        assert got.loc[did, "text_clean"] == txt, (did, texts[did])
+        assert got.loc[did, "n_tokens"] == len(texts[did].split())
+
+
+def test_global_reduces_to_intra_without_cross_doc_dups(ray_session):
+    """On a corpus whose repeats are all intra-doc, the global
+    operator equals the intra-doc one."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.spans import (
+        remove_repeated_spans, remove_repeated_spans_global)
+
+    texts = ["a b c d a b c d x", "p q r s t p q r s t",
+             "unique tokens only here now"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2], "text": texts}))
+    a = (remove_repeated_spans(ds, width=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (remove_repeated_spans_global(ds, width=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert (a["text_clean"] == b["text_clean"]).all()
+    assert (a["n_removed"] == b["n_removed"]).all()
+
+
 def test_corpus_fuzz_vs_oracle(ray_session):
     """Random repetitive docs, engine == oracle on every row."""
     import ray.data as rd
