@@ -70,7 +70,12 @@ HEADLINE = [
     "dsir_scores",
     "semantic_dedup",
     "cross_corpus_dedup",
+    "cross_corpus_dedup_bloom",
     "distinct_tokens_exact",
+    "heavy_hitter_tokens",
+    "shard_shuffle",
+    "nfc_normalize_docs",
+    "remove_repeated_spans_global",
 ]
 
 

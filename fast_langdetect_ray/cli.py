@@ -164,15 +164,22 @@ def cmd_dedup(args: argparse.Namespace) -> int:
             out = ngram_containment_pairs(
                 ds, text_col=args.text_col, id_col=args.id_col,
                 n=args.ngram, containment_threshold=args.threshold)
-        elif args.mode == "cross":
+        elif args.mode in ("cross", "cross-bloom"):
             if not args.prior:
-                print("--prior is required for mode=cross",
+                print(f"--prior is required for mode={args.mode}",
                       file=sys.stderr)
                 return 1
-            from .stages.dedup import cross_corpus_dedup
-            out = cross_corpus_dedup(
-                ds, _read_frags(args.prior),
-                text_col=args.text_col, id_col=args.id_col)
+            if args.mode == "cross":
+                from .stages.dedup import cross_corpus_dedup
+                out = cross_corpus_dedup(
+                    ds, _read_frags(args.prior),
+                    text_col=args.text_col, id_col=args.id_col)
+            else:
+                from .stages.dedup import cross_corpus_dedup_bloom
+                out = cross_corpus_dedup_bloom(
+                    ds, _read_frags(args.prior),
+                    text_col=args.text_col, id_col=args.id_col,
+                    m_bits=args.bloom_bits)
         elif args.mode == "semantic":
             from .stages.similarity import semantic_dedup
             out = semantic_dedup(
@@ -223,6 +230,10 @@ def cmd_sample(args: argparse.Namespace) -> int:
             out = stratified_hash_sample(ds, k=args.k,
                                          group_col=args.group_col,
                                          id_col=args.id_col)
+        elif args.mode == "shard":
+            from .stages.sampling import shard_shuffle
+            out = shard_shuffle(ds, n_shards=args.n_shards,
+                                id_col=args.id_col)
         else:
             from .stages.sampling import balance_groups
             out = balance_groups(ds, target=args.target,
@@ -276,6 +287,11 @@ def cmd_prune(args: argparse.Namespace) -> int:
         if args.mode == "spans":
             from .stages.spans import remove_repeated_spans
             out = remove_repeated_spans(
+                _read_frags(args.input), width=args.span_width,
+                text_col=args.text_col, id_col=args.id_col)
+        elif args.mode == "global-spans":
+            from .stages.spans import remove_repeated_spans_global
+            out = remove_repeated_spans_global(
                 _read_frags(args.input), width=args.span_width,
                 text_col=args.text_col, id_col=args.id_col)
         else:
@@ -414,7 +430,11 @@ def main(argv=None) -> int:
     dd.add_argument("output", help="output parquet directory")
     dd.add_argument("--mode", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "containment", "cross", "semantic"])
+                             "containment", "cross", "cross-bloom",
+                             "semantic"])
+    dd.add_argument("--bloom-bits", type=int, default=1 << 23,
+                    help="cross-bloom: bitmap size in bits (~10x the "
+                         "expected distinct prior docs; FP-only errors)")
     dd.add_argument("--clusters", type=int, default=32,
                     help="semantic: k-means cluster count")
     dd.add_argument("--eps", type=float, default=0.05,
@@ -443,7 +463,9 @@ def main(argv=None) -> int:
     sp.add_argument("input", help="parquet file or directory of fragments")
     sp.add_argument("output", help="output parquet directory")
     sp.add_argument("--mode", default="split",
-                    choices=["split", "stratified", "balance"])
+                    choices=["split", "stratified", "balance", "shard"])
+    sp.add_argument("--n-shards", type=int, default=64,
+                    help="shard: deterministic hash-shard count")
     sp.add_argument("--group-col", default="lang")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--k", type=int, default=100,
@@ -470,9 +492,11 @@ def main(argv=None) -> int:
     pr.add_argument("input", help="parquet file or directory of fragments")
     pr.add_argument("output", help="output parquet directory")
     pr.add_argument("--mode", default="segments",
-                    choices=["segments", "spans"],
+                    choices=["segments", "spans", "global-spans"],
                     help="segments: cross-doc boilerplate df cut; "
-                         "spans: intra-doc repeated-span removal")
+                         "spans: intra-doc repeated-span removal; "
+                         "global-spans: corpus-wide first-occurrence "
+                         "span dedup")
     pr.add_argument("--span-width", type=int, default=8,
                     help="spans: token width of the repeat window")
     pr.add_argument("--sep", default="\\n",
