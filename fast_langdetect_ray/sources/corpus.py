@@ -196,7 +196,11 @@ def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000,
     ]
     if processes and processes > 1 and len(jobs) > 1:
         import multiprocessing as mp
-        with mp.Pool(min(processes, len(jobs))) as pool:
+        # spawn, not fork: the caller may hold a live Ray session, and
+        # forking a process with Ray's background threads deadlocks the
+        # pool (observed: 179/188 fragments then a silent hang)
+        with mp.get_context("spawn").Pool(
+                min(processes, len(jobs))) as pool:
             paths = pool.map(_write_fragment, jobs, chunksize=1)
     else:
         paths = [_write_fragment(j) for j in jobs]
