@@ -1314,6 +1314,34 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_quality_classifier(sf_dir: str):
+    """CCNet-style trained quality filter: distributed logistic
+    regression over hashed unigram+bigram features (broadcast-iterate
+    training, sparse bounded gradient reduce), then one streaming
+    scoring pass.  Labels here are a synthetic id split (the corpus
+    text is uniform keyword soup — separation quality is pinned by
+    tests/test_classifier.py on a corpus with real signal); rows-only:
+    weights reproduce only to float-sum order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fast_langdetect_ray.stages.classifier import (
+        score_quality, train_quality_classifier)
+
+    def id_mod_filter(batch: pa.Table, want: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 5 == 0) if want else (ids % 5 != 0)
+        return batch.filter(pa.array(mask))
+
+    docs = _read(sf_dir, "documents")
+    pos = docs.map_batches(id_mod_filter, batch_format="pyarrow",
+                           fn_kwargs={"want": True})
+    neg = docs.map_batches(id_mod_filter, batch_format="pyarrow",
+                           fn_kwargs={"want": False})
+    w = train_quality_classifier(pos, neg, n_buckets=1 << 12, iters=4)
+    return score_quality(docs, w)
+
+
 def _q_cross_corpus_dedup_bloom(sf_dir: str):
     """Bloom-sketch variant of cross_corpus_dedup: the prior (even-id)
     half folds into ONE broadcast 1 MiB bitmap; the odd/new corpus
@@ -1456,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "dsir_scores": _q_dsir_scores,
+        "quality_classifier_scores": _q_quality_classifier,
         "dsir_select_top": _q_dsir_select_top,
         "semantic_dedup": _q_semantic_dedup,
         "cross_corpus_dedup": _q_cross_corpus_dedup,

@@ -1,0 +1,142 @@
+"""Trained quality classifier over hashed n-gram features — the
+CCNet/fastText-supervised pattern (Wenzek et al. 2020 train a linear
+classifier on Wikipedia-vs-crawl to score page quality; fastText's
+supervised mode is the same shape: hashed bag-of-n-grams → linear
+layer).  Here it is a distributed logistic regression trained with
+full-batch gradient descent on Ray Data:
+
+* **Features** are the DSIR hashed unigram+bigram buckets
+  (:func:`..stages.dsir._gram_buckets`), length-normalized per doc
+  (tf / n_grams) plus a bias — a fixed ``n_buckets + 1`` dense weight
+  vector, corpus-independent.
+* **Training** is broadcast-iterate (the k-means shape): the pruned
+  ``(label, text)`` union is materialized once for the iterative
+  lineage; each iteration broadcasts ``w`` via ``ray.put``, every
+  batch computes a SPARSE gradient partial (one ``np.add.at``
+  scatter, then only its nonzero ``(bucket, val)`` rows move — no
+  Python per doc), and partials reduce with ``groupby(bucket).Sum``
+  into ≤ ``n_buckets + 1`` rows — bounded, corpus-independent, the
+  same shape as the DSIR count pass.
+* **Scoring** is one stateless streaming pass (gather + sigmoid).
+
+Cost note (documented): ``iters`` full corpus passes — the standard
+price of full-batch training; keep the labeled sets sample-sized (the
+CCNet classifier trains on ~millions of rows, not the whole crawl)
+and score the full corpus with the one-pass scorer.  Determinism:
+per-batch math is deterministic; cross-batch float summation order
+makes weights reproducible only to ~1e-15 relative, so tests pin
+accuracy/separation, not weight bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dsir import _gram_buckets
+
+
+def _doc_features(col, n_buckets: int):
+    """(parent, bucket, inv_ng, n_docs): gram occurrences plus each
+    doc's 1/n_grams normalizer (0 for gram-less docs)."""
+    parent, buckets, n_docs = _gram_buckets(col, n_buckets)
+    ng = np.bincount(parent, minlength=n_docs).astype(np.float64)
+    inv = np.zeros(n_docs, dtype=np.float64)
+    nz = ng > 0
+    inv[nz] = 1.0 / ng[nz]
+    return parent, buckets, inv, n_docs
+
+
+def _logits(parent, buckets, inv, n_docs, w):
+    s = np.full(n_docs, w[-1], dtype=np.float64)  # bias
+    np.add.at(s, parent, w[buckets] * inv[parent])
+    return s
+
+
+def train_quality_classifier(pos_ds, neg_ds, text_col: str = "text",
+                             n_buckets: int = 1 << 16, iters: int = 8,
+                             lr: float = 2.0,
+                             l2: float = 1e-6) -> np.ndarray:
+    """Train logistic-regression weights (length ``n_buckets + 1``,
+    last entry = bias) separating ``pos_ds`` (label 1) from
+    ``neg_ds`` (label 0)."""
+    import ray
+    import ray.data as rd
+
+    def with_label(ds, y):
+        def add(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                text_col: batch[text_col],
+                "_y": pa.array(
+                    np.full(batch.num_rows, y, dtype=np.float64)),
+            })
+        return ds.select_columns([text_col]).map_batches(
+            add, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pruned 2-column union, materialized ONCE for the iterative pass
+    labeled = with_label(pos_ds, 1.0).union(
+        with_label(neg_ds, 0.0)).materialize()
+    n_total = labeled.count()
+    if n_total == 0:
+        raise ValueError("empty training set")
+
+    dim = n_buckets + 1
+    w = np.zeros(dim, dtype=np.float64)
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        w_ref = ray.put(w)
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            wv = ray.get(w_ref)
+            parent, buckets, inv, n_docs = _doc_features(
+                batch[text_col], n_buckets)
+            y = batch["_y"].to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-_logits(
+                parent, buckets, inv, n_docs, wv)))
+            r = p - y
+            g = np.zeros(dim, dtype=np.float64)
+            np.add.at(g, buckets, r[parent] * inv[parent])
+            g[-1] = r.sum()  # bias rides as bucket == n_buckets
+            nz = np.flatnonzero(g)
+            return pa.table({
+                "bucket": pa.array(nz.astype(np.int64)),
+                "gval": pa.array(g[nz]),
+            })
+
+        rows = (labeled.map_batches(grad_partial,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .groupby("bucket")
+                .aggregate(Sum("gval", alias_name="gval"))
+                .take_all())  # ≤ n_buckets + 1 rows, corpus-independent
+        grad = np.zeros(dim, dtype=np.float64)
+        for r in rows:
+            grad[r["bucket"]] = r["gval"]
+        grad /= n_total
+        w = w - lr * (grad + l2 * w)
+    return w
+
+
+def score_quality(ds, weights: np.ndarray, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """One streaming pass: ``(id, quality_logit, quality_prob)``."""
+    import ray
+
+    w_ref = ray.put(np.asarray(weights, dtype=np.float64))
+    n_buckets = len(weights) - 1
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        parent, buckets, inv, n_docs = _doc_features(
+            batch[text_col], n_buckets)
+        s = _logits(parent, buckets, inv, n_docs, wv)
+        return pa.table({
+            id_col: batch[id_col],
+            "quality_logit": pa.array(s),
+            "quality_prob": pa.array(1.0 / (1.0 + np.exp(-s))),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

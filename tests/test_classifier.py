@@ -1,0 +1,70 @@
+"""Trained hashed-n-gram quality classifier: separation on a
+synthetic labeled corpus + scorer invariants."""
+
+import numpy as np
+import pyarrow as pa
+
+GOOD = ("the measured results confirm the analysis presented in "
+        "section four of the report and extend the prior work").split()
+BAD = ("click here free winner prize claim now urgent offer money "
+       "casino jackpot bonus spins").split()
+
+
+def _mk(rng, vocab, n_docs, lo=12, hi=30):
+    return [" ".join(vocab[rng.randint(len(vocab))]
+                     for _ in range(rng.randint(lo, hi)))
+            for _ in range(n_docs)]
+
+
+def test_classifier_separates_synthetic_quality(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.classifier import (
+        score_quality, train_quality_classifier)
+
+    rng = np.random.RandomState(3)
+    pos_texts = _mk(rng, GOOD, 120)
+    neg_texts = _mk(rng, BAD, 120)
+    pos = rd.from_arrow(pa.table({"text": pos_texts})).repartition(4)
+    neg = rd.from_arrow(pa.table({"text": neg_texts})).repartition(4)
+    w = train_quality_classifier(pos, neg, n_buckets=1 << 12, iters=8)
+    assert w.shape == ((1 << 12) + 1,)
+    assert np.isfinite(w).all()
+
+    # held-out docs from the same generators
+    ho_pos = _mk(rng, GOOD, 40)
+    ho_neg = _mk(rng, BAD, 40)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(80)),
+        "text": ho_pos + ho_neg,
+    }))
+    got = (score_quality(ds, w).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pred = got["quality_prob"] > 0.5
+    want = np.array([True] * 40 + [False] * 40)
+    acc = (pred.to_numpy() == want).mean()
+    assert acc >= 0.95, acc
+    # probs are sigmoid(logit)
+    assert np.allclose(got["quality_prob"],
+                       1 / (1 + np.exp(-got["quality_logit"])))
+
+
+def test_classifier_empty_and_degenerate_inputs(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.classifier import (
+        score_quality, train_quality_classifier)
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([],
+                                                     type=pa.string())}))
+    with pytest.raises(ValueError):
+        train_quality_classifier(empty, empty, n_buckets=64, iters=1)
+
+    # gram-less docs score exactly the bias
+    w = np.zeros(65)
+    w[-1] = 1.25
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1],
+                                 "text": ["", "   "]}))
+    got = score_quality(ds, w).to_pandas()
+    assert np.allclose(got["quality_logit"], 1.25)
