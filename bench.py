@@ -415,8 +415,42 @@ def scaling_dedup_mode(lo: int, hi: int) -> None:
     }))
 
 
+def stats_mode(num_cpus: int) -> None:
+    """Per-operator breakdown of the flagship quality-filter pipeline
+    (``Dataset.stats()``) over the sf corpus — the profiling loop the
+    brief asks for ("read ds.stats() for the stage and iterate"):
+    wall time, CPU time, rows and memory per operator, so a slow stage
+    is attributable before touching code."""
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from fast_langdetect_ray.pipelines.quality_filter import \
+            build_pipeline
+
+        corpus = _ensure_corpus()
+        frags = sorted(str(p) for p in corpus.glob("*.parquet"))
+        ds = build_pipeline(rd.read_parquet(frags),
+                            concurrency=max(2, (3 * num_cpus) // 4),
+                            batch_size=1024)
+        # materialize (not count): count() may resolve off a plan
+        # snapshot whose stats are not visible on this handle
+        md = ds.materialize()
+        print(f"# rows: {md.count()}", file=sys.stderr)
+        print(md.stats())
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stats", action="store_true",
+                    help="print the flagship pipeline's per-operator "
+                         "Dataset.stats() breakdown")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-dedup", action="store_true")
     ap.add_argument("--one-run", action="store_true")
@@ -427,7 +461,9 @@ def main() -> None:
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
-    if args.one_run:
+    if args.stats:
+        stats_mode(args.num_cpus)
+    elif args.one_run:
         print(json.dumps(one_run(args.num_cpus, actors=args.actors)))
     elif args.one_run_dedup:
         print(json.dumps(one_run_dedup(args.num_cpus, args.partitions)))

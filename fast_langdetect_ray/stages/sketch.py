@@ -235,8 +235,7 @@ def heavy_hitter_tokens(ds, k: int = 20, cap: int = 256,
                    Sum("dmax", alias_name="dmax_present"))
         .materialize()
     )
-    sent = summary.filter(
-        lambda r: r["token"] == "").take_all()
+    sent = summary.filter(expr="token == ''").take_all()
     total_dropped = int(sent[0]["dmax_present"]) if sent else 0
 
     def finish(batch: pa.Table) -> pa.Table:
