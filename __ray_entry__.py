@@ -1314,6 +1314,16 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_strip_markup(sf_dir: str):
+    """HTML/markup stripping (web-crawl text extraction): ordered RE2
+    passes — script/style/comment blocks, tags, entity decode with
+    &amp; last, whitespace collapse.  Both engines run RE2, so the
+    DuckDB regexp_replace chain is pass-for-pass identical."""
+    from fast_langdetect_ray.stages.markup import strip_markup
+    return strip_markup(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def _q_quality_classifier(sf_dir: str):
     """CCNet-style trained quality filter: distributed logistic
     regression over hashed unigram+bigram features (broadcast-iterate
@@ -1452,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_assign": _q_hash_split_assign,
         "shard_shuffle": _q_shard_shuffle,
         "nfc_normalize_docs": _q_nfc_normalize,
+        "strip_markup_docs": _q_strip_markup,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "events_tumbling": _q_events_tumbling,
         "ann_cosine_topk": _q_ann_topk,
@@ -1516,6 +1527,18 @@ def _sql_alpha_ratio(col: str) -> str:
         f"coalesce(length(regexp_replace({col}, '[^\\pL\\pN]', '', 'g'))"
         f" / nullif(length(regexp_replace({col}, '\\s', '', 'g')), 0)"
         f"::double, 0.0)")
+
+
+def _sql_markup_stripped(col: str) -> str:
+    """The MARKUP_PASSES chain lowered to DuckDB regexp_replace —
+    same RE2 patterns, same order (both engines are RE2)."""
+    from fast_langdetect_ray.stages.markup import MARKUP_PASSES
+    expr = f"coalesce({col}, '')"
+    for pat, rep in MARKUP_PASSES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
 
 
 def _sql_scrubbed(col: str) -> str:
@@ -1649,6 +1672,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, n AS count_lower, n AS count_upper
             FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "strip_markup_docs": f"""
+            SELECT doc_id, text,
+                   {_sql_markup_stripped('text')} AS text_plain,
+                   CAST(length({_sql_markup_stripped('text')})
+                        AS BIGINT) AS n_chars_plain
+            FROM documents
         """,
         "nfc_normalize_docs": """
             SELECT doc_id, text,

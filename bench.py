@@ -75,6 +75,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "shard_shuffle",
     "nfc_normalize_docs",
+    "strip_markup_docs",
     "remove_repeated_spans_global",
 ]
 

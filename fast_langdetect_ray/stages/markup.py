@@ -1,0 +1,59 @@
+"""HTML/markup stripping — the text-extraction step a web-crawl
+pipeline runs before any quality scoring (CCNet/RefinedWeb operate on
+extracted text; this is the minimal deterministic extractor for
+corpora that still carry markup).
+
+Ordered, fully vectorized RE2 passes (`pyarrow.compute.
+replace_substring_regex`, C++ — the same pattern discipline as the
+E4 scrub stage): drop `<script>`/`<style>` blocks wholesale, replace
+every remaining tag with a space, decode the common entities
+(`&amp;` LAST so a single decode never double-decodes), collapse
+whitespace runs, trim.  Stateless ``map_batches``; no shuffle at any
+corpus size.  The oracle twin is the same regex chain in DuckDB
+(both engines are RE2, so the passes are semantically identical).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (pattern, replacement) in frozen application order.
+MARKUP_PASSES: List[Tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),           # LAST: single-decode only
+    (r"[ \t\r\n]+", " "),      # collapse whitespace
+]
+
+
+def strip_markup_batch(batch: pa.Table, text_col: str = "text",
+                       out_col: str = "text_plain") -> pa.Table:
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = pc.fill_null(col, "")
+    for pat, rep in MARKUP_PASSES:
+        out = pc.replace_substring_regex(out, pattern=pat,
+                                         replacement=rep)
+    out = pc.utf8_trim_whitespace(out)
+    return (batch.append_column(out_col, out)
+            .append_column("n_chars_plain",
+                           pc.cast(pc.utf8_length(out), pa.int64())))
+
+
+def strip_markup(ds, text_col: str = "text"):
+    """Append ``text_plain`` (markup stripped, entities decoded,
+    whitespace collapsed) and ``n_chars_plain``."""
+    return ds.map_batches(strip_markup_batch, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_kwargs={"text_col": text_col})

@@ -121,6 +121,45 @@ def test_bloom_cross_corpus_dedup_no_false_negatives(ray_session):
     assert len(tiny) < len(exact)
 
 
+def test_strip_markup_extracts_text(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.markup import strip_markup
+
+    cases = [
+        ("<html><head><script>var x=1;</script><style>p{}</style>"
+         "</head><body><h1>Title</h1><p>Hello <b>world</b></p>"
+         "<!-- note --></body></html>", "Title Hello world"),
+        ("a &amp;&amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+         "a && b <tag> \"q\" 's'"),
+        # &amp;lt; single-decodes to &lt; (never to <)
+        ("x &amp;lt; y", "x &lt; y"),
+        ("no markup at all", "no markup at all"),
+        ("<p>multi\n  line\ttext</p>", "multi line text"),
+        ("", ""),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(cases))),
+        "text": [c[0] for c in cases]}))
+    got = (strip_markup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, (_, want) in enumerate(cases):
+        assert got["text_plain"].iloc[i] == want, (i, got["text_plain"].iloc[i])
+        assert got["n_chars_plain"].iloc[i] == len(want)
+    # the DuckDB oracle chain produces the identical extraction on
+    # the SAME html fixtures (both engines are RE2)
+    import duckdb
+
+    import __ray_entry__ as em
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(i, c[0]) for i, c in enumerate(cases)])
+    df = con.execute(em.oracle_sql()["strip_markup_docs"]).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(df["text_plain"]) == list(got["text_plain"])
+
+
 def test_nfc_query_runs_on_testdata(ray_session):
     import __ray_entry__ as em
 
