@@ -1314,6 +1314,34 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_approx_norm_quantiles(sf_dir: str):
+    """Mergeable approximate quantiles over a CONTINUOUS float column
+    (first embedding component — the vectors are unit-normalized so
+    norms are degenerate): exact Min/Max pass → broadcast fixed-width
+    binning (pure per-row fn, counts exact) → bounded (bin) aggregate
+    → cumulative pick.  Error ≤ range/4096 by construction; rows-only,
+    pinned by the accuracy test in tests/test_new_ops_r3b.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fast_langdetect_ray.stages.sketch import approx_quantiles
+
+    def first_component(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(batch)
+        dim = flat.size // max(n, 1)
+        x0 = flat.reshape(n, dim)[:, 0] if n else np.empty(0)
+        return pa.table({"x0": pa.array(x0)})
+
+    ds = _read(sf_dir, "embeddings").map_batches(
+        first_component, batch_format="pyarrow", zero_copy_batch=True)
+    return approx_quantiles(ds, "x0")
+
+
 def _q_strip_markup(sf_dir: str):
     """HTML/markup stripping (web-crawl text extraction): ordered RE2
     passes — script/style/comment blocks, tags, entity decode with
@@ -1492,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_fingerprints,
         "distinct_tokens_per_lang": _q_distinct_tokens_per_lang,
+        "approx_norm_quantiles": _q_approx_norm_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "dsir_scores": _q_dsir_scores,

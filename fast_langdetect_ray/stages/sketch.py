@@ -268,6 +268,104 @@ def heavy_hitter_tokens(ds, k: int = 20, cap: int = 256,
             .map_batches(head, batch_format="pandas"))
 
 
+def approx_quantiles(ds, value_col: str, group_col: str | None = None,
+                     qs=(0.05, 0.25, 0.5, 0.75, 0.95),
+                     n_bins: int = 4096):
+    """Mergeable approximate quantiles for CONTINUOUS (float) value
+    columns — the sketch complement to the exact value-domain
+    histogram quantiles (T26), which require a small discrete domain.
+
+    Two streaming passes, both mergeable:
+
+    1. exact per-group ``Min``/``Max`` (Ray aggregates —
+       order-independent), broadcast via ``ray.put``;
+    2. per-batch fixed-width bin counts (``bin = floor((x−min)/w)``,
+       a pure per-row function of the broadcast bounds, so counts are
+       exact and partition-independent) emitted as nonzero
+       ``(group, bin, cnt)`` rows → ``groupby.Sum`` → per-group
+       cumulative scan picks each quantile's bin.
+
+    Returned value is the LOWER EDGE of the selected bin (quantile
+    semantics of ``quantile_disc`` rounded down to the grid):
+    guaranteed error ≤ (max−min)/n_bins, deterministic across
+    runs/partitionings.  State is ≤ n_bins rows per group through the
+    shuffle — corpus-size independent.  Returns
+    ``(group?, q, value_approx)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    gcols = [group_col] if group_col else []
+    sel = ds.select_columns(gcols + [value_col])
+    if group_col:
+        mm = (sel.groupby(group_col)
+              .aggregate(Min(value_col, alias_name="_lo"),
+                         Max(value_col, alias_name="_hi"))
+              .to_pandas())
+        keys = np.asarray(mm[group_col], dtype=object)
+        order = np.argsort(keys)
+        bounds = (keys[order],
+                  mm["_lo"].to_numpy()[order].astype(np.float64),
+                  mm["_hi"].to_numpy()[order].astype(np.float64))
+    else:
+        lo = sel.min(value_col)
+        hi = sel.max(value_col)
+        bounds = (np.array(["_all"], dtype=object),
+                  np.array([lo], dtype=np.float64),
+                  np.array([hi], dtype=np.float64))
+    ref = ray.put(bounds)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys_s, lo_s, hi_s = ray.get(ref)
+        x = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if group_col:
+            g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+            gi = np.searchsorted(keys_s, g)
+        else:
+            gi = np.zeros(x.size, dtype=np.int64)
+        w = (hi_s - lo_s) / n_bins
+        w = np.where(w > 0, w, 1.0)
+        b = np.clip(((x - lo_s[gi]) / w[gi]).astype(np.int64),
+                    0, n_bins - 1)
+        flat = gi * n_bins + b
+        cnt = np.bincount(flat, minlength=len(keys_s) * n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "_g": pa.array(keys_s[nz // n_bins]),
+            "bin": pa.array((nz % n_bins).astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        keys_s, lo_s, hi_s = ray.get(ref)
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        total = cum[-1]
+        gi = int(np.searchsorted(keys_s, g["_g"].iloc[0]))
+        w = (hi_s[gi] - lo_s[gi]) / n_bins
+        w = w if w > 0 else 1.0
+        rows = []
+        for q in qs:
+            target = max(int(np.ceil(q * total)), 1)
+            i = int(np.searchsorted(cum, target))
+            rows.append({"q": float(q),
+                         "value_approx":
+                             lo_s[gi] + float(g["bin"].iloc[i]) * w})
+        out = pd.DataFrame(rows)
+        if group_col:
+            out.insert(0, group_col, g["_g"].iloc[0])
+        return out
+
+    # the (group, bin) aggregate is bounded at groups × n_bins rows —
+    # corpus-size independent by construction
+    agg = (sel.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby(["_g", "bin"])
+           .aggregate(Sum("cnt", alias_name="cnt")))
+    return agg.groupby("_g").map_groups(finish, batch_format="pandas")
+
+
 def distinct_tokens_exact_per_group(ds, group_col: str = "lang",
                                     text_col: str = "text"):
     """EXACT distinct lowercased word tokens per group — the exact

@@ -121,6 +121,40 @@ def test_bloom_cross_corpus_dedup_no_false_negatives(ray_session):
     assert len(tiny) < len(exact)
 
 
+def test_approx_quantiles_within_bin_error(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.normal(10, 2, 3000),
+                           rng.exponential(5, 2000)])
+    groups = np.where(np.arange(vals.size) % 2 == 0, "a", "b")
+    ds = rd.from_arrow(pa.table({
+        "g": groups, "x": vals})).repartition(7)
+    n_bins = 1024
+    qs = (0.05, 0.5, 0.95)
+    got = approx_quantiles(ds, "x", group_col="g", qs=qs,
+                           n_bins=n_bins).to_pandas()
+    assert len(got) == 6
+    for gname in ("a", "b"):
+        gv = np.sort(vals[groups == gname])
+        width = (gv.max() - gv.min()) / n_bins
+        for q in qs:
+            approx = float(got[(got["g"] == gname)
+                               & (got["q"] == q)]["value_approx"])
+            # quantile_disc semantics: value at ceil(q*n)-th row,
+            # floored to the bin grid
+            exact = gv[max(int(np.ceil(q * gv.size)), 1) - 1]
+            assert abs(approx - exact) <= width + 1e-9, (gname, q)
+    # ungrouped path + determinism across runs
+    g1 = approx_quantiles(ds, "x", qs=qs, n_bins=n_bins).to_pandas()
+    g2 = approx_quantiles(ds.repartition(3), "x", qs=qs,
+                          n_bins=n_bins).to_pandas()
+    m = g1.merge(g2, on="q")
+    assert np.allclose(m["value_approx_x"], m["value_approx_y"])
+
+
 def test_strip_markup_extracts_text(ray_session):
     import ray.data as rd
 
