@@ -1314,6 +1314,17 @@ def _q_hash_split_assign(sf_dir: str):
         _read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _q_corpus_lm_perplexity(sf_dir: str):
+    """Per-language char-bigram LMs TRAINED on the corpus itself
+    (CCNet trains its KenLMs on a reference corpus; two bounded count
+    passes — alphabet + bigram cells, both langs×grid sized), then
+    every doc scored under its own language's LM.  Rows-only: pinned
+    bit-exact against a local brute-force trainer
+    (tests/test_lmtrain.py)."""
+    from fast_langdetect_ray.stages.lmtrain import corpus_perplexity
+    return corpus_perplexity(_read(sf_dir, "documents"), v_max=128)
+
+
 def _q_approx_norm_quantiles(sf_dir: str):
     """Mergeable approximate quantiles over a CONTINUOUS float column
     (first embedding component — the vectors are unit-normalized so
@@ -1511,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_topk": _q_detect_topk,
         "split_segments": _q_split_segments,
         "perplexity_scores": _q_perplexity,
+        "corpus_lm_perplexity": _q_corpus_lm_perplexity,
         "quality_filter_full": _q_quality_filter_full,
         "dedup_then_filter": _q_dedup_then_filter,
         "minhash_pairs": _q_minhash_pairs,

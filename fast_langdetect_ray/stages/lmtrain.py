@@ -1,0 +1,239 @@
+"""Distributed per-language character-LM training over a Ray Dataset
+— the corpus-side counterpart of :mod:`..state.lm` (whose
+``CharBigramLM.train`` builds fixture LMs at import time).  CCNet
+trains its per-language KenLM models ON the corpus; this operator
+does the same for the add-k character-bigram reimplementation, so a
+pipeline can learn its perplexity models from any corpus instead of
+the frozen fixture pools.
+
+Two bounded streaming passes — nothing corpus-sized ever
+materializes:
+
+1. **Alphabet pass**: per-batch distinct ``(lang, codepoint, cnt)``
+   partials (one ``np.unique`` per lang present in the batch) →
+   ``groupby.Sum`` → per-lang top-``v_max`` codepoints by (count
+   desc, codepoint asc) — deterministic, bounded at langs × alphabet
+   rows; everything else becomes OOV.
+2. **Bigram pass**: alphabets broadcast via ``ray.put``; each batch
+   maps its codepoints through its lang's LUT, resets the context to
+   BOS at every document start (the same per-sequence convention as
+   ``CharBigramLM.perplexity_many``), scatters into a dense
+   ``(V+1)²`` count grid and emits only the nonzero cells →
+   ``groupby.Sum`` bounded at langs × (v_max+1)² rows.
+
+The driver then applies the exact ``CharBigramLM.train`` smoothing
+formula (add-k row normalization + the OOV column) to the summed
+integer counts, so the result is a bit-for-bit function of the
+corpus — pinned by a local brute-force trainer in
+``tests/test_lmtrain.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.lm import _ADD_K, CharBigramLM
+
+
+def _codepoints_per_doc(texts):
+    """(cps, starts): concatenated uint32 codepoints + doc starts."""
+    enc = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    cps = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) \
+        if lens.size else np.empty(0, dtype=np.int64)
+    return cps, starts, lens
+
+
+def _alphabets(ds, group_col: str, text_col: str, v_max: int
+               ) -> Dict[str, np.ndarray]:
+    """Per-group top-``v_max`` codepoints (count desc, cp asc)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pylist(),
+            "t": batch[text_col].to_pylist()})
+        gs, cs, ns = [], [], []
+        for g, sub in df.groupby("g", sort=False):
+            cps, _, _ = _codepoints_per_doc(sub["t"].tolist())
+            u, c = np.unique(cps, return_counts=True)
+            gs.append(np.full(u.size, g, dtype=object))
+            cs.append(u.astype(np.int64))
+            ns.append(c.astype(np.int64))
+        if not gs:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "cp": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            group_col: pa.array(np.concatenate(gs)),
+            "cp": pa.array(np.concatenate(cs)),
+            "cnt": pa.array(np.concatenate(ns)),
+        })
+
+    rows = (ds.select_columns([group_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "cp"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # langs × alphabet rows — bounded
+    out: Dict[str, np.ndarray] = {}
+    for g, sub in rows.groupby(group_col):
+        sub = sub.sort_values(["cnt", "cp"],
+                              ascending=[False, True]).head(v_max)
+        out[g] = np.sort(sub["cp"].to_numpy().astype(np.uint32))
+    return out
+
+
+def train_char_lms(ds, group_col: str = "lang", text_col: str = "text",
+                   v_max: int = 256) -> Dict[str, CharBigramLM]:
+    """Train one add-k char-bigram LM per ``group_col`` value from the
+    corpus.  Returns ``{group: CharBigramLM}``."""
+    import ray
+
+    alphabets = _alphabets(ds, group_col, text_col, v_max)
+    keys = sorted(alphabets)
+    luts = {}
+    for g in keys:
+        a = alphabets[g]
+        V = len(a)
+        size = int(a[-1]) + 1 if V else 1
+        lut = np.full(size, V, dtype=np.int32)
+        lut[a.astype(np.int64)] = np.arange(V, dtype=np.int32)
+        luts[g] = (lut, V)
+    ref = ray.put(luts)
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        lut_map = ray.get(ref)
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pylist(),
+            "t": batch[text_col].to_pylist()})
+        gs, cells, cnts = [], [], []
+        for g, sub in df.groupby("g", sort=False):
+            if g not in lut_map:
+                continue
+            lut, V = lut_map[g]
+            cps, starts, lens = _codepoints_per_doc(sub["t"].tolist())
+            if cps.size == 0:
+                continue
+            cp64 = cps.astype(np.int64)
+            in_range = cp64 < lut.size
+            ids = lut[np.where(in_range, cp64, 0)]
+            ids[~in_range] = V
+            prev = np.empty_like(ids)
+            prev[0] = V
+            prev[1:] = ids[:-1]
+            nz_starts = starts[lens > 0]
+            prev[nz_starts] = V  # BOS context at every doc start
+            flat = prev.astype(np.int64) * (V + 1) + ids
+            cnt = np.bincount(flat, minlength=(V + 1) * (V + 1))
+            nz = np.flatnonzero(cnt)
+            gs.append(np.full(nz.size, g, dtype=object))
+            cells.append(nz.astype(np.int64))
+            cnts.append(cnt[nz].astype(np.int64))
+        if not gs:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "cell": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            group_col: pa.array(np.concatenate(gs)),
+            "cell": pa.array(np.concatenate(cells)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        })
+
+    # Ray's sort aggregate pays ~100 µs per distinct key — ruinous for
+    # langs × (v_max+1)² ≈ 10⁵ cells.  Same cure as dedup's pair
+    # counter: 256 hash buckets, one vectorized lexsort+reduceat sum
+    # per bucket group, Python per bucket instead of per cell.
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy()
+        return batch.append_column(
+            "bucket", pa.array((cell % 256).astype(np.int64)))
+
+    def sum_cells(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        gv = np.asarray(g[group_col].to_pylist(), dtype=object)
+        cell = g["cell"].to_numpy().astype(np.int64)
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((cell, gv))
+        g_s, c_s, n_s = gv[order], cell[order], cnt[order]
+        first = np.concatenate(
+            ([True], (g_s[1:] != g_s[:-1]) | (c_s[1:] != c_s[:-1]))) \
+            if gv.size else np.empty(0, dtype=bool)
+        starts = np.flatnonzero(first)
+        return pa.table({
+            group_col: pa.array(g_s[starts]),
+            "cell": pa.array(c_s[starts]),
+            "cnt": pa.array(np.add.reduceat(n_s, starts)
+                            if starts.size else
+                            np.empty(0, dtype=np.int64)),
+        })
+
+    rows = (ds.select_columns([group_col, text_col])
+            .map_batches(bigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(bucketize, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(sum_cells, batch_format="pyarrow")
+            .to_pandas())  # langs × (v_max+1)² rows — bounded
+
+    lms: Dict[str, CharBigramLM] = {}
+    for g in keys:
+        a = alphabets[g]
+        V = len(a)
+        counts = np.zeros((V + 1) * (V + 1), dtype=np.float64)
+        sub = rows[rows[group_col] == g]
+        counts[sub["cell"].to_numpy().astype(np.int64)] = \
+            sub["cnt"].to_numpy().astype(np.float64)
+        counts = counts.reshape(V + 1, V + 1)
+        # exact CharBigramLM.train smoothing (state/lm.py)
+        smoothed = counts + _ADD_K
+        logp = np.log10(smoothed / smoothed.sum(axis=1, keepdims=True))
+        oov_col = np.log10(
+            _ADD_K / (counts.sum(axis=1) + _ADD_K * (V + 1)))
+        logp[:, V] = oov_col
+        lms[g] = CharBigramLM(a, logp.astype(np.float32))
+    return lms
+
+
+def corpus_perplexity(ds, group_col: str = "lang",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      v_max: int = 256):
+    """Train per-group LMs on the corpus, then score every doc under
+    its own group's LM (self-perplexity — the CCNet quality signal
+    when the training corpus is a trusted reference).  Returns
+    ``(id, group, corpus_ppl)``; one bounded training pass pair + one
+    streaming scoring pass."""
+    import ray
+
+    lms = train_char_lms(ds, group_col, text_col, v_max)
+    ref = ray.put(lms)
+    fallback = sorted(lms)[0] if lms else None
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm_map = ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        import collections
+        by = collections.defaultdict(list)
+        for i, g in enumerate(groups):
+            by[g if g in lm_map else fallback].append(i)
+        for g, idxs in by.items():
+            vals = lm_map[g].perplexity_many(
+                [texts[i] or "" for i in idxs])
+            out[np.asarray(idxs)] = vals
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            "corpus_ppl": pa.array(out),
+        })
+
+    return ds.select_columns([id_col, group_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,88 @@
+"""Distributed char-LM training vs a local brute-force trainer."""
+
+import numpy as np
+import pyarrow as pa
+
+from fast_langdetect_ray.state.lm import _ADD_K
+
+
+def _brute_lm(texts, v_max):
+    """Local reimplementation of the lmtrain definition: top-v_max
+    alphabet (count desc, cp asc), per-doc BOS contexts, add-k rows,
+    OOV column."""
+    allcps = np.concatenate([
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        for t in texts if t]) if any(texts) else np.empty(0, np.uint32)
+    u, c = np.unique(allcps, return_counts=True)
+    order = np.lexsort((u, -c))[:v_max]
+    alphabet = np.sort(u[order])
+    V = len(alphabet)
+    counts = np.zeros((V + 1, V + 1), dtype=np.float64)
+    for t in texts:
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if cps.size == 0:
+            continue
+        idx = np.searchsorted(alphabet, cps)
+        idx = np.clip(idx, 0, V - 1)
+        ids = np.where(alphabet[idx] == cps, idx, V)
+        prev = np.concatenate(([V], ids[:-1]))
+        np.add.at(counts, (prev, ids), 1.0)
+    smoothed = counts + _ADD_K
+    logp = np.log10(smoothed / smoothed.sum(axis=1, keepdims=True))
+    logp[:, V] = np.log10(
+        _ADD_K / (counts.sum(axis=1) + _ADD_K * (V + 1)))
+    return alphabet, logp
+
+
+def test_distributed_training_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.lmtrain import train_char_lms
+
+    rng = np.random.RandomState(9)
+    en = ["the quick brown fox jumps over the lazy dog",
+          "a stitch in time saves nine lives every day",
+          "language models score character transitions"]
+    de = ["der schnelle braune fuchs springt über den hund",
+          "übung macht den meister sagt man hier gerne"]
+    docs = []
+    for lang, pool in (("en", en), ("de", de)):
+        for i in range(30):
+            docs.append((lang, pool[rng.randint(len(pool))]))
+    ds = rd.from_arrow(pa.table({
+        "lang": [l for l, _ in docs],
+        "text": [t for _, t in docs]})).repartition(5)
+    lms = train_char_lms(ds, v_max=64)
+    assert set(lms) == {"en", "de"}
+    for lang in ("en", "de"):
+        texts = [t for l, t in docs if l == lang]
+        alphabet, logp = _brute_lm(texts, 64)
+        assert np.array_equal(lms[lang].alphabet, alphabet), lang
+        assert np.allclose(lms[lang].logp, logp.astype(np.float32),
+                           rtol=0, atol=0), lang  # bit-exact counts
+
+
+def test_corpus_perplexity_separates_gibberish(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.lmtrain import (corpus_perplexity,
+                                                    train_char_lms)
+
+    base = ["the measured results confirm the presented analysis",
+            "the presented analysis extends the measured results",
+            "results and analysis are measured and presented here"]
+    texts = base * 20 + ["zq xv jk qz vx kj zzz qqq xxx vvv"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))),
+        "lang": ["en"] * len(texts),
+        "text": texts}))
+    got = (corpus_perplexity(ds, v_max=64).to_pandas()
+           .set_index("doc_id"))
+    assert len(got) == len(texts)
+    gib = got.loc[len(texts) - 1, "corpus_ppl"]
+    indist = got.loc[:len(texts) - 2, "corpus_ppl"].max()
+    assert gib > 3 * indist, (gib, indist)
+    # scoring agrees with direct LM use
+    lms = train_char_lms(ds, v_max=64)
+    want = lms["en"].perplexity_many([texts[0]])[0]
+    assert np.isclose(got.loc[0, "corpus_ppl"], want)
