@@ -77,6 +77,9 @@ HEADLINE = [
     "nfc_normalize_docs",
     "strip_markup_docs",
     "remove_repeated_spans_global",
+    "quality_classifier_scores",
+    "corpus_lm_perplexity",
+    "approx_norm_quantiles",
 ]
 
 

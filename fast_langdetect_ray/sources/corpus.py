@@ -194,11 +194,16 @@ def generate_corpus(out_dir, n_rows: int, rows_per_file: int = 2000,
         (str(out_dir), idx, start, min(start + rows_per_file, n_rows))
         for idx, start in enumerate(range(0, n_rows, rows_per_file))
     ]
-    if processes and processes > 1 and len(jobs) > 1:
+    import sys as _sys
+    # spawn, not fork: the caller may hold a live Ray session, and
+    # forking a process with Ray's background threads deadlocks the
+    # pool (observed: 179/188 fragments then a silent hang).  Spawn in
+    # turn cannot bootstrap when __main__ is a REPL/stdin script (the
+    # child re-imports __main__ and hangs) — fall back to serial there.
+    _mf = getattr(_sys.modules.get("__main__"), "__file__", None)
+    spawn_ok = _mf is not None and Path(_mf).exists()  # '<stdin>' fails
+    if processes and processes > 1 and len(jobs) > 1 and spawn_ok:
         import multiprocessing as mp
-        # spawn, not fork: the caller may hold a live Ray session, and
-        # forking a process with Ray's background threads deadlocks the
-        # pool (observed: 179/188 fragments then a silent hang)
         with mp.get_context("spawn").Pool(
                 min(processes, len(jobs))) as pool:
             paths = pool.map(_write_fragment, jobs, chunksize=1)
