@@ -384,6 +384,64 @@ def _q_events_tumbling(sf_dir: str):
     )
 
 
+def _q_events_window_users(sf_dir: str):
+    """Tumbling-window DISTINCT-user counts per event type — the
+    windowed exact-distinct shape: within-batch triple dedup → ONE
+    triple-hash bucket shuffle (each distinct (type, window, user)
+    lands in exactly one bucket, so per-bucket distinct counts SUM
+    exactly; vectorized lexsort dedup per bucket, never a per-triple
+    aggregate key) → a tiny (type, window) Sum.  Oracle:
+    count(DISTINCT user_id) per (type, minute)."""
+    from ray.data.aggregate import Sum
+
+    def triples(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pc.floor_temporal(batch["ts"],
+                                              unit="minute"),
+            "user_id": batch["user_id"],
+        })
+        t = t.group_by(["event_type", "window_start", "user_id"],
+                       use_threads=False).aggregate([])
+        w64 = t["window_start"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u64 = t["user_id"].to_numpy(zero_copy_only=False)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        # per-batch dictionary codes differ across batches — mix a
+        # content hash of the type string instead
+        from fast_langdetect_ray.functions.hashing import hash_strings
+        th = hash_strings(enc.dictionary, seed=0xE77)[
+            enc.indices.to_numpy(zero_copy_only=False)]
+        with np.errstate(over="ignore"):
+            mixed = (th + w64.view(np.uint64)
+                     + u64.view(np.uint64)) * np.uint64(
+                         0x9E3779B97F4A7C15)
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(256))
+                               .astype(np.int64)))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        # distinct triples of this bucket, counted per (type, window)
+        d = g.select(["event_type", "window_start", "user_id"]) \
+            .group_by(["event_type", "window_start", "user_id"],
+                      use_threads=False).aggregate([])
+        c = d.group_by(["event_type", "window_start"],
+                       use_threads=False).aggregate(
+            [("user_id", "count")])
+        return c.rename_columns(
+            ["event_type", "window_start", "n_users"])
+
+    return (
+        _read(sf_dir, "events")
+        .map_batches(triples, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 _ANN_K = 10
 _ANN_NQ = 5
 
@@ -1504,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_markup_docs": _q_strip_markup,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "events_tumbling": _q_events_tumbling,
+        "events_window_users": _q_events_window_users,
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "top_docs_global": _q_top_docs_global,
@@ -2094,6 +2153,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(DISTINCT token) AS distinct_tokens
             FROM tok WHERE token <> '' GROUP BY lang
+        """,
+        "events_window_users": """
+            SELECT event_type,
+                   date_trunc('minute', ts) AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type, date_trunc('minute', ts)
         """,
         "events_tumbling": """
             SELECT event_type,

@@ -57,6 +57,7 @@ HEADLINE = [
     "minhash_pairs",
     "ann_cosine_topk",
     "events_tumbling",
+    "events_window_users",
     "lineitem_pricing",
     "sessionize_events",
     "orders_by_nation",
