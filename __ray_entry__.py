@@ -794,10 +794,7 @@ def _q_events_sliding(sf_dir: str):
 _SESSION_GAP_MIN = 30
 
 
-_SESSION_BUCKETS = 64
-
-
-def _q_sessionize(sf_dir: str):
+def _q_sessionize(sf_dir: str, n_buckets: int | None = None):
     """Gap-based sessionization (streaming-window custom op): per user,
     a new session starts after a >30 min gap.
 
@@ -807,13 +804,21 @@ def _q_sessionize(sf_dir: str):
     (user, ts), gap-or-user-boundary mask, per-user cumsum) — Python
     is invoked B times total, never once per user (a web-scale corpus
     has 10⁸+ users; one ``map_groups`` call per user is the hidden
-    per-group-Python trap).  Session stats are order-insensitive, so
-    ts ties don't matter."""
+    per-group-Python trap).  ``n_buckets`` defaults to
+    ``pools.default_hash_buckets()`` (~4× cluster CPUs, power of two)
+    so merge parallelism grows with the cluster instead of a constant;
+    bucket count never changes results.  Session stats are
+    order-insensitive, so ts ties don't matter."""
     import pandas as pd
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    if n_buckets is None:
+        n_buckets = default_hash_buckets()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(
-            batch["user_id"], pa.scalar(_SESSION_BUCKETS - 1,
+            batch["user_id"], pa.scalar(n_buckets - 1,
                                         type=pa.int64())), pa.int64())
         return batch.append_column("bucket", b)
 
@@ -1530,6 +1535,110 @@ def _q_embedding_dedup_corpus(sf_dir: str):
         n_tables=4).select_columns(["vec_id"])
 
 
+def _q_dedup_segments_first(sf_dir: str):
+    """T68: corpus-wide keep-first segment dedup (CCNet paragraph
+    dedup proper; exact SQL twin via row_number over (doc, pos)).
+    The synthetic corpus has no newlines, so the demo separator is a
+    space (token granularity); with sep='\\n' the same code is
+    paragraph/line dedup."""
+    from fast_langdetect_ray.stages.boilerplate import (
+        dedup_segments_keep_first)
+    return dedup_segments_keep_first(_read(sf_dir, "documents"), sep=" ")
+
+
+def _q_gram_novelty(sf_dir: str):
+    """T65: corpus-wide 3-gram novelty per doc (share of the doc's
+    distinct grams with global df == 1) — cross-doc memorization /
+    boilerplate-risk signal; two bucket shuffles, no joins."""
+    from fast_langdetect_ray.stages.textstats import gram_novelty
+    return gram_novelty(_read(sf_dir, "documents"), n=3)
+
+
+def _q_source_lang_keep(sf_dir: str):
+    """T66: keep/drop yield report per (source, lang) stratum after
+    the SQL-expressible rule chain (langid/ppl neutralized as in
+    heuristic_rules) — the composition metric a curator reads before
+    mixing sources.  Partial-agg per batch (strata-sized rows move),
+    tiny final groupby, float64 keep_rate."""
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.functions.textstats import alpha_ratio, n_chars
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "lang": batch["lang"],
+            "detected_lang": batch["lang"],
+            "detected_score": pa.array([1.0] * len(batch)),
+            "n_chars": pc.cast(n_chars(col), pa.int64()),
+            "alpha_ratio": alpha_ratio(col),
+            "perplexity": pa.array([0.0] * len(batch)),
+        })
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        keep = batch["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "source": batch["source"],
+            "lang": batch["lang"],
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "kept": pa.array(keep),
+        })
+        return (t.group_by(["source", "lang"], use_threads=False)
+                .aggregate([("one", "sum"), ("kept", "sum")])
+                .rename_columns(["source", "lang", "n_docs", "n_keep"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nd = batch["n_docs"].to_numpy().astype(np.float64)
+        nk = batch["n_keep"].to_numpy().astype(np.float64)
+        return batch.append_column(
+            "keep_rate", pa.array(nk / np.maximum(nd, 1.0)))
+
+    cfg = RuleConfig(min_score=0.0, ppl_thresholds={})
+    ds = _read(sf_dir, "documents").map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(apply_rules, batch_format="pyarrow",
+                        zero_copy_batch=True, fn_kwargs={"config": cfg})
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_keep", alias_name="n_keep"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def _q_lang_confusion(sf_dir: str):
+    """T67 (rows-only — model-based): labeled-vs-detected language
+    confusion counts over documents; partial-agg per batch then a
+    languages²-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.stages.quality import QualityScorer
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        t = pa.table({
+            "lang": batch["lang"],
+            "detected_lang": batch["detected_lang"],
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        return (t.group_by(["lang", "detected_lang"], use_threads=False)
+                .aggregate([("one", "sum")])
+                .rename_columns(["lang", "detected_lang", "n_docs"]))
+
+    ds = _read(sf_dir, "documents").map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_BATCH, concurrency=_conc(),
+        fn_constructor_kwargs=dict(
+            text_col="text", compute_segments=False, compute_topk=False,
+            compute_ppl=False))
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["lang", "detected_lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1576,7 +1685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": _q_customer_order_stats,
         "parts_by_brand": _q_parts_by_brand,
         "suppliers_by_region": _q_suppliers_by_region,
+        "gram_novelty": _q_gram_novelty,
+        "dedup_segments_first": _q_dedup_segments_first,
+        "source_lang_keep": _q_source_lang_keep,
         # rows-only (model / sketch / approximate ops)
+        "lang_confusion": _q_lang_confusion,
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
         "split_segments": _q_split_segments,
@@ -2231,6 +2344,73 @@ def oracle_sql() -> dict[str, str]:
                        AS retail_total
             FROM part
             GROUP BY p_brand
+        """,
+        "dedup_segments_first": """
+            WITH segs AS (
+              SELECT doc_id, gi AS seg_idx, t[gi] AS seg
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents) s,
+                   LATERAL (SELECT unnest(range(1, len(t) + 1)) AS gi) r
+            ),
+            ranked AS (
+              SELECT doc_id, seg_idx, seg,
+                     (seg = '' OR row_number() OVER (
+                        PARTITION BY seg ORDER BY doc_id, seg_idx) = 1)
+                     AS keep
+              FROM segs
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                                       ORDER BY seg_idx), '')
+                       AS text_dedup,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_removed
+            FROM ranked
+            GROUP BY doc_id
+        """,
+        "gram_novelty": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[gi:gi+2], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 1)) AS gi) r
+              WHERE len(t) >= 3
+            ),
+            df AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS novel_frac
+            FROM grams JOIN df USING (g)
+            GROUP BY doc_id
+        """,
+        "source_lang_keep": f"""
+            WITH flags AS (
+              SELECT source, lang,
+                     (CASE
+                        WHEN lang NOT IN ({allow}) THEN NULL
+                        WHEN length(text) < 10 THEN NULL
+                        WHEN length(text) > 1000000 THEN NULL
+                        WHEN {_sql_alpha_ratio('text')} < 0.25 THEN NULL
+                        ELSE true END) IS NOT NULL AS keep
+              FROM documents
+            )
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keep,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS keep_rate
+            FROM flags
+            GROUP BY source, lang
         """,
         "suppliers_by_region": """
             SELECT r_name,

@@ -81,6 +81,10 @@ HEADLINE = [
     "quality_classifier_scores",
     "corpus_lm_perplexity",
     "approx_norm_quantiles",
+    "gram_novelty",
+    "dedup_segments_first",
+    "source_lang_keep",
+    "lang_confusion",
 ]
 
 

@@ -9,6 +9,13 @@ pipeline layer under :mod:`fast_langdetect_ray.pipelines` /
 :mod:`fast_langdetect_ray.stages`.
 """
 
+from .state.raywarn import suppress_empty_schema_refbundle_warning
+
+# Ray 2.49 logs a schema-divergence warning for block-less RefBundles
+# from empty sort/groupby partitions — a false positive on small
+# inputs (see state/raywarn.py).  Real schema divergences still warn.
+suppress_empty_schema_refbundle_warning()
+
 from .detect import (  # noqa: F401
     FastLangdetectError,
     LangDetectConfig,

@@ -190,13 +190,42 @@ class ModelDownloader:
             f"Download failed: {last_err}") from last_err
 
 
+# Published md5 of lid.176.bin.  The reference declares this constant on
+# LangDetector (infer.py:215) but never checks it; we expose the same
+# constant for API parity and ALSO offer an opt-in integrity check.
+VERIFY_FASTTEXT_LARGE_MODEL = "01810bc59c6a3d2b79c79e6336612f65"
+
+
 def download_full_model(cache_dir: Optional[str] = None,
-                        proxy: Optional[str] = None) -> Path:
+                        proxy: Optional[str] = None,
+                        verify_md5: bool = False) -> Path:
     """Fetch ``lid.176.bin`` into the cache directory (reference
     infer.py:106-111 semantics; explicit opt-in here — the engine never
-    downloads implicitly because the target environment is offline)."""
+    downloads implicitly because the target environment is offline).
+
+    With ``verify_md5=True`` the downloaded file's md5 is checked
+    against :data:`VERIFY_FASTTEXT_LARGE_MODEL` (the constant the
+    reference declares at infer.py:215 without ever checking); a
+    mismatch removes the corrupt file and raises
+    ``FastLangdetectError`` so a truncated mirror can't poison the
+    cache."""
+    import hashlib
+
     target = Path(cache_dir or CACHE_DIRECTORY) / FULL_MODEL_NAME
+    existed = target.exists()
     ModelDownloader().download(FULL_MODEL_URL, target, proxy=proxy)
+    if verify_md5 and not existed:
+        h = hashlib.md5()
+        with open(target, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != VERIFY_FASTTEXT_LARGE_MODEL:
+            try:
+                target.unlink()
+            finally:
+                raise FastLangdetectError(
+                    f"md5 mismatch for {target.name}: got {h.hexdigest()}, "
+                    f"want {VERIFY_FASTTEXT_LARGE_MODEL}")
     return target
 
 
@@ -236,6 +265,11 @@ class LangDetector:
     each map_batches actor, giving the cluster-scope analogue of the
     reference's per-process cache.
     """
+
+    # reference API parity: infer.py:215 declares the full-model md5 on
+    # the class (unchecked there; download_full_model(verify_md5=True)
+    # actually checks it here)
+    VERIFY_FASTTEXT_LARGE_MODEL = VERIFY_FASTTEXT_LARGE_MODEL
 
     def __init__(self, config: Optional[LangDetectConfig] = None):
         self._models: Dict[str, FastTextModel] = {}

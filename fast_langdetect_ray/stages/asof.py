@@ -38,15 +38,23 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_ASOF_BUCKETS = 64
-
-
 def asof_join(left, right, key_col: str, ts_col: str,
               suffix: str = "_r", tie_col: str | None = None,
-              n_buckets: int = _ASOF_BUCKETS):
+              n_buckets: int | None = None):
     """Backward as-of LEFT join of two Datasets on (``key_col``,
     ``ts_col``).  Right columns (except the key) come back suffixed;
-    the right ts arrives as ``ts_col + suffix``."""
+    the right ts arrives as ``ts_col + suffix``.
+
+    ``n_buckets`` (power of two; default
+    ``pools.default_hash_buckets()`` ≈ 4× cluster CPUs) bounds the
+    merge stage's parallelism AND each bucket's in-memory
+    ``merge_asof`` — size it to the cluster, never a constant."""
+    from ..state.pools import default_hash_buckets
+
+    if n_buckets is None:
+        n_buckets = default_hash_buckets()
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
     l_schema, r_schema = left.schema(), right.schema()
     if key_col not in l_schema.names or key_col not in r_schema.names:
         raise ValueError(f"key column {key_col!r} missing from a side")

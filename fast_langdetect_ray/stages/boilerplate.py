@@ -95,10 +95,18 @@ def boilerplate_hashes(ds, sep: str = "\n", max_df: int = 2,
         .groupby("h")
         .aggregate(Sum("partial_df", alias_name="df"))
     )
+    # one typed map instead of fused Filter->Project: Ray's fused op
+    # passes an empty block through un-projected (schema h,df vs h —
+    # a spurious executor schema-divergence warning); this fn always
+    # returns the (h) schema, rows or not
+    def over_cut(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["df"], max_df)
+        return pa.table({"h": batch["h"].filter(m)})
+
     parts = [
         b["h"].to_numpy(zero_copy_only=False)
-        for b in df.filter(expr=f"df > {int(max_df)}")
-        .select_columns(["h"])
+        for b in df.map_batches(over_cut, batch_format="pyarrow",
+                                zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")
     ]
     if not parts:
@@ -152,3 +160,165 @@ def prune_boilerplate(ds, sep: str = "\n", max_df: int = 2,
         ds, boilerplate_hashes(ds, sep=sep, max_df=max_df,
                                text_col=text_col),
         sep=sep, text_col=text_col, id_col=id_col)
+
+
+_SEG_POS_BITS = 21  # segments-per-doc packing, mirrors spans._POS_BITS
+
+
+def dedup_segments_keep_first(ds, sep: str = "\n", text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_buckets: int | None = None,
+                              num_partitions: int | None = None):
+    """Corpus-wide KEEP-FIRST segment dedup — CCNet's paragraph dedup
+    proper (vs :func:`prune_boilerplate`'s df-threshold cut, which
+    drops EVERY occurrence of a high-df segment): for each distinct
+    non-empty segment the globally first occurrence (minimum
+    ``(doc_id, seg_idx)``) survives; all later occurrences — in the
+    same doc or any other — are removed and the doc is rejoined with
+    ``sep``.  Empty segments are exempt (always kept) so separator
+    runs round-trip.  Returns ``(id, text_dedup, n_segments,
+    n_removed)``; exactly SQL-expressible (``row_number() OVER
+    (PARTITION BY segment ORDER BY doc_id, seg_idx)``), unlike the
+    hash-width span dedup in :mod:`.spans` (rows-only).
+
+    Scale shape (the spans.py machinery at segment granularity):
+
+    1. one stateless pass emits (segment_hash, packed (doc, seg_idx))
+       per non-empty segment — segments move as 64-bit hashes, never
+       strings;
+    2. ONE hash-bucket shuffle co-locates equal segments; each bucket
+       marks all non-min-key rows of each equal-hash run in one
+       lexsort pass (Python per bucket, never per segment);
+    3. the DUP-sized drop set packs into one binary positions-blob per
+       doc (doc-hash bucket pass) and LEFT-OUTER hash-joins back to
+       the corpus;
+    4. one stateless rebuild: re-split, boolean-mask the dropped
+       positions, ``binary_join`` reassembly.
+
+    Packing assumption (validated): < 2^21 segments per doc,
+    doc_id < 2^42.  Null text is treated as "" (testdata has none;
+    the SQL twin drops NULL-text rows instead — don't feed nulls to
+    the oracle compare)."""
+    from ..state.pools import default_hash_buckets, \
+        default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    nb = np.uint64(n_buckets or default_hash_buckets(floor=256))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        flat, parent, h, _ = _split_and_hash(batch[text_col], sep)
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False).astype(bool)
+        # in-doc segment positions BEFORE the empty cut (rebuild
+        # indexes into the full split)
+        n_docs = len(batch)
+        counts = np.bincount(parent, minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(parent.size, dtype=np.int64) - offsets[parent]
+        parent, h, pos = parent[nonempty], h[nonempty], pos[nonempty]
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent]
+        if pos.size and int(pos.max()) >= (1 << _SEG_POS_BITS):
+            raise ValueError(
+                f"doc exceeds 2^{_SEG_POS_BITS} segments")
+        if ids.size and (int(ids.max()) >= (1 << (63 - _SEG_POS_BITS))
+                         or int(ids.min()) < 0):
+            raise ValueError("doc_id out of packable range")
+        key = (ids << _SEG_POS_BITS) | pos
+        bucket = ((h * mix) % nb).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "h": pa.array(h.view(np.int64)),
+                         "key": pa.array(key)})
+
+    def find_drops(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy().view(np.uint64)
+        key = g["key"].to_numpy().astype(np.int64)
+        order = np.lexsort((key, h))
+        h_s, k_s = h[order], key[order]
+        rep = np.concatenate(([False], h_s[1:] == h_s[:-1])) \
+            if h.size else np.empty(0, dtype=bool)
+        drops = k_s[rep]
+        return pa.table({
+            id_col: pa.array(drops >> _SEG_POS_BITS),
+            "pos": pa.array(drops & ((1 << _SEG_POS_BITS) - 1)),
+        })
+
+    def bucket_by_doc(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (((did + np.uint64(1)) * mix) % nb).astype(np.int64)
+        return batch.append_column("dbucket", pa.array(b))
+
+    def pack_blobs(g: pa.Table) -> pa.Table:
+        did = g[id_col].to_numpy().astype(np.int64)
+        pos = g["pos"].to_numpy().astype(np.int64)
+        if did.size == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "drop_pos": pa.array([], type=pa.binary())})
+        order = np.lexsort((pos, did))
+        d_s, p_s = did[order], pos[order]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        blobs = [p_s[a:b].tobytes() for a, b in
+                 zip(firsts, np.append(firsts[1:], d_s.size))]
+        return pa.table({
+            id_col: pa.array(d_s[firsts]),
+            "drop_pos": pa.array(blobs, type=pa.binary()),
+        })
+
+    drops = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(find_drops, batch_format="pyarrow")
+    )
+    blobs = (
+        drops.map_batches(bucket_by_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("dbucket")
+        .map_groups(pack_blobs, batch_format="pyarrow")
+    )
+    joined = ds.select_columns([id_col, text_col]).join(
+        blobs, join_type="left_outer", on=(id_col,),
+        num_partitions=num_partitions)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        flat, parent, _, n_docs = _split_and_hash(batch[text_col], sep)
+        counts = np.bincount(parent, minlength=n_docs)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        keep = np.ones(parent.size, dtype=bool)
+        db = batch["drop_pos"]
+        if isinstance(db, pa.ChunkedArray):
+            db = db.combine_chunks()
+        have = np.flatnonzero(
+            db.is_valid().to_numpy(zero_copy_only=False))
+        if have.size:
+            blobs_py = [db[int(i)].as_py() for i in have]
+            lens = np.array([len(b) // 8 for b in blobs_py],
+                            dtype=np.int64)
+            pos = np.frombuffer(b"".join(blobs_py), dtype=np.int64)
+            keep[np.repeat(offsets[have], lens) + pos] = False
+        kept = flat.filter(pa.array(keep))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        kcounts = np.bincount(parent[keep], minlength=n_docs)
+        koffsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kcounts, out=koffsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(koffsets, type=pa.int64()),
+            kept.cast(pa.large_string()))
+        text_dedup = pc.binary_join(
+            lists, pa.scalar(sep, type=pa.large_string()))
+        return pa.table({
+            id_col: batch[id_col],
+            "text_dedup": text_dedup.cast(pa.string()),
+            "n_segments": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array((counts - kcounts).astype(np.int64)),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -115,7 +115,11 @@ def train_quality_classifier(pos_ds, neg_ds, text_col: str = "text",
         for r in rows:
             grad[r["bucket"]] = r["gval"]
         grad /= n_total
-        w = w - lr * (grad + l2 * w)
+        # standard practice (CCNet/fastText linear classifiers):
+        # regularize the feature weights only, never the intercept
+        reg = l2 * w
+        reg[-1] = 0.0
+        w = w - lr * (grad + reg)
     return w
 
 

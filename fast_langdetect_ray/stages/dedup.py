@@ -718,8 +718,19 @@ def _typed_empty_pairs(rd, value_col: str, dtype: str = "float64"):
     }))
 
 
-_PAIR_BUCKETS = 256
+_PAIR_BUCKETS = 256  # floor; actual count scales with the cluster
 _BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing constant
+
+
+def _pair_buckets() -> int:
+    """Bucket count for the vectorized pair ops: ≥ ``_PAIR_BUCKETS``,
+    growing ~4× with cluster CPUs (``pools.default_hash_buckets``) so
+    the per-bucket numpy pass stays bounded and the reduce stage keeps
+    every core busy at any cluster size.  Bucket count never changes
+    results — buckets only co-locate keys."""
+    from ..state.pools import default_hash_buckets
+
+    return default_hash_buckets(floor=_PAIR_BUCKETS)
 
 
 def _emit_run_pairs(ids: np.ndarray, band: np.ndarray, key: np.ndarray,
@@ -791,16 +802,19 @@ def _count_unique_pairs(pairs, weight_col: str | None = None,
     Scale shape: a per-key ``groupby(id_a, id_b).aggregate`` pays
     per-distinct-key overhead — measured ~100 µs/key in Ray 2.49's
     sort-based aggregate, i.e. minutes for 10⁶ pairs.  Instead the
-    pairs are hash-bucketed (vectorized mix of both ids, 256 groups)
-    and each group counts ALL its pairs in one numpy pass (lexsort →
-    run boundaries → ``add.reduceat``): the shuffle sorts a 256-value
-    key, and Python runs once per bucket, never per pair."""
+    pairs are hash-bucketed (vectorized mix of both ids,
+    cluster-scaled bucket count) and each group counts ALL its pairs
+    in one numpy pass (lexsort → run boundaries → ``add.reduceat``):
+    the shuffle sorts a small-int key, and Python runs once per
+    bucket, never per pair."""
+    n_buckets = np.uint64(_pair_buckets())
+
     def bucketize(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy().view(np.uint64)
         b = batch["id_b"].to_numpy().view(np.uint64)
         with np.errstate(over="ignore"):
             mixed = (a * _BUCKET_MIX + b) * _BUCKET_MIX
-        bucket = (mixed % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+        bucket = (mixed % n_buckets).astype(np.int64)
         return batch.append_column("pbucket", pa.array(bucket))
 
     def reduce(g: pa.Table) -> pa.Table:
@@ -838,7 +852,8 @@ def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
     collides.
 
     Scale shape — ONE shuffle, Python invoked once per hash bucket
-    group (``_PAIR_BUCKETS`` groups total), never per LSH bucket:
+    group (``_pair_buckets()`` groups total — cluster-scaled), never
+    per LSH bucket:
 
     * every band row is assigned ``bucket = mix(band, band_key) % B``
       (vectorized numpy); the ``groupby(bucket)`` shuffle co-locates
@@ -853,12 +868,14 @@ def _bucket_candidate_pairs(bands, id_col: str, num_partitions: int,
     * cross-band duplicate pairs collapse with the bucketed
       vectorized counter (:func:`_count_unique_pairs` — one numpy
       pass per bucket, no per-pair aggregate overhead)."""
+    n_buckets = np.uint64(_pair_buckets())
+
     def bucketize(batch: pa.Table) -> pa.Table:
         band = batch["band"].to_numpy().view(np.uint64)
         key = batch["band_key"].to_numpy().view(np.uint64)
         with np.errstate(over="ignore"):
             mixed = (key + band) * _BUCKET_MIX
-        bucket = (mixed % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+        bucket = (mixed % n_buckets).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
     def emit(g: pa.Table) -> pa.Table:
@@ -1197,7 +1214,8 @@ def ngram_jaccard_pairs(
 
     Scale shape (classic distributed inverted-index join) — the score
     is derived from the index itself, so after the posting pass *no
-    text, signature, or corpus row ever moves again*:
+    text, signature, or corpus row ever moves again*; THREE bucket
+    shuffles of small int rows total, zero hash-joins:
 
     1. one posting pass emits (gram_hash, doc_id) rows, distinct per
        doc — grams move as 64-bit hashes, never strings;
@@ -1207,15 +1225,23 @@ def ngram_jaccard_pairs(
        per gram instead of O(corpus²) on "the of the"-type grams);
        each kept run emits its within-run pairs (vectorized
        :func:`_emit_run_pairs`) PLUS one (id, -1) sentinel row per
-       posting, so a single downstream bucketed pair count
-       (:func:`_count_unique_pairs` — numpy per bucket, no per-pair
-       aggregate overhead) yields BOTH the exact per-pair shared-gram
-       count (= rare-set intersection, since every rare gram of a doc
-       hits exactly one run) AND the per-doc rare-set size (the
-       sentinel group);
-    3. two int-table hash-joins attach the sizes to the pair ends and
-       ``jaccard = inter / (sz_a + sz_b - inter)`` is filtered
-       vectorized.
+       posting;
+    3. fragments are re-bucketed BY ``mix(id_a)`` (sentinels carry
+       their doc id as ``id_a``), so one numpy pass per bucket both
+       counts each distinct pair's fragments (= rare-set intersection,
+       since every shared rare gram contributes exactly one fragment)
+       AND sums the bucket's sentinels into per-doc rare-set sizes —
+       and, because a pair's ``id_a`` sentinels land in the SAME
+       bucket as the pair, attaches ``sz_a`` in place (sorted
+       ``searchsorted``, no join);
+    4. the output re-buckets by ``mix(id_b)`` together with the size
+       rows, attaching ``sz_b`` the same way, then filters
+       ``jaccard = inter / (sz_a + sz_b - inter)`` vectorized.
+
+    Steps 3–4 replace the previous count-aggregate + two distributed
+    hash-joins with two cheap small-int-key shuffles (each join paid
+    aggregator spin-up measured ~linear in num_partitions), and drop
+    the Ray join monkeypatch dependency from this operator entirely.
 
     Nothing dup-count-sized touches the driver.  (The exact-over-full-
     sets kernel :func:`batch_token_ngram_jaccard` remains available
@@ -1227,18 +1253,12 @@ def ngram_jaccard_pairs(
     coefficient, which catches subset relations Jaccard dilutes: a
     short doc fully quoted inside a long one has high containment but
     low Jaccard.  Same index, same shuffle, different final kernel."""
-    import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
     from .decontaminate import _distinct_per_doc, _doc_shingle_hashes
 
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
 
     def postings(batch: pa.Table) -> pa.Table:
         p, h = _distinct_per_doc(
@@ -1249,11 +1269,12 @@ def ngram_jaccard_pairs(
             "band_key": pa.array(h.view(np.int64)),
         })
 
+    n_buckets = np.uint64(_pair_buckets())
+
     def bucketize(batch: pa.Table) -> pa.Table:
         key = batch["band_key"].to_numpy().view(np.uint64)
         with np.errstate(over="ignore"):
-            bucket = ((key * _BUCKET_MIX)
-                      % np.uint64(_PAIR_BUCKETS)).astype(np.int64)
+            bucket = ((key * _BUCKET_MIX) % n_buckets).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 
     zero = np.zeros(0, dtype=np.int64)
@@ -1280,44 +1301,99 @@ def ngram_jaccard_pairs(
                 [b, np.full(rare_ids.size, -1, dtype=np.int64)])),
         })
 
-    counted = _count_unique_pairs(
+    fragments = (
         ds.map_batches(postings, batch_format="pyarrow",
                        zero_copy_batch=True)
         .map_batches(bucketize, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(emit, batch_format="pyarrow"),
-        out_col="n_shared",
-    ).materialize()  # read by the sizes filter AND the pairs filter
+        .map_groups(emit, batch_format="pyarrow")
+    )
 
-    empty = _typed_empty_pairs(rd, metric)
-    sizes = counted.map_batches(
-        lambda b: pa.table({
-            id_col: b.filter(pc.equal(b["id_b"], -1))["id_a"],
-            "_sz": b.filter(pc.equal(b["id_b"], -1))["n_shared"]}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    pairs = counted.map_batches(
-        lambda b: b.filter(pc.not_equal(b["id_b"], -1)),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
-    if not pairs.take(1):
-        return empty
-    withsz = _attach_pair_features(pairs, sizes, id_col, "_sz",
-                                   num_partitions)
+    def bucket_by_a(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((a * _BUCKET_MIX) % n_buckets).astype(np.int64)
+        return batch.append_column("abucket", pa.array(bucket))
 
-    def score(batch: pa.Table) -> pa.Table:
-        inter = batch["n_shared"].to_numpy().astype(np.float64)
-        sz_a = batch["_a"].to_numpy().astype(np.float64)
-        sz_b = batch["_b"].to_numpy().astype(np.float64)
+    def count_attach_a(g: pa.Table) -> pa.Table:
+        """Per mix(id_a)-bucket: sum sentinels → per-doc rare-set size,
+        count pair fragments → per-pair intersection, attach sz_a in
+        place (every pair's id_a sentinels live in THIS bucket).
+        Emits ONE unified schema for the next bucket stage: size rows
+        as (key=id, id_a=-1, n_shared=sz, sz_a=0), pair rows as
+        (key=id_b, id_a, n_shared=inter, sz_a)."""
+        a = g["id_a"].to_numpy().astype(np.int64)
+        b = g["id_b"].to_numpy().astype(np.int64)
+        sent = b == -1
+        uid, sz = np.unique(a[sent], return_counts=True)
+        pa_, pb_ = a[~sent], b[~sent]
+        order = np.lexsort((pb_, pa_))
+        a_s, b_s = pa_[order], pb_[order]
+        first = np.empty(a_s.size, dtype=bool)
+        if a_s.size:
+            first[0] = True
+            first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(first)
+        ua, ub = a_s[starts], b_s[starts]
+        inter = (np.diff(np.append(starts, a_s.size))
+                 if starts.size else np.zeros(0, dtype=np.int64))
+        sz_a = sz[np.searchsorted(uid, ua)] if ua.size else zero
+        return pa.table({
+            "key": pa.array(np.concatenate([uid, ub])),
+            "id_a": pa.array(np.concatenate(
+                [np.full(uid.size, -1, dtype=np.int64), ua])),
+            "n_shared": pa.array(np.concatenate([sz, inter])),
+            "sz_a": pa.array(np.concatenate(
+                [np.zeros(uid.size, dtype=np.int64),
+                 sz_a.astype(np.int64)])),
+        })
+
+    def bucket_by_key(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((k * _BUCKET_MIX) % n_buckets).astype(np.int64)
+        return batch.append_column("kbucket", pa.array(bucket))
+
+    def attach_b_score(g: pa.Table) -> pa.Table:
+        """Per mix(id_b)-bucket: attach sz_b (the doc's single size row
+        is keyed by its id → this bucket), score, filter."""
+        key = g["key"].to_numpy().astype(np.int64)
+        other = g["id_a"].to_numpy().astype(np.int64)
+        n = g["n_shared"].to_numpy().astype(np.int64)
+        sent = other == -1
+        uid, usz = key[sent], n[sent]
+        so = np.argsort(uid, kind="stable")
+        uid, usz = uid[so], usz[so]
+        id_b, id_a = key[~sent], other[~sent]
+        inter = n[~sent].astype(np.float64)
+        sz_a = g["sz_a"].to_numpy().astype(np.float64)[~sent]
+        sz_b = (usz[np.searchsorted(uid, id_b)].astype(np.float64)
+                if id_b.size else np.zeros(0))
         if metric == "containment":
             val = inter / np.maximum(np.minimum(sz_a, sz_b), 1.0)
         else:
             val = inter / np.maximum(sz_a + sz_b - inter, 1.0)
-        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                        metric: pa.array(val, type=pa.float64())})
-        return out.filter(
-            pa.compute.greater_equal(out[metric], jaccard_threshold))
+        keep = val >= jaccard_threshold
+        return pa.table({
+            "id_a": pa.array(id_a[keep], type=pa.int64()),
+            "id_b": pa.array(id_b[keep], type=pa.int64()),
+            metric: pa.array(val[keep], type=pa.float64()),
+        })
 
-    return empty.union(withsz.map_batches(score, batch_format="pyarrow"))
+    empty = _typed_empty_pairs(rd, metric)
+    scored = (
+        fragments
+        .map_batches(bucket_by_a, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("abucket")
+        .map_groups(count_attach_a, batch_format="pyarrow")
+        .map_batches(bucket_by_key, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("kbucket")
+        .map_groups(attach_b_score, batch_format="pyarrow")
+    )
+    return empty.union(scored)
 
 
 def ngram_containment_pairs(

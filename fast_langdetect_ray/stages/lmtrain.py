@@ -214,7 +214,6 @@ def corpus_perplexity(ds, group_col: str = "lang",
 
     lms = train_char_lms(ds, group_col, text_col, v_max)
     ref = ray.put(lms)
-    fallback = sorted(lms)[0] if lms else None
 
     def score(batch: pa.Table) -> pa.Table:
         lm_map = ray.get(ref)
@@ -224,8 +223,15 @@ def corpus_perplexity(ds, group_col: str = "lang",
         import collections
         by = collections.defaultdict(list)
         for i, g in enumerate(groups):
-            by[g if g in lm_map else fallback].append(i)
+            by[g].append(i)
         for g, idxs in by.items():
+            if g not in lm_map:
+                # a group whose texts yielded no bigrams (all empty /
+                # null) has no trained LM — scoring it under another
+                # language's model would be silently wrong; NaN marks
+                # "no model" explicitly
+                out[np.asarray(idxs)] = np.nan
+                continue
             vals = lm_map[g].perplexity_many(
                 [texts[i] or "" for i in idxs])
             out[np.asarray(idxs)] = vals

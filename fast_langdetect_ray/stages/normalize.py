@@ -39,7 +39,12 @@ def nfc_batch(batch: pa.Table, text_col: str = "text",
     if txt.num_chunks != 1:
         txt = txt.combine_chunks()
     arr = txt.chunk(0) if isinstance(txt, pa.ChunkedArray) else txt
-    is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    # web-crawled corpora carry null text rows; string_is_ascii returns
+    # null for them (→ object ndarray, `~` raises).  Nulls are
+    # NFC-invariant passthrough, same as ASCII rows — matching the SQL
+    # oracle where nfc_normalize(NULL) IS NULL.
+    is_ascii = pc.fill_null(pc.string_is_ascii(arr), True) \
+        .to_numpy(zero_copy_only=False)
     nonascii = np.flatnonzero(~is_ascii)
     if nonascii.size:
         vals = arr.take(pa.array(nonascii)).to_pylist()

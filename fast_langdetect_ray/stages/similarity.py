@@ -266,8 +266,17 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                                type=pa.float64()),
         })
 
-    pairs = bucketed.groupby(["lsh_table", "bucket"]).map_groups(
-        in_bucket_pairs, batch_format="pyarrow")
+    # typed 0-row ARROW head (mirrors dedup._typed_empty_pairs): keeps
+    # the (id_a, id_b, cosine) schema visible when every bucket emits
+    # zero pairs — a block-less result would otherwise lose its schema
+    # and break downstream joins/components
+    import ray.data as rd
+
+    from .dedup import _typed_empty_pairs
+
+    pairs = _typed_empty_pairs(rd, "cosine").union(
+        bucketed.groupby(["lsh_table", "bucket"]).map_groups(
+            in_bucket_pairs, batch_format="pyarrow"))
     if n_tables > 1:
         # a pair found by several tables has the IDENTICAL exact cosine
         # → vectorized Max-aggregate dedup, no per-group Python
@@ -299,13 +308,50 @@ def _kmeans(data: np.ndarray, k: int, iters: int = 12,
     return cent
 
 
+def _hash_sample_vectors(ds, k: int, id_col: str,
+                         emb_col: str) -> np.ndarray:
+    """Deterministic CORPUS-WIDE sample of ``k`` embedding rows: the
+    rows with the globally smallest ``sha256(str(id))`` — the same
+    hash-threshold selection as ``sampling.stratified_hash_sample``,
+    so the sample is a pure function of the row ids (run / engine /
+    partition-order independent) and, because sha256 scrambles ids
+    uniformly, statistically a uniform draw over the WHOLE corpus —
+    never a head-of-dataset slice (the first blocks of a 100 TB corpus
+    are one shard/crawl/time-slice; centroids trained on them
+    mis-partition the rest).
+
+    Scale shape: one streaming pass keeps ≤ k rows per batch (a global
+    top-k row is a batch top-k row — lossless), the small residue
+    (≤ k × n_batches pruned (id, hkey, embedding) rows) is cut to the
+    final k with ``sort().limit(k)``; only those k rows reach the
+    driver."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        keys = np.asarray(
+            [hashlib.sha256(str(i).encode()).hexdigest() for i in ids],
+            dtype=object)
+        keep = np.sort(np.argsort(keys, kind="stable")[:k])
+        out = batch.select([emb_col]).take(pa.array(keep))
+        return out.append_column(
+            "_hkey", pa.array(keys[keep], type=pa.string()))
+
+    sample = (ds.select_columns([id_col, emb_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .sort("_hkey").limit(k).to_pandas())
+    return np.asarray(sample[emb_col].tolist(), dtype=np.float32)
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
              n_probe: int = 4, train_sample: int = 4096,
              id_col: str = "vec_id", emb_col: str = "embedding",
              concurrency=2):
     """IVF approximate top-k: a coarse spherical-k-means quantizer is
-    trained on a bounded head sample (``ds.limit(train_sample)`` — the
-    only driver-side materialization, size-capped), centroids broadcast
+    trained on a bounded, deterministic, corpus-wide hash sample
+    (:func:`_hash_sample_vectors` — ``train_sample`` rows, the only
+    driver-side materialization, size-capped), centroids broadcast
     via ``ray.put``; every batch assigns its vectors to the nearest
     centroid (one matmul) and each query scans only its ``n_probe``
     nearest centroid cells.  Same output schema as
@@ -316,8 +362,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     """
     import ray
 
-    sample = ds.limit(train_sample).to_pandas()
-    data = np.asarray(sample[emb_col].tolist(), dtype=np.float32)
+    data = _hash_sample_vectors(ds, train_sample, id_col, emb_col)
     cent = _kmeans(data, n_centroids)
     queries = _normalize(np.asarray(queries, dtype=np.float32))
     n_probe = min(n_probe, len(cent))

@@ -270,6 +270,122 @@ def top_tokens_per_lang(ds, k: int = 5, text_col: str = "text",
     )
 
 
+def gram_novelty(ds, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int | None = None):
+    """Corpus-wide n-gram NOVELTY score per document: over each doc's
+    distinct lowercased whitespace-token ``n``-grams,
+    ``novel_frac = (# grams with global document-frequency 1) /
+    (# distinct grams)`` — the memorization/boilerplate-risk signal of
+    a training corpus (a doc whose grams all recur elsewhere is
+    template/quotation mass; Gopher's repetition rules measure the
+    within-doc analogue, this is the cross-doc one).  Returns
+    ``(doc_id, n_grams, n_novel, novel_frac)``; docs with no full
+    ``n``-gram are absent (SQL-natural).
+
+    Scale shape — grams move as 64-bit hashes, TWO small-int bucket
+    shuffles, zero joins, no per-key aggregate:
+
+    1. one posting pass emits distinct (doc, gram_hash) rows
+       (vectorized rolling hash, shared with the decontamination /
+       n-gram-dedup machinery);
+    2. gram-hash bucket shuffle: a gram's postings all land in one
+       bucket, so a sorted run's length IS its exact global df; each
+       bucket folds its postings into per-doc partial (n_grams,
+       n_novel) counts in one numpy pass;
+    3. doc-hash bucket shuffle sums the ≤ n_buckets partials per doc
+       (numpy ``reduceat`` per bucket — never Ray's ~100 µs/key
+       per-distinct-key aggregate over corpus-cardinality doc ids).
+
+    Oracle: the DuckDB twin computes df over STRING grams; hashed and
+    string gram sets agree exactly absent a 64-bit collision (same
+    equivalence the n-gram Jaccard oracle relies on)."""
+    from .decontaminate import _distinct_per_doc, _doc_shingle_hashes
+    from .dedup import _BUCKET_MIX, _pair_buckets
+
+    nb = np.uint64(n_buckets or _pair_buckets())
+
+    def postings(batch: pa.Table) -> pa.Table:
+        p, h = _distinct_per_doc(
+            *_doc_shingle_hashes(batch[text_col], n))
+        ids = batch[id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)[p]
+        with np.errstate(over="ignore"):
+            bucket = ((h * _BUCKET_MIX) % nb).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "gram": pa.array(h.view(np.int64)),
+            "gbucket": pa.array(bucket),
+        })
+
+    def df_partial(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        h = g["gram"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h_s, ids_s = h[order], ids[order]
+        first = np.empty(h_s.size, dtype=bool)
+        if h_s.size:
+            first[0] = True
+            first[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, h_s.size))
+        novel = np.repeat(lengths == 1, lengths)  # per-posting df==1
+        o2 = np.argsort(ids_s, kind="stable")
+        ids2, novel2 = ids_s[o2], novel[o2]
+        first2 = np.empty(ids2.size, dtype=bool)
+        if ids2.size:
+            first2[0] = True
+            first2[1:] = ids2[1:] != ids2[:-1]
+        starts2 = np.flatnonzero(first2)
+        return pa.table({
+            id_col: pa.array(ids2[starts2]),
+            "n_grams": pa.array(np.diff(np.append(starts2, ids2.size))),
+            "n_novel": pa.array(
+                np.add.reduceat(novel2.astype(np.int64), starts2)
+                if starts2.size else np.empty(0, dtype=np.int64)),
+        })
+
+    def dbucket(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((d * _BUCKET_MIX) % nb).astype(np.int64)
+        return batch.append_column("dbucket", pa.array(bucket))
+
+    def finish(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        ng = g["n_grams"].to_numpy().astype(np.int64)
+        nv = g["n_novel"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s, ng_s, nv_s = ids[order], ng[order], nv[order]
+        first = np.empty(ids_s.size, dtype=bool)
+        if ids_s.size:
+            first[0] = True
+            first[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(first)
+        tg = (np.add.reduceat(ng_s, starts)
+              if starts.size else np.empty(0, dtype=np.int64))
+        tv = (np.add.reduceat(nv_s, starts)
+              if starts.size else np.empty(0, dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(ids_s[starts]),
+            "n_grams": pa.array(tg),
+            "n_novel": pa.array(tv),
+            "novel_frac": pa.array(
+                tv / np.maximum(tg, 1).astype(np.float64)),
+        })
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("gbucket")
+        .map_groups(df_partial, batch_format="pyarrow")
+        .map_batches(dbucket, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("dbucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
                     group_col: str = "lang", id_col: str = "doc_id",
                     num_partitions: int | None = None):

@@ -163,3 +163,30 @@ def default_join_partitions(cap: int = 8) -> int:
     except Exception:
         return max(2, min(cap, 4))
     return max(2, min(cap, cpus // 2))
+
+
+def default_hash_buckets(mult: int = 4, floor: int = 64,
+                         cap: int = 65536) -> int:
+    """Bucket count for the hash-bucketed group ops (sessionize, as-of
+    join, pair counting): ``~mult×`` the cluster CPU count, rounded UP
+    to a power of two (several callers mask with ``n_buckets - 1``),
+    never below ``floor``.
+
+    Why it must track the cluster, not a constant: the per-bucket
+    merge/reduce stage has exactly ``n_buckets`` parallel units — a
+    fixed 64 caps a 256-node cluster at 64-way parallelism AND grows
+    each bucket's in-memory pandas/numpy pass linearly with corpus
+    size.  ~4× CPUs keeps every core busy under stragglers while the
+    per-bucket group stays ~1/(4·CPUs) of the data.  Bucket count
+    never changes RESULTS (buckets only co-locate keys; every reduce
+    is per-key within the bucket) — callers' oracles hold at any
+    setting."""
+    cpus = 8
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    want = max(floor, mult * max(cpus, 1))
+    return min(cap, 1 << (want - 1).bit_length())

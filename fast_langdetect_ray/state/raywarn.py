@@ -1,0 +1,46 @@
+"""Suppress Ray Data's empty-RefBundle schema false positive.
+
+Ray 2.49's streaming executor warns whenever an operator emits a
+RefBundle whose schema differs from the previous bundle's
+(``streaming_executor_state.py:793``).  A bundle with NO blocks (an
+empty sort/groupby partition — routine when a small test input meets a
+cluster-sized partition count, and exactly what ``map_groups`` emits
+for a partition whose every group returns 0 rows) has an EMPTY schema,
+so the comparison "typed → (empty)" fires even though nothing diverged:
+the empty bundle carries no rows for the schema to disagree about.  At
+production scale the partitions aren't empty and the message never
+fires; on the test/gate inputs it is pure noise that drowns real
+schema divergences.
+
+This filter drops ONLY that false positive — records whose "new
+schema" is empty/None.  A genuine divergence (typed → different typed
+schema) prints the actual schema and still warns.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+_EMPTY_NEW_SCHEMA = re.compile(
+    r"different schema than the previous one\..*new schema: "
+    r"(None|PandasBlockSchema\(names=\[\], types=\[\]\))?\."
+    r" This may lead", re.DOTALL)
+
+_TARGET_LOGGER = "ray.data._internal.execution.streaming_executor_state"
+
+
+class _EmptySchemaBundleFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        return not _EMPTY_NEW_SCHEMA.search(msg)
+
+
+def suppress_empty_schema_refbundle_warning() -> None:
+    """Idempotently install the filter on the executor-state logger."""
+    lg = logging.getLogger(_TARGET_LOGGER)
+    if not any(isinstance(f, _EmptySchemaBundleFilter) for f in lg.filters):
+        lg.addFilter(_EmptySchemaBundleFilter())

@@ -119,3 +119,36 @@ def test_matches_pandas_merge_asof_reference(ray_session):
     assert np.allclose(got["state_id_r"].to_numpy(dtype=float),
                        want["state_id_r"].to_numpy(dtype=float),
                        equal_nan=True)
+
+
+def test_bucket_count_never_changes_results(ray_session):
+    """n_buckets only co-locates keys (VERDICT r3 item 4): two very
+    different settings must produce identical rows; non-power-of-two
+    is rejected (the bucketing masks with n_buckets - 1)."""
+    import pytest
+    import ray.data as rd
+
+    l = pd.DataFrame({
+        "user_id": [1, 2, 3, 130, 131, 1],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:05", "2024-01-01 00:06", "2024-01-01 00:07",
+             "2024-01-01 00:08", "2024-01-01 00:09", "2024-01-01 09:00"]),
+    })
+    r = pd.DataFrame({
+        "user_id": [1, 3, 130, 1],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+             "2024-01-01 08:00"]),
+        "state_id": [10, 30, 40, 11],
+    })
+    outs = []
+    for nb in (2, 512):
+        out = asof_join(rd.from_pandas(l), rd.from_pandas(r),
+                        key_col="user_id", ts_col="ts",
+                        tie_col="state_id", n_buckets=nb).to_pandas()
+        outs.append(out.sort_values(["user_id", "ts"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    with pytest.raises(ValueError, match="power of two"):
+        asof_join(rd.from_pandas(l), rd.from_pandas(r),
+                  key_col="user_id", ts_col="ts", n_buckets=48)

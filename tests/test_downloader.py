@@ -79,3 +79,32 @@ def test_download_full_model_helper_uses_cache_dir(tmp_path, monkeypatch):
     got = d.download_full_model(cache_dir=str(tmp_path))
     assert got == tmp_path / d.FULL_MODEL_NAME
     assert got.read_bytes() == b"full"
+
+
+def test_full_model_md5_constant_parity():
+    # reference infer.py:215 declares the constant on LangDetector
+    assert (d.LangDetector.VERIFY_FASTTEXT_LARGE_MODEL
+            == d.VERIFY_FASTTEXT_LARGE_MODEL
+            == "01810bc59c6a3d2b79c79e6336612f65")
+
+
+def test_download_full_model_verify_md5(tmp_path, monkeypatch):
+    import hashlib
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"corrupt-model")
+    monkeypatch.setattr(d, "FULL_MODEL_URL", _file_url(src))
+    # mismatch: corrupt file is removed and the error names both sums
+    with pytest.raises(d.FastLangdetectError, match="md5 mismatch"):
+        d.download_full_model(cache_dir=str(tmp_path), verify_md5=True)
+    assert not (tmp_path / d.FULL_MODEL_NAME).exists()
+    # match: pretend the published sum is this payload's sum
+    monkeypatch.setattr(d, "VERIFY_FASTTEXT_LARGE_MODEL",
+                        hashlib.md5(b"corrupt-model").hexdigest())
+    got = d.download_full_model(cache_dir=str(tmp_path), verify_md5=True)
+    assert got.read_bytes() == b"corrupt-model"
+    # an already-cached file is trusted (exists short-circuit), even
+    # with verify_md5 on — matches the reference's never-revalidate
+    monkeypatch.setattr(d, "VERIFY_FASTTEXT_LARGE_MODEL", "0" * 32)
+    assert d.download_full_model(
+        cache_dir=str(tmp_path), verify_md5=True) == got

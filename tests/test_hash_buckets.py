@@ -1,0 +1,43 @@
+"""Cluster-scaled bucket counts (VERDICT r3 item 4): the hash-bucketed
+group ops take a bucket-count knob defaulting to
+``pools.default_hash_buckets()`` (~4× cluster CPUs, power of two), and
+the setting must never change RESULTS — buckets only co-locate keys."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_default_hash_buckets_properties(ray_session):
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    n = default_hash_buckets()
+    assert n >= 64 and (n & (n - 1)) == 0  # floor + power of two
+    # scales with the requested floor/multiplier
+    assert default_hash_buckets(floor=256) >= 256
+    assert default_hash_buckets(mult=1000, cap=4096) == 4096
+
+
+def test_sessionize_bucket_count_never_changes_results(ray_session):
+    import __ray_entry__ as em
+
+    outs = []
+    for nb in (2, 512):
+        df = em._q_sessionize(SF_DIR, n_buckets=nb).to_pandas()
+        outs.append(df.sort_values(["user_id", "session_seq"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # sanity: sessions cover every user in the events table
+    users = set(pq.read_table(f"{SF_DIR}/events.parquet",
+                              columns=["user_id"])["user_id"].to_pylist())
+    assert set(outs[0]["user_id"]) == users
+
+
+def test_pair_buckets_scale_with_floor(ray_session):
+    from fast_langdetect_ray.stages.dedup import _PAIR_BUCKETS, \
+        _pair_buckets
+
+    n = _pair_buckets()
+    assert n >= _PAIR_BUCKETS and (n & (n - 1)) == 0

@@ -1,0 +1,146 @@
+"""strict=True (real-kernel) code paths exercised OFFLINE (VERDICT r3
+item 7): Pillow/ffmpeg aren't installable in this container, so the
+tests drive the real kernels through crafted stand-ins — a stub PIL
+module with the exact call surface ``real_decoder``/``real_resize``
+use (open → convert/resize/save), and a fake ``ffmpeg`` executable on
+disk that honours the real kernel's CLI contract (reads stdin, writes
+``-frames:v`` numbered PNGs to the output pattern).  This validates
+the real-path signatures, math and subprocess plumbing with known
+bytes; tests/test_multimodal_seam.py covers genuine Pillow decodes
+when the lib is present."""
+
+import io
+import os
+import stat
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.stages import multimodal as mm
+
+
+class _StubImg:
+    """Mimics the PIL.Image surface the real kernels touch."""
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+        self.calls = []
+
+    def convert(self, mode):
+        assert mode == "L"
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.arr
+        return a.astype(dtype) if dtype is not None else a
+
+    def resize(self, size, resample):
+        assert resample == _StubPIL.LANCZOS
+        w, h = size
+        return _StubImg(np.zeros((h, w), dtype=np.uint8))
+
+    def save(self, out, format=None):
+        assert format == "PNG"
+        out.write(b"PNG:" + self.arr.shape[1].to_bytes(2, "big")
+                  + self.arr.shape[0].to_bytes(2, "big"))
+
+
+class _StubPIL:
+    LANCZOS = object()
+    last_payload = None
+
+    @classmethod
+    def open(cls, bio):
+        cls.last_payload = bio.read()
+        # deterministic 8×8 "decoded" image derived from the payload
+        seed = np.frombuffer(cls.last_payload[:64].ljust(64, b"\0"),
+                             dtype=np.uint8)
+        return _StubImg(seed.reshape(8, 8).astype(np.float32))
+
+
+def test_real_decoder_block_mean_math(monkeypatch):
+    monkeypatch.setattr(mm, "_PIL", _StubPIL)
+    payload = bytes(range(64))
+    feats = mm.real_decoder(payload, "image")
+    arr = np.frombuffer(payload, dtype=np.uint8).reshape(8, 8) \
+        .astype(np.float32) / 256.0
+    want = np.array([arr[r * 2:r * 2 + 2, c * 2:c * 2 + 2].mean()
+                     for r in range(4) for c in range(4)],
+                    dtype=np.float32)
+    np.testing.assert_allclose(feats, want, rtol=1e-6)
+    assert feats.dtype == np.float32 and feats.shape == (mm.FEATURE_DIM,)
+
+
+def test_strict_extractor_and_resizer_through_actor_classes(monkeypatch):
+    monkeypatch.setattr(mm, "_PIL", _StubPIL)
+    batch = mm.synth_media_table(6)
+
+    out = mm.MediaFeatureExtractor(strict=True)(
+        batch.filter(pa.compute.equal(batch["kind"], "image")))
+    assert out.column_names == ["media_id", "kind", "features"]
+    assert all(len(f) == mm.FEATURE_DIM for f in
+               out["features"].to_pylist())
+
+    resized = mm.MediaResizer(width=5, height=3, strict=True)(batch)
+    kinds = resized["kind"].to_pylist()
+    for k, p, w, h, orig in zip(kinds, resized["payload"].to_pylist(),
+                                resized["width"].to_pylist(),
+                                resized["height"].to_pylist(),
+                                batch["payload"].to_pylist()):
+        if k == "image":
+            # stub save() encodes the resized WxH into the payload
+            assert p == b"PNG:" + (5).to_bytes(2, "big") \
+                + (3).to_bytes(2, "big")
+            assert (w, h) == (5, 3)
+        else:
+            assert p == orig  # non-image rows pass through untouched
+
+
+def test_real_frame_sample_subprocess_contract(tmp_path, monkeypatch):
+    """A fake ffmpeg ON DISK honours the real CLI contract: the real
+    kernel's subprocess plumbing (argv, stdin payload, output-pattern
+    collection, ordering, truncation) runs for real."""
+    fake = tmp_path / "ffmpeg"
+    fake.write_text(
+        "#!/bin/sh\n"
+        "# consume stdin like real ffmpeg, emit numbered frames\n"
+        "payload=$(cat)\n"
+        "n=$4\n"            # $1=-loglevel $2=error $3=-i pipe:0 ...
+        "shift\n"
+        "while [ $# -gt 1 ]; do\n"
+        "  if [ \"$1\" = \"-frames:v\" ]; then n=$2; fi\n"
+        "  pattern=$2; shift\n"
+        "done\n"
+        "dir=$(dirname \"$pattern\")\n"
+        "i=1\n"
+        "while [ $i -le $n ]; do\n"
+        "  printf 'frame-%d:%s' $i \"$payload\" > "
+        "$(printf \"$dir/f%05d.png\" $i)\n"
+        "  i=$((i+1))\n"
+        "done\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr(mm, "_FFMPEG", str(fake))
+
+    frames = mm.real_frame_sample(b"vid-bytes", 3)
+    assert frames == [b"frame-1:vid-bytes", b"frame-2:vid-bytes",
+                      b"frame-3:vid-bytes"]
+
+    batch = mm.synth_media_table(6)
+    out = mm.FrameSampler(n_frames=2, strict=True)(batch)
+    vids = [m for m, k in zip(batch["media_id"].to_pylist(),
+                              batch["kind"].to_pylist()) if k == "video"]
+    assert out["media_id"].to_pylist() == \
+        [m for m in vids for _ in range(2)]
+    assert out["frame_idx"].to_pylist() == [0, 1] * len(vids)
+    assert all(f.startswith(b"frame-") for f in out["frame"].to_pylist())
+
+
+def test_real_frame_sample_failure_surfaces(tmp_path, monkeypatch):
+    fake = tmp_path / "ffmpeg"
+    fake.write_text("#!/bin/sh\ncat >/dev/null\n"
+                    "echo 'boom: bad container' >&2\nexit 1\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr(mm, "_FFMPEG", str(fake))
+    with pytest.raises(RuntimeError, match="ffmpeg failed: boom"):
+        mm.real_frame_sample(b"broken", 2)

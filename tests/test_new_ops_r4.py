@@ -1,0 +1,123 @@
+"""Round-4 operators: T65 gram novelty (brute-force oracle), T66
+source×lang keep report (hand-computed), T67 lang confusion (count
+conservation + golden langs)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gram_novelty_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import (
+        _distinct_per_doc, _doc_shingle_hashes)
+    from fast_langdetect_ray.stages.textstats import gram_novelty
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    p, h = _distinct_per_doc(*_doc_shingle_hashes(t["text"], 3))
+    docsets = collections.defaultdict(set)
+    for pi, hi in zip(p, h):
+        docsets[ids[pi]].add(int(hi))
+    df = collections.Counter(g for s in docsets.values() for g in s)
+    want = {
+        i: (len(s), sum(df[g] == 1 for g in s))
+        for i, s in docsets.items() if s
+    }
+
+    got = gram_novelty(rd.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(got["doc_id"]) == set(want)
+    for r in got.itertuples():
+        ng, nv = want[int(r.doc_id)]
+        assert (int(r.n_grams), int(r.n_novel)) == (ng, nv), r.doc_id
+        assert abs(r.novel_frac - nv / ng) < 1e-12
+    # bucket count never changes results
+    got2 = gram_novelty(rd.from_arrow(t), n_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2.equals(got)
+
+
+def test_gram_novelty_short_docs_absent(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.textstats import gram_novelty
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["one two", "a b c a b c", "a b c d", ""],
+    }))
+    got = gram_novelty(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    # doc 1 (< 3 tokens) and doc 4 (empty) have no full 3-gram
+    assert got["doc_id"].tolist() == [2, 3]
+    # doc 2: grams {abc, bca, cab, abc} distinct -> {a b c, b c a, c a b};
+    # "a b c" also in doc 3 -> not novel there
+    d2 = got[got["doc_id"] == 2].iloc[0]
+    assert d2["n_grams"] == 3 and d2["n_novel"] == 2
+    d3 = got[got["doc_id"] == 3].iloc[0]
+    assert d3["n_grams"] == 2 and d3["n_novel"] == 1  # only "b c d"
+
+
+def test_source_lang_keep_counts(ray_session):
+    import __ray_entry__ as em
+
+    got = em._q_source_lang_keep(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    assert int(got["n_docs"].sum()) == t.num_rows
+    assert ((got["n_keep"] <= got["n_docs"]) & (got["n_keep"] >= 0)).all()
+    np.testing.assert_allclose(
+        got["keep_rate"], got["n_keep"] / got["n_docs"])
+    # strata match the raw table
+    raw = collections.Counter(zip(t["source"].to_pylist(),
+                                  t["lang"].to_pylist()))
+    assert {(r.source, r.lang): int(r.n_docs)
+            for r in got.itertuples()} == dict(raw)
+
+
+def test_lang_confusion_conserves_docs(ray_session):
+    import __ray_entry__ as em
+
+    got = em._q_lang_confusion(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang"])
+    assert int(got["n_docs"].sum()) == t.num_rows
+    per_lang = got.groupby("lang")["n_docs"].sum()
+    want = collections.Counter(t["lang"].to_pylist())
+    assert per_lang.to_dict() == dict(want)
+
+
+def test_dedup_segments_keep_first_crafted(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.boilerplate import (
+        dedup_segments_keep_first)
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta alpha",       # within-doc dup: 2nd alpha drops
+            "beta gamma",             # beta seen in doc 1 -> drops
+            "delta  delta",           # empty segment (sep run) exempt
+            "",                       # empty doc round-trips
+        ],
+    })
+    got = dedup_segments_keep_first(
+        rd.from_arrow(docs).repartition(3), sep=" ").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # dropped segments leave no separator behind (string_agg semantics,
+    # same as the SQL twin): kept segments rejoin directly
+    assert got["text_dedup"].tolist() == [
+        "alpha beta", "gamma", "delta ", ""]
+    assert got["n_segments"].tolist() == [3, 2, 3, 1]
+    assert got["n_removed"].tolist() == [1, 1, 1, 0]
+    # bucket knob never changes results
+    got2 = dedup_segments_keep_first(
+        rd.from_arrow(docs), sep=" ", n_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2.equals(got)
