@@ -927,7 +927,8 @@ def _attach_pair_features(pairs, feats, id_col: str, feat_col: str,
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
                          out_id: str = "doc_id",
                          num_partitions: int | None = None,
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         driver_threshold: int = 250_000):
     """Distributed connected components over an edge list → one
     ``(out_id, component)`` row per node, ``component`` = min node id
     in the node's component (the canonical dedup-cluster
@@ -952,7 +953,16 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
       sized, far smaller than the corpus.
 
     Rounds needed = component diameter; near-dup clusters are shallow
-    (typically ≤ ~5).  ``max_iters`` is a safety bound."""
+    (typically ≤ ~5).  ``max_iters`` is a safety bound.
+
+    Adaptive small-graph path: a dup graph below ``driver_threshold``
+    edges (a cheap exact ``count()`` on the materialized edge list)
+    runs a driver-side path-compressed union-find instead — identical
+    output (component = min node id), none of the per-round join /
+    aggregate fixed cost that dominates at test scale.  The threshold
+    bounds driver memory explicitly (250k edges ≈ 4 MB of int64
+    pairs); a web-scale dup graph exceeds it and takes the distributed
+    path.  Same decision shape as a broadcast-vs-shuffle join."""
     from ray.data.aggregate import Min
 
     from ..state.pools import default_join_partitions
@@ -978,6 +988,10 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             out_id: pd.Series([], dtype="int64"),
             "component": pd.Series([], dtype="int64"),
         }))
+
+    n_edges = edges.count()  # exact, metadata-cheap on a materialized ds
+    if n_edges <= driver_threshold:
+        return _components_union_find(edges, out_id)
 
     def self_min(batch: pa.Table) -> pa.Table:
         lab = pa.compute.min_element_wise(batch["node"], batch["label"])
@@ -1029,6 +1043,44 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     return labels.map_batches(
         lambda b: pa.table({out_id: b["node"], "component": b["label"]}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _components_union_find(edges, out_id: str):
+    """Driver-side small-graph path for :func:`connected_components`:
+    union-find with path halving, roots kept at the set's MINIMUM
+    dense index (larger root always attaches under smaller), so the
+    root's node id IS the component's min node id — output identical
+    to the distributed min-label propagation.  Bounded by the caller's
+    ``driver_threshold`` edge count."""
+    import ray.data as rd
+
+    df = edges.to_pandas()  # ≤ driver_threshold rows by contract
+    src = df["src"].to_numpy().astype(np.int64)
+    dst = df["dst"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    a, b = inv[:src.size], inv[src.size:]
+    parent = np.arange(nodes.size, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(a.size):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(nodes.size)),
+                        dtype=np.int64, count=nodes.size)
+    return rd.from_arrow(pa.table({
+        out_id: pa.array(nodes),
+        "component": pa.array(nodes[roots]),
+    }))
 
 
 def near_dup_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

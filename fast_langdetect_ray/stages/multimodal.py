@@ -4,10 +4,13 @@
 The decode kernels sit behind an optional-import seam: when Pillow /
 ffmpeg are installed the ``real_*`` kernels genuinely decode (PIL
 image decode + block-mean features, LANCZOS resize, ffmpeg frame
-sampling); in this offline container they raise
-``NotImplementedError`` and the deterministic content-addressed
-``fake_*`` kernels (default, ``strict=False``) keep tests/benchmarks
-runnable.  The Ray-side plumbing is real and tested either way: Arrow
+sampling).  PNG image payloads ALSO decode/resize through the
+pure-stdlib codec in :mod:`..functions.png` (zlib + numpy
+unfiltering), so the real image path runs even in this offline
+container; non-PNG images and video raise ``NotImplementedError``
+here, and the deterministic content-addressed ``fake_*`` kernels
+(default, ``strict=False``) keep tests/benchmarks runnable
+regardless.  The Ray-side plumbing is real and tested either way: Arrow
 ``binary`` schema in, actor-pool ``map_batches`` with small
 ``batch_size`` (large payloads → few rows per batch), fixed
 ``list_(float32)`` feature schema out.
@@ -25,6 +28,8 @@ from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions import png
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -58,28 +63,52 @@ _PIL = _try_import_pil()
 _FFMPEG = _ffmpeg_path()
 
 
+def _gray_block_means(arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM grayscale 4×4 block means in [0, 1) — the shared
+    deterministic featurizer (swap for a CLIP/encoder call in
+    production)."""
+    arr = arr.astype(np.float32) / 256.0
+    h, w = arr.shape
+    rows = np.array_split(np.arange(h), 4)
+    cols = np.array_split(np.arange(w), 4)
+    feats = np.array(
+        [arr[np.ix_(r, c)].mean() if r.size and c.size else 0.0
+         for r in rows for c in cols], dtype=np.float32)
+    return feats[:FEATURE_DIM]
+
+
+# ITU-R 601 luma weights — what PIL's convert("L") uses
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(H, W[, C]) uint8 → (H, W) float grayscale, PIL-compatible
+    weights (alpha ignored)."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    if img.shape[2] == 2:        # gray + alpha
+        return img[:, :, 0].astype(np.float32)
+    return img[:, :, :3].astype(np.float32) @ _LUMA
+
+
 def real_decoder(payload: bytes, kind: str) -> np.ndarray:
-    """Real decode/feature-extract kernel: with Pillow installed,
-    decodes image payloads and emits FEATURE_DIM grayscale block means
-    in [0, 1) (a deterministic, dependency-light featurizer — swap for
-    a CLIP/encoder call in production).  Raises when the needed
-    library is missing (offline container) — use ``fake_decoder`` for
-    plumbing tests there."""
+    """Real decode/feature-extract kernel: decodes image payloads and
+    emits FEATURE_DIM grayscale block means in [0, 1).  Pillow handles
+    every format when installed; PNG payloads ALSO decode through the
+    pure-stdlib codec (:mod:`..functions.png`), so this path is real
+    even in the offline container.  Raises when no decoder covers the
+    payload — use ``fake_decoder`` (strict=False) for plumbing tests."""
     if kind == "image" and _PIL is not None:
         import io
         img = _PIL.open(io.BytesIO(payload)).convert("L")
-        arr = np.asarray(img, dtype=np.float32) / 256.0
-        h, w = arr.shape
-        rows = np.array_split(np.arange(h), 4)
-        cols = np.array_split(np.arange(w), 4)
-        feats = np.array(
-            [arr[np.ix_(r, c)].mean() if r.size and c.size else 0.0
-             for r in rows for c in cols], dtype=np.float32)
-        return feats[:FEATURE_DIM]
+        return _gray_block_means(np.asarray(img, dtype=np.float32))
+    if kind == "image" and png.is_png(payload):
+        return _gray_block_means(_to_gray(png.decode_png(payload)))
     raise NotImplementedError(
         f"decoding kind={kind!r} requires "
-        f"{'Pillow' if kind == 'image' else 'ffmpeg'} which is not "
-        "installed; use fake_decoder (strict=False) for plumbing tests")
+        f"{'Pillow (non-PNG image)' if kind == 'image' else 'ffmpeg'} "
+        "which is not installed; use fake_decoder (strict=False) for "
+        "plumbing tests")
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
@@ -116,17 +145,22 @@ class MediaFeatureExtractor:
 
 def real_resize(payload: bytes, kind: str, width: int,
                 height: int) -> bytes:
-    """Real image-resize kernel (Pillow when installed): decode →
-    LANCZOS resize → re-encode PNG.  Raises when Pillow is missing."""
+    """Real image-resize kernel: Pillow (LANCZOS) when installed;
+    PNG payloads otherwise resample through the stdlib codec
+    (deterministic nearest-neighbor — documented quality trade, real
+    decode/re-encode).  Raises when no decoder covers the payload."""
     if _PIL is not None:
         import io
         img = _PIL.open(io.BytesIO(payload))
         out = io.BytesIO()
         img.resize((width, height), _PIL.LANCZOS).save(out, format="PNG")
         return out.getvalue()
+    if png.is_png(payload):
+        return png.encode_png(
+            png.resize_nearest(png.decode_png(payload), width, height))
     raise NotImplementedError(
-        "image resizing requires Pillow which is not installed; "
-        "use the deterministic fake via strict=False")
+        "image resizing requires Pillow (non-PNG image) which is not "
+        "installed; use the deterministic fake via strict=False")
 
 
 def fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:

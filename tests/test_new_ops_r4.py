@@ -121,3 +121,19 @@ def test_dedup_segments_keep_first_crafted(ray_session):
         rd.from_arrow(docs), sep=" ", n_buckets=4).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got2.equals(got)
+
+
+def test_components_driver_and_distributed_paths_agree(ray_session):
+    """The adaptive small-graph union-find must emit EXACTLY the
+    distributed min-label propagation's output."""
+    import __ray_entry__ as em
+    from fast_langdetect_ray.stages.dedup import connected_components
+
+    pairs = em.queries()["minhash_pairs"](SF_DIR)
+    small = connected_components(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = connected_components(pairs, driver_threshold=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(small) > 0
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(small, dist)

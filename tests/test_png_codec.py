@@ -1,0 +1,143 @@
+"""Pure-stdlib PNG codec + the now-real offline image kernels: encode/
+decode round-trips, independent per-spec filter reference, error
+taxonomy, and the strict multimodal path on genuine encoded bytes."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.functions import png
+from fast_langdetect_ray.stages import multimodal as mm
+
+
+def _arr(shape, seed=5):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [
+    (7, 5), (7, 5, 1), (6, 9, 2), (8, 8, 3), (3, 11, 4)])
+def test_roundtrip(shape):
+    a = _arr(shape)
+    out = png.decode_png(png.encode_png(a))
+    want = a[:, :, 0] if a.ndim == 3 and a.shape[2] == 1 else a
+    np.testing.assert_array_equal(out, want)
+    assert png.is_png(png.encode_png(a))
+
+
+def _filter_row(f, row, prev, ch):
+    """Independent per-spec PNG filterer (encode side) for filter f."""
+    out = np.empty_like(row)
+    for i in range(row.size):
+        a = int(row[i - ch]) if i >= ch else 0
+        b = int(prev[i])
+        c = int(prev[i - ch]) if i >= ch else 0
+        x = int(row[i])
+        if f == 0:
+            out[i] = x
+        elif f == 1:
+            out[i] = (x - a) % 256
+        elif f == 2:
+            out[i] = (x - b) % 256
+        elif f == 3:
+            out[i] = (x - ((a + b) >> 1)) % 256
+        else:
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                (b if pb_ <= pc_ else c)
+            out[i] = (x - pred) % 256
+    return out
+
+
+def test_decode_inverts_every_filter_type():
+    """Craft a PNG whose rows use filters 0..4 (reference-filtered per
+    spec); decode must reproduce the source image exactly."""
+    img = _arr((5, 4, 3), seed=11)
+    h, w, ch = img.shape
+    raw = img.reshape(h, w * ch)
+    scan = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        f = y % 5
+        scan.append(f)
+        scan.extend(_filter_row(f, raw[y], prev, ch).tobytes())
+        prev = raw[y]
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(png.decode_png(data), img)
+
+
+def test_unsupported_inputs_raise():
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"JFIF....")
+    a = _arr((4, 4))
+    good = png.encode_png(a)
+    # flip bit depth to 16 inside IHDR (offset: 8 sig + 8 hdr + 8-th byte)
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(bytes(bad))
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        png.decode_png(bytes(bad))
+
+
+def test_resize_nearest_dims_and_determinism():
+    a = _arr((10, 6, 3))
+    r = png.resize_nearest(a, 4, 3)
+    assert r.shape == (3, 4, 3)
+    np.testing.assert_array_equal(r, png.resize_nearest(a, 4, 3))
+
+
+def test_real_decoder_on_actual_png_payload():
+    if mm._PIL is not None:
+        pytest.skip("Pillow installed — PIL path covered elsewhere")
+    img = _arr((8, 8, 3), seed=3)
+    feats = mm.real_decoder(png.encode_png(img), "image")
+    want = mm._gray_block_means(mm._to_gray(img))
+    np.testing.assert_allclose(feats, want, rtol=1e-6)
+    assert feats.shape == (mm.FEATURE_DIM,)
+    # grayscale payload too
+    g = _arr((5, 5), seed=4)
+    np.testing.assert_allclose(
+        mm.real_decoder(png.encode_png(g), "image"),
+        mm._gray_block_means(g.astype(np.float32)), rtol=1e-6)
+
+
+def test_strict_resizer_on_actual_png_payloads():
+    if mm._PIL is not None:
+        pytest.skip("Pillow installed — PIL path covered elsewhere")
+    n = 6
+    payloads = [png.encode_png(_arr((9, 7, 3), seed=i)) for i in range(n)]
+    batch = pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "kind": pa.array(["image", "audio"] * (n // 2)),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([7] * n, type=pa.int32()),
+        "height": pa.array([9] * n, type=pa.int32()),
+        "duration_ms": pa.array([None] * n, type=pa.int32()),
+    })
+    out = mm.MediaResizer(width=4, height=3, strict=True)(batch)
+    for k, p, w, h, orig in zip(out["kind"].to_pylist(),
+                                out["payload"].to_pylist(),
+                                out["width"].to_pylist(),
+                                out["height"].to_pylist(),
+                                payloads):
+        if k == "image":
+            dec = png.decode_png(p)
+            assert dec.shape == (3, 4, 3)
+            assert (w, h) == (4, 3)
+        else:
+            assert p == orig
