@@ -1546,6 +1546,85 @@ def _q_dedup_segments_first(sf_dir: str):
     return dedup_segments_keep_first(_read(sf_dir, "documents"), sep=" ")
 
 
+def _q_source_dup_stats(sf_dir: str):
+    """T69: per-source exact-duplicate rate — the dedup-yield metric a
+    curator reads per stratum (which crawls/sources are copy-heavy).
+    (source, n_docs, n_distinct, dup_rate).
+
+    Scale shape: n_docs is a per-batch partial count; n_distinct uses
+    the distinct-triple bucket pattern (within-batch (source, sha)
+    dedup → ONE sha-bucket shuffle, so each distinct pair lands in
+    exactly one bucket and per-bucket distinct counts sum exactly) —
+    never a corpus-keyed aggregate.  Final tables are source-cardinality
+    (bounded take), merged into a pandas result."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from fast_langdetect_ray.stages.dedup import _BUCKET_MIX, \
+        _pair_buckets, add_sha256
+
+    nb = np.uint64(_pair_buckets())
+
+    n_docs = (_read(sf_dir, "documents").select_columns(["source"])
+              .groupby("source").aggregate(Count(alias_name="n_docs"))
+              .to_pandas())
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        # FULL sha256 is the dedup key (64-bit truncation would
+        # undercount at 10^12 docs); its first 8 bytes are the bucket
+        # key only (equal shas share a bucket by construction)
+        b = add_sha256(batch.select(["source", "text"]))
+        src_a = np.asarray(b["source"].to_pylist(), dtype=object)
+        sha = np.asarray(b["text_sha256"].to_pylist(), dtype=object)
+        o = np.lexsort((sha, src_a))
+        s_s, sha_s = src_a[o], sha[o]
+        first = np.empty(sha_s.size, dtype=bool)
+        if sha_s.size:
+            first[0] = True
+            first[1:] = (s_s[1:] != s_s[:-1]) | (sha_s[1:] != sha_s[:-1])
+        h = np.fromiter((int(s[:16], 16) for s in sha_s[first]),
+                        dtype=np.uint64, count=int(first.sum()))
+        with np.errstate(over="ignore"):
+            bucket = ((h * _BUCKET_MIX) % nb).astype(np.int64)
+        return pa.table({
+            "source": pa.array(s_s[first], type=pa.string()),
+            "sha": pa.array(sha_s[first], type=pa.string()),
+            "bucket": pa.array(bucket),
+        })
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        src_a = np.asarray(g["source"].to_pylist(), dtype=object)
+        sha = np.asarray(g["sha"].to_pylist(), dtype=object)
+        o = np.lexsort((sha, src_a))
+        s_s, sha_s = src_a[o], sha[o]
+        first = np.empty(sha_s.size, dtype=bool)
+        if sha_s.size:
+            first[0] = True
+            first[1:] = (s_s[1:] != s_s[:-1]) | (sha_s[1:] != sha_s[:-1])
+        su, cnt = np.unique(s_s[first], return_counts=True)
+        return pa.table({
+            "source": pa.array(su, type=pa.string()),
+            "n_part": pa.array(cnt.astype(np.int64)),
+        })
+
+    distinct = (
+        _read(sf_dir, "documents").select_columns(["source", "text"])
+        .map_batches(distinct_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_part", alias_name="n_distinct"))
+        .to_pandas())
+
+    out = n_docs.merge(distinct, on="source").sort_values("source") \
+        .reset_index(drop=True)
+    out["dup_rate"] = (out["n_docs"] - out["n_distinct"]) \
+        / out["n_docs"].astype("float64")
+    return out
+
+
 def _q_gram_novelty(sf_dir: str):
     """T65: corpus-wide 3-gram novelty per doc (share of the doc's
     distinct grams with global df == 1) — cross-doc memorization /
@@ -1686,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": _q_parts_by_brand,
         "suppliers_by_region": _q_suppliers_by_region,
         "gram_novelty": _q_gram_novelty,
+        "source_dup_stats": _q_source_dup_stats,
         "dedup_segments_first": _q_dedup_segments_first,
         "source_lang_keep": _q_source_lang_keep,
         # rows-only (model / sketch / approximate ops)
@@ -2368,6 +2448,15 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM ranked
             GROUP BY doc_id
+        """,
+        "source_dup_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                       / count(*) AS dup_rate
+            FROM documents
+            GROUP BY source
         """,
         "gram_novelty": """
             WITH tok AS (

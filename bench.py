@@ -83,6 +83,7 @@ HEADLINE = [
     "approx_norm_quantiles",
     "gram_novelty",
     "dedup_segments_first",
+    "source_dup_stats",
     "source_lang_keep",
     "lang_confusion",
 ]

@@ -294,6 +294,12 @@ def cmd_prune(args: argparse.Namespace) -> int:
             out = remove_repeated_spans_global(
                 _read_frags(args.input), width=args.span_width,
                 text_col=args.text_col, id_col=args.id_col)
+        elif args.mode == "segments-first":
+            from .stages.boilerplate import dedup_segments_keep_first
+            sep = args.sep.encode().decode("unicode_escape")
+            out = dedup_segments_keep_first(
+                _read_frags(args.input), sep=sep,
+                text_col=args.text_col, id_col=args.id_col)
         else:
             from .stages.boilerplate import prune_boilerplate
             sep = args.sep.encode().decode("unicode_escape")
@@ -306,6 +312,27 @@ def cmd_prune(args: argparse.Namespace) -> int:
         rows = sum(pq.ParquetFile(f).metadata.num_rows
                    for f in Path(args.output).rglob("*.parquet"))
         print(json.dumps({"rows_out": rows, "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """Corpus analysis reports: n-gram novelty per doc (cross-doc
+    memorization/boilerplate risk)."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .stages.textstats import gram_novelty
+        out = gram_novelty(_read_frags(args.input), n=args.n,
+                           text_col=args.text_col, id_col=args.id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": "novelty", "rows_out": rows,
+                          "output": str(args.output)}))
     finally:
         ray.shutdown()
     return 0
@@ -492,8 +519,11 @@ def main(argv=None) -> int:
     pr.add_argument("input", help="parquet file or directory of fragments")
     pr.add_argument("output", help="output parquet directory")
     pr.add_argument("--mode", default="segments",
-                    choices=["segments", "spans", "global-spans"],
+                    choices=["segments", "segments-first", "spans",
+                             "global-spans"],
                     help="segments: cross-doc boilerplate df cut; "
+                         "segments-first: corpus-wide keep-first "
+                         "segment dedup (CCNet paragraph dedup); "
                          "spans: intra-doc repeated-span removal; "
                          "global-spans: corpus-wide first-occurrence "
                          "span dedup")
@@ -507,6 +537,16 @@ def main(argv=None) -> int:
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--num-cpus", type=int, default=8)
     pr.set_defaults(fn=cmd_prune)
+
+    an = sub.add_parser("analyze",
+                        help="per-doc n-gram novelty report")
+    an.add_argument("input", help="parquet file or directory of fragments")
+    an.add_argument("output", help="output parquet directory")
+    an.add_argument("--n", type=int, default=3, help="token n-gram width")
+    an.add_argument("--text-col", default="text")
+    an.add_argument("--id-col", default="doc_id")
+    an.add_argument("--num-cpus", type=int, default=8)
+    an.set_defaults(fn=cmd_analyze)
 
     jn = sub.add_parser("join", help="distributed as-of / range join")
     jn.add_argument("input", help="left parquet file or directory")

@@ -374,3 +374,51 @@ def test_cli_dedup_semantic(tmp_path):
     ]).to_pandas()
     kept = sorted(got[got["keep"]]["vec_id"])
     assert kept == [0, 2]
+
+
+def test_cli_prune_segments_first(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["first line\nshared line",
+                 "shared line\nsecond line"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "deduped"
+    p = _run("prune", str(src), str(out), "--mode", "segments-first",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 2
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id")
+    # doc 0 owns "shared line" (first occurrence); doc 1 loses it
+    assert list(got["text_dedup"]) == ["first line\nshared line",
+                                       "second line"]
+    assert list(got["n_removed"]) == [0, 1]
+
+
+def test_cli_analyze_novelty(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["a b c d", "a b c e"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "novelty"
+    p = _run("analyze", str(src), str(out), "--num-cpus", "4",
+             timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id")
+    # each doc: grams {a b c, b c d|e}; "a b c" shared (df 2) -> 1 novel
+    assert list(got["n_grams"]) == [2, 2]
+    assert list(got["n_novel"]) == [1, 1]

@@ -137,3 +137,21 @@ def test_components_driver_and_distributed_paths_agree(ray_session):
     assert len(small) > 0
     pd = __import__("pandas")
     pd.testing.assert_frame_equal(small, dist)
+
+
+def test_source_dup_stats_counts(ray_session):
+    import __ray_entry__ as em
+
+    got = em._q_source_dup_stats(SF_DIR)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "text"])
+    assert int(got["n_docs"].sum()) == t.num_rows
+    want = collections.defaultdict(set)
+    counts = collections.Counter(t["source"].to_pylist())
+    for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        want[s].add(x)
+    for r in got.itertuples():
+        assert int(r.n_distinct) == len(want[r.source]), r.source
+        assert int(r.n_docs) == counts[r.source]
+        assert abs(r.dup_rate - (r.n_docs - r.n_distinct) / r.n_docs) \
+            < 1e-12
