@@ -155,3 +155,32 @@ def test_source_dup_stats_counts(ray_session):
         assert int(r.n_docs) == counts[r.source]
         assert abs(r.dup_rate - (r.n_docs - r.n_distinct) / r.n_docs) \
             < 1e-12
+
+
+def test_ivf_train_sample_is_order_independent(ray_session):
+    """The coarse quantizer trains on a corpus-wide hash sample: with
+    train_sample < n, a reversed + repartitioned corpus must select
+    the SAME training rows (a head sample would not) and produce
+    identical output."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    emb = rng.randn(120, 16).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              type=pa.list_(pa.float32())),
+    })
+    q = emb[:3]
+    # n_probe < n_centroids so centroid placement actually shows in
+    # the output (probing every cell would mask a train-sample drift)
+    kw = dict(k=5, n_centroids=8, n_probe=2, train_sample=32)
+    a = ivf_topk(rd.from_arrow(tbl), q, **kw).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    rev = tbl.take(pa.array(list(reversed(range(120)))))
+    b = ivf_topk(rd.from_arrow(rev).repartition(7), q, **kw).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(a, b)
