@@ -1546,6 +1546,25 @@ def _q_dedup_segments_first(sf_dir: str):
     return dedup_segments_keep_first(_read(sf_dir, "documents"), sep=" ")
 
 
+def _q_decontaminate_neardup(sf_dir: str):
+    """T70: near-duplicate decontamination — exact best n-gram Jaccard
+    of every corpus doc against the synthetic benchmark slice
+    (doc_id % 97 == 0), flagged at >= 0.5."""
+    from fast_langdetect_ray.stages.decontaminate import (
+        flag_contaminated_neardup)
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return flag_contaminated_neardup(docs, bench, jaccard_threshold=0.5,
+                                     n=8)
+
+
 def _q_source_dup_stats(sf_dir: str):
     """T69: per-source exact-duplicate rate — the dedup-yield metric a
     curator reads per stratum (which crawls/sources are copy-heavy).
@@ -1766,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": _q_suppliers_by_region,
         "gram_novelty": _q_gram_novelty,
         "source_dup_stats": _q_source_dup_stats,
+        "decontaminate_neardup": _q_decontaminate_neardup,
         "dedup_segments_first": _q_dedup_segments_first,
         "source_lang_keep": _q_source_lang_keep,
         # rows-only (model / sketch / approximate ops)
@@ -2448,6 +2468,53 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM ranked
             GROUP BY doc_id
+        """,
+        "decontaminate_neardup": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[gi:gi+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS gi) r
+              WHERE len(t) >= 8
+            ),
+            bgrams AS (
+              SELECT doc_id AS bench_id, g FROM grams
+              WHERE doc_id % 97 = 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz
+                      FROM grams GROUP BY doc_id),
+            bsizes AS (SELECT bench_id, count(*) AS bsz
+                       FROM bgrams GROUP BY bench_id),
+            inter AS (
+              SELECT a.doc_id, b.bench_id, count(*) AS ni
+              FROM grams a JOIN bgrams b USING (g)
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT i.doc_id, i.bench_id,
+                     CAST(ni AS DOUBLE) / (s.sz + bs.bsz - ni) AS jac
+              FROM inter i
+              JOIN sizes s USING (doc_id)
+              JOIN bsizes bs USING (bench_id)
+            ),
+            best AS (
+              SELECT doc_id, bench_id, jac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY jac DESC, bench_id ASC)
+                         AS rn
+              FROM scored
+            )
+            SELECT d.doc_id,
+                   coalesce(b.bench_id, -1) AS best_bench_id,
+                   coalesce(b.jac, 0.0) AS best_jaccard,
+                   coalesce(b.jac >= 0.5, false) AS contaminated_near
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "source_dup_stats": """
             SELECT source,

@@ -84,6 +84,7 @@ HEADLINE = [
     "gram_novelty",
     "dedup_segments_first",
     "source_dup_stats",
+    "decontaminate_neardup",
     "source_lang_keep",
     "lang_confusion",
 ]

@@ -211,3 +211,105 @@ def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
                                       num_partitions=num_partitions)
     return flag_contaminated(ds, benchmark_shingles(bench_ds, n, text_col),
                              n=n, text_col=text_col, id_col=id_col)
+
+
+def flag_contaminated_neardup(ds, bench_ds, jaccard_threshold: float = 0.5,
+                              n: int = 8, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              bench_id_col: str = "doc_id",
+                              bench_text_col: str = "text"):
+    """NEAR-duplicate decontamination: for every corpus doc, the exact
+    n-gram Jaccard against its best-matching benchmark doc —
+    paraphrase-level contamination that the any-shared-shingle test
+    above treats as all-or-nothing.  Returns one row per corpus doc:
+    ``(id, best_bench_id, best_jaccard, contaminated_near)`` with
+    ``best_bench_id = -1`` / ``best_jaccard = 0.0`` when no shingle is
+    shared (including docs too short to have a full shingle).
+
+    Scale shape (same small-bench broadcast contract as
+    :func:`flag_contaminated`): the benchmark's per-doc distinct
+    shingle sets are built in ONE vectorized pass on the driver
+    (eval-set sized) and broadcast via ``ray.put`` as a sorted
+    (hash → owner) posting array plus per-bench set sizes; the corpus
+    then streams through ONE stateless ``map_batches``:
+
+    * candidate (doc, bench) pairs come from a vectorized
+      ``searchsorted`` range probe of the doc's shingles against the
+      posting array (each shared shingle contributes exactly one
+      candidate row, so the per-pair candidate COUNT *is* the exact
+      intersection size — both sides are distinct-per-doc);
+    * ``jaccard = inter / (|doc| + |bench| - inter)`` and the
+      per-doc argmax (tie → smallest bench id) run as one
+      lexsort/reduceat pass — no Python per pair.
+
+    No shuffle, no join, nothing corpus-sized on the driver.  Exactly
+    SQL-expressible (gram join + group count + window argmax), unlike
+    MinHash-based near-dup decon — this is the exact-verification
+    variant, with the LSH recall trade not needed because the bench
+    side fits in memory."""
+    bench_tbl = pa.Table.from_pylist(
+        bench_ds.select_columns([bench_id_col, bench_text_col])
+        .take_all())  # eval-set sized by contract
+    b_parent, b_h = _distinct_per_doc(
+        *_doc_shingle_hashes(bench_tbl[bench_text_col]
+                             if bench_tbl.num_rows else
+                             pa.array([], type=pa.string()), n))
+    b_ids = (bench_tbl[bench_id_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64) if bench_tbl.num_rows else
+             np.empty(0, dtype=np.int64))
+    sizes = np.bincount(b_parent, minlength=len(b_ids)).astype(np.int64)
+    order = np.argsort(b_h, kind="stable")
+    ref = ray.put((b_h[order], b_parent[order].astype(np.int64),
+                   b_ids, sizes))
+
+    thr = float(jaccard_threshold)
+
+    def check(batch: pa.Table) -> pa.Table:
+        H, OWNER, BIDS, BSZ = ray.get(ref)
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
+        nrows = len(batch)
+        doc_sz = np.bincount(p, minlength=nrows).astype(np.int64)
+        best_id = np.full(nrows, -1, dtype=np.int64)
+        best_j = np.zeros(nrows, dtype=np.float64)
+        if h.size and H.size:
+            lo = np.searchsorted(H, h, side="left")
+            hi = np.searchsorted(H, h, side="right")
+            lens = hi - lo
+            m = lens > 0
+            if m.any():
+                reps = lens[m]
+                flat = np.repeat(lo[m], reps)
+                offs = np.zeros(reps.size + 1, dtype=np.int64)
+                np.cumsum(reps, out=offs[1:])
+                flat = flat + (np.arange(flat.size) -
+                               np.repeat(offs[:-1], reps))
+                cand_doc = np.repeat(p[m], reps)
+                cand_b = OWNER[flat]
+                o = np.lexsort((cand_b, cand_doc))
+                d_s, b_s = cand_doc[o], cand_b[o]
+                first = np.empty(d_s.size, dtype=bool)
+                first[0] = True
+                first[1:] = (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+                starts = np.flatnonzero(first)
+                inter = np.diff(np.append(starts, d_s.size)) \
+                    .astype(np.float64)
+                ud, ub = d_s[starts], b_s[starts]
+                jac = inter / (doc_sz[ud] + BSZ[ub] - inter)
+                # per-doc argmax, tie -> smallest bench id: sort by
+                # (doc, -jac, bench_id) and take each doc's first row
+                o2 = np.lexsort((BIDS[ub], -jac, ud))
+                d2 = ud[o2]
+                keep = np.empty(d2.size, dtype=bool)
+                keep[0] = True
+                keep[1:] = d2[1:] != d2[:-1]
+                best_id[d2[keep]] = BIDS[ub[o2][keep]]
+                best_j[d2[keep]] = jac[o2][keep]
+        return pa.table({
+            id_col: batch[id_col],
+            "best_bench_id": pa.array(best_id),
+            "best_jaccard": pa.array(best_j),
+            "contaminated_near": pa.array(best_j >= thr),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True)

@@ -184,3 +184,49 @@ def test_ivf_train_sample_is_order_independent(ray_session):
         .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     pd = __import__("pandas")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_decontamination_brute_force(ray_session):
+    """Crafted corpus with a paraphrased eval doc: exact best-Jaccard
+    per doc vs a pure-Python oracle over the same shingle sets."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import (
+        _distinct_per_doc, _doc_shingle_hashes, flag_contaminated_neardup)
+
+    eval_text = "the quick brown fox jumps over the lazy dog every day"
+    para = "a quick brown fox jumps over the lazy dog every night ok"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [eval_text, para, "totally unrelated words here now",
+                 "too short"],
+    })
+    bench = pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": [eval_text],
+    })
+    got = flag_contaminated_neardup(
+        rd.from_arrow(docs).repartition(2), rd.from_arrow(bench),
+        jaccard_threshold=0.3, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def shingles(txt):
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(
+            pa.array([txt], type=pa.string()), 3))
+        return set(int(x) for x in h)
+
+    bset = shingles(eval_text)
+    for r in got.itertuples():
+        s = shingles(docs["text"][int(r.doc_id)].as_py())
+        inter = len(s & bset)
+        if inter:
+            want = inter / (len(s) + len(bset) - inter)
+            assert r.best_bench_id == 100
+            assert abs(r.best_jaccard - want) < 1e-12
+            assert bool(r.contaminated_near) == (want >= 0.3)
+        else:
+            assert (r.best_bench_id, r.best_jaccard,
+                    bool(r.contaminated_near)) == (-1, 0.0, False)
+    assert bool(got.loc[0, "contaminated_near"])   # the eval doc itself
+    assert bool(got.loc[1, "contaminated_near"])   # its paraphrase
+    assert not bool(got.loc[2, "contaminated_near"])
