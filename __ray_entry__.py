@@ -1546,6 +1546,41 @@ def _q_dedup_segments_first(sf_dir: str):
     return dedup_segments_keep_first(_read(sf_dir, "documents"), sep=" ")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """T71: snapshot diff (incremental ingestion): documents vs a
+    deterministic "next day" variant (docs with id % 13 == 0 edited,
+    id % 17 == 0 dropped, one new doc per id % 19 == 0) — classify
+    every id added/removed/changed/unchanged from (id, sha) pruned
+    projections, one bucket shuffle, no join."""
+    from fast_langdetect_ray.stages.snapshot import snapshot_diff
+
+    old = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        edited = [t + " v2" if i % 13 == 0 else t
+                  for i, t in zip(ids, txt)]
+        keep = ids % 17 != 0
+        base = pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "text": pa.array(np.asarray(edited, dtype=object)[keep],
+                             type=pa.string()),
+        })
+        newmask = ids % 19 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[newmask] + 1000000),
+            "text": pa.array([f"new doc {i}" for i in ids[newmask]],
+                             type=pa.string()),
+        })
+        return pa.concat_tables([base, added])
+
+    new = old.map_batches(mutate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return snapshot_diff(old, new)
+
+
 def _q_decontaminate_neardup(sf_dir: str):
     """T70: near-duplicate decontamination — exact best n-gram Jaccard
     of every corpus doc against the synthetic benchmark slice
@@ -1786,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": _q_gram_novelty,
         "source_dup_stats": _q_source_dup_stats,
         "decontaminate_neardup": _q_decontaminate_neardup,
+        "snapshot_diff": _q_snapshot_diff,
         "dedup_segments_first": _q_dedup_segments_first,
         "source_lang_keep": _q_source_lang_keep,
         # rows-only (model / sketch / approximate ops)
@@ -2468,6 +2504,28 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
             FROM ranked
             GROUP BY doc_id
+        """,
+        "snapshot_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'new doc ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 19 = 0
+            ),
+            o AS (SELECT doc_id, sha256(text) AS s FROM documents),
+            n AS (SELECT doc_id, sha256(text) AS s FROM newsnap)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.s = n.s THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.s AS old_sha,
+                   n.s AS new_sha
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
         "decontaminate_neardup": """
             WITH tok AS (

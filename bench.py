@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_segments_first",
     "source_dup_stats",
     "decontaminate_neardup",
+    "snapshot_diff",
     "source_lang_keep",
     "lang_confusion",
 ]

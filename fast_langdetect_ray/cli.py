@@ -257,18 +257,27 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     try:
-        from .stages.decontaminate import decontaminate
-        out = decontaminate(_read_frags(args.input),
-                            _read_frags(args.benchmark),
-                            n=args.ngram, text_col=args.text_col,
-                            id_col=args.id_col)
+        if args.mode == "neardup":
+            from .stages.decontaminate import flag_contaminated_neardup
+            out = flag_contaminated_neardup(
+                _read_frags(args.input), _read_frags(args.benchmark),
+                jaccard_threshold=args.threshold, n=args.ngram,
+                text_col=args.text_col, id_col=args.id_col)
+            flag_col = "contaminated_near"
+        else:
+            from .stages.decontaminate import decontaminate
+            out = decontaminate(_read_frags(args.input),
+                                _read_frags(args.benchmark),
+                                n=args.ngram, text_col=args.text_col,
+                                id_col=args.id_col)
+            flag_col = "contaminated"
         out.write_parquet(args.output)
         import pyarrow.parquet as pq
         flagged = rows = 0
         for f in Path(args.output).rglob("*.parquet"):
-            t = pq.read_table(f, columns=["contaminated"])
+            t = pq.read_table(f, columns=[flag_col])
             rows += len(t)
-            flagged += t["contaminated"].to_pandas().sum()
+            flagged += t[flag_col].to_pandas().sum()
         print(json.dumps({"rows_out": rows, "flagged": int(flagged),
                           "output": str(args.output)}))
     finally:
@@ -508,6 +517,13 @@ def main(argv=None) -> int:
     dc.add_argument("output", help="output parquet directory")
     dc.add_argument("--benchmark", required=True,
                     help="benchmark parquet file or directory")
+    dc.add_argument("--mode", default="exact",
+                    choices=["exact", "neardup"],
+                    help="exact: any shared shingle flags; neardup: "
+                         "best n-gram Jaccard vs the benchmark "
+                         "(paraphrase-level)")
+    dc.add_argument("--threshold", type=float, default=0.5,
+                    help="neardup: jaccard flag threshold")
     dc.add_argument("--ngram", type=int, default=8)
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")

@@ -422,3 +422,30 @@ def test_cli_analyze_novelty(tmp_path):
     # each doc: grams {a b c, b c d|e}; "a b c" shared (df 2) -> 1 novel
     assert list(got["n_grams"]) == [2, 2]
     assert list(got["n_novel"]) == [1, 1]
+
+
+def test_cli_decontaminate_neardup(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": [eval_text + " ok", "unrelated words entirely here"],
+    })
+    bench = pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": [eval_text],
+    })
+    src = tmp_path / "docs.parquet"
+    bm = tmp_path / "bench.parquet"
+    pq.write_table(docs, src)
+    pq.write_table(bench, bm)
+    out = tmp_path / "flags"
+    p = _run("decontaminate", str(src), str(out), "--benchmark", str(bm),
+             "--mode", "neardup", "--ngram", "3", "--threshold", "0.3",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary == {"rows_out": 2, "flagged": 1,
+                       "output": str(out)}

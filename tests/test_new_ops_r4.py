@@ -230,3 +230,29 @@ def test_neardup_decontamination_brute_force(ray_session):
     assert bool(got.loc[0, "contaminated_near"])   # the eval doc itself
     assert bool(got.loc[1, "contaminated_near"])   # its paraphrase
     assert not bool(got.loc[2, "contaminated_near"])
+
+
+def test_snapshot_diff_crafted(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.snapshot import snapshot_diff
+
+    old = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    new = pa.table({"doc_id": [2, 3, 4], "text": ["b", "C", "d"]})
+    got = snapshot_diff(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(got["doc_id"], got["status"])) == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    r1 = got[got.doc_id == 1].iloc[0]
+    assert r1["old_sha"] and r1["new_sha"] is None
+    r4 = got[got.doc_id == 4].iloc[0]
+    assert r4["new_sha"] and r4["old_sha"] is None
+    r3 = got[got.doc_id == 3].iloc[0]
+    assert r3["old_sha"] != r3["new_sha"]
+
+    dup = pa.table({"doc_id": [5, 5], "text": ["x", "y"]})
+    with pytest.raises(Exception, match="unique per side"):
+        snapshot_diff(rd.from_arrow(dup),
+                      rd.from_arrow(new)).to_pandas()
