@@ -1,0 +1,146 @@
+"""T75 — distributed BPE tokenizer-training primitives.
+
+Training a BPE tokenizer over a 100 TB corpus decomposes, as in the
+published tokenizer trainers (sentencepiece, HuggingFace tokenizers,
+GPT-2's encoder), into
+
+1. a **corpus-sized distributed pass** that reduces the corpus to a
+   word-frequency table (here: lowercased whitespace words, the same
+   tokenization every other text operator in this engine uses), and
+2. an **in-memory merge loop** over that bounded table — each BPE merge
+   only needs the (word, count) vocabulary, never the corpus again.
+
+:func:`bpe_pair_counts` is the distributed kernel for step 2's inner
+statistic (adjacent-symbol pair frequencies) expressed corpus-wide so
+it is SQL-oracle-checkable; :func:`bpe_train` runs the full trainer:
+one streaming word-count pass (per-batch ``np.unique`` partials → tiny
+``groupby(word).Sum``), a bounded top-``max_vocab_words`` take, then
+the classic merge loop with a deterministic tie-break
+(freq desc, left asc, right asc).
+
+Scale notes: the word-count table is Zipf-bounded in practice; the
+explicit ``max_vocab_words`` sort+limit cap makes the driver take
+bounded by construction (rare words beyond the cap cannot influence
+early merges materially — the standard min-count cut in every
+published trainer).  Pair statistics per batch are computed over the
+batch's *distinct* tokens only (vocab-bounded Python, counts applied
+vectorially), never per row.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _distinct_tokens(batch: pa.Table, text_col: str):
+    """(distinct lowercased whitespace tokens, counts) for a batch."""
+    txt = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+    flat = pc.list_flatten(pc.utf8_split_whitespace(txt))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    if not toks.size:
+        return toks, np.zeros(0, dtype=np.int64)
+    return np.unique(toks, return_counts=True)
+
+
+def bpe_pair_counts(ds, text_col: str = "text", top_k: int = 20):
+    """T75a: corpus-wide adjacent-character pair frequencies inside
+    lowercased whitespace tokens — the first-merge statistic of BPE —
+    as ``(p, cnt)`` sorted (cnt desc, p asc), top ``top_k``.
+
+    Per-batch partials iterate the batch's *distinct* tokens
+    (vocab-bounded), weight by token count, and emit an
+    alphabet²-bounded table; the final groupby therefore moves tiny
+    tables regardless of corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = _distinct_tokens(batch, text_col)
+        counter: Dict[str, int] = {}
+        for t, k in zip(u, c):
+            for i in range(len(t) - 1):
+                p = t[i:i + 2]
+                counter[p] = counter.get(p, 0) + int(k)
+        return pa.table({
+            "p": pa.array(list(counter), type=pa.string()),
+            "cnt": pa.array(
+                np.fromiter(counter.values(), dtype=np.int64,
+                            count=len(counter))),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("p").aggregate(Sum("cnt", alias_name="cnt")))
+    return agg.sort(["cnt", "p"], descending=[True, False]).limit(top_k)
+
+
+def _merge_word(sym: Tuple[str, ...], left: str, right: str,
+                ) -> Tuple[str, ...]:
+    out: List[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_merges_from_vocab(vocab: List[Tuple[str, int]],
+                            n_merges: int,
+                            ) -> List[Tuple[int, str, str, int]]:
+    """Classic BPE merge loop over a (word, count) vocabulary.
+
+    Deterministic: best pair = (max freq, then lexicographically
+    smallest (left, right)).  Returns (rank, left, right, freq) rows;
+    stops early when no pair remains.
+    """
+    words: List[Tuple[Tuple[str, ...], int]] = [
+        (tuple(w), int(c)) for w, c in vocab if len(w) >= 2]
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_freq: Dict[Tuple[str, str], int] = {}
+        for sym, cnt in words:
+            for a, b in zip(sym, sym[1:]):
+                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + cnt
+        if not pair_freq:
+            break
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), freq = best
+        merges.append((rank, left, right, freq))
+        words = [(s if (left not in s) else _merge_word(s, left, right), c)
+                 for s, c in words]
+    return merges
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 30,
+              max_vocab_words: int = 100_000):
+    """T75: full BPE training — distributed word-count pass, bounded
+    vocabulary take, in-memory merge loop.  Returns a pandas DataFrame
+    ``(rank, left, right, freq)`` of the learned merges."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        u, c = _distinct_tokens(batch, text_col)
+        return pa.table({
+            "word": pa.array(u, type=pa.string()),
+            "cnt": pa.array(c.astype(np.int64)),
+        })
+
+    vocab_ds = (ds.map_batches(word_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+                .sort(["cnt", "word"], descending=[True, False])
+                .limit(max_vocab_words))
+    vocab_tbl = vocab_ds.to_pandas()  # bounded take: <= max_vocab_words
+    vocab = list(zip(vocab_tbl["word"], vocab_tbl["cnt"]))
+    merges = train_merges_from_vocab(vocab, n_merges)
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])

@@ -1,0 +1,213 @@
+"""Code-payload curation operators (T72–T74).
+
+The north-rule corpus is source-code files (BASELINE.json
+``input_hint``: ``repo/path/commit/lang/content``), so beyond the
+language-ID/quality chain the engine carries the standard code-corpus
+filters published for The Stack / StarCoder-style training sets:
+
+* **T72 line statistics** (:func:`line_stats`) — per-file line count,
+  max/mean line length and the StarCoder keep rule (drop generated /
+  minified / data-blob files by ``max_line_len`` and ``avg_line_len``).
+* **T73 secret redaction** (:func:`redact_secrets`) — ordered RE2
+  redaction of committed credentials (PEM private-key blocks, AWS
+  access keys, GitHub/Slack tokens, ``key = value`` assignments, long
+  hex blobs).  Same stateless-``map_batches`` shape as the PII scrub
+  (stages/scrub.py, reference parity FIXTURES.md §3) but with
+  code-specific patterns.
+* **T74 license / provenance scan** (:func:`license_scan`) — SPDX
+  identifier extraction, permissive/copyleft classification, and
+  auto-generated-file detection ("do not edit" headers), the
+  compliance gate a code-corpus curator applies before training.
+
+All three are stateless vectorized Arrow ``map_batches`` stages: the
+string kernels (split/regex/extract) run in Arrow C++ (RE2), the
+per-document reductions are numpy ``reduceat`` over the flattened line
+lists — no per-row Python in any hot path, no shuffle anywhere (these
+are embarrassingly parallel; at 10^12 files each block is independent).
+
+Patterns are declared once with *named* capture groups (Arrow's RE2
+binding rejects unnamed groups); :func:`sql_pattern` strips the names
+so the DuckDB oracle twins run the byte-identical RE2 pattern.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# T72 — line statistics / StarCoder-style structural filter
+# ---------------------------------------------------------------------------
+
+#: StarCoder/The-Stack published defaults: drop files with any line
+#: longer than 1000 chars or mean line length above 100 (minified JS,
+#: embedded data blobs, generated bundles).
+MAX_LINE_LEN_DEFAULT = 1000
+MAX_AVG_LINE_LEN_DEFAULT = 100.0
+
+
+def line_stats_batch(batch: pa.Table, text_col: str = "text",
+                     max_line_len: int = MAX_LINE_LEN_DEFAULT,
+                     max_avg_line_len: float = MAX_AVG_LINE_LEN_DEFAULT,
+                     ) -> pa.Table:
+    """map_batches body: append ``n_lines``, ``max_line_len``,
+    ``sum_line_len`` (int64), ``avg_line_len`` (float64) and the
+    structural keep flag ``line_filter_keep``.
+
+    Lengths are codepoint counts (``utf8_length``), matching DuckDB's
+    ``length()``; ``avg_line_len`` is the int64 sum divided by the
+    int64 count in float64 — the same IEEE op on both engine and
+    oracle, so the value-hash is stable.
+    """
+    txt = pc.fill_null(batch[text_col], "")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern(txt, pattern="\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    # every split of a non-null string yields >= 1 element ('' -> ['']),
+    # so cumsum-derived segment starts are always valid for reduceat
+    n_lines = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    lens = pc.utf8_length(flat).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(n_lines):
+        starts = np.concatenate(([0], np.cumsum(n_lines)[:-1]))
+        max_len = np.maximum.reduceat(lens, starts)
+        sum_len = np.add.reduceat(lens, starts)
+    else:
+        max_len = sum_len = np.zeros(0, dtype=np.int64)
+    avg_len = sum_len / np.maximum(n_lines, 1)
+    keep = (max_len <= max_line_len) & (avg_len <= max_avg_line_len)
+    return (batch
+            .append_column("n_lines", pa.array(n_lines))
+            .append_column("max_line_len", pa.array(max_len))
+            .append_column("sum_line_len", pa.array(sum_len))
+            .append_column("avg_line_len", pa.array(avg_len))
+            .append_column("line_filter_keep", pa.array(keep)))
+
+
+def line_stats(ds, text_col: str = "text",
+               max_line_len: int = MAX_LINE_LEN_DEFAULT,
+               max_avg_line_len: float = MAX_AVG_LINE_LEN_DEFAULT):
+    """T72: append per-file line statistics + StarCoder keep flag."""
+    return ds.map_batches(
+        line_stats_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col, "max_line_len": max_line_len,
+                   "max_avg_line_len": max_avg_line_len})
+
+
+# ---------------------------------------------------------------------------
+# T73 — committed-secret redaction
+# ---------------------------------------------------------------------------
+
+#: (tag, RE2 pattern with NAMED groups, rewrite) in frozen application
+#: order.  Ordering matters and is part of the contract: structured
+#: token patterns run before the generic assignment pattern (so an AWS
+#: key on the right-hand side of ``key = ...`` is tagged AWSKEY, after
+#: which the assignment pass may re-tag the whole value — deterministic
+#: on both engine and oracle); the long-hex catch-all runs last so it
+#: never eats a more specific token.  Recall-over-precision, same
+#: policy as the PII scrub (stages/scrub.py).
+SECRET_PATTERNS: List[Tuple[str, str, str]] = [
+    ("PEMKEY",
+     r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?"
+     r"-----END [A-Z ]*PRIVATE KEY-----",
+     "[REDACTED:PEMKEY]"),
+    ("AWSKEY", r"\bAKIA[0-9A-Z]{16}\b", "[REDACTED:AWSKEY]"),
+    ("GHTOKEN", r"\bghp_[A-Za-z0-9]{36}\b", "[REDACTED:GHTOKEN]"),
+    ("SLACK", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b", "[REDACTED:SLACK]"),
+    ("SECRET",
+     r"(?i)\b(?P<key>api_key|apikey|api-key|secret|token|password|passwd)"
+     r"\b(?P<sep>\s*[:=]\s*)[^\s\"']{6,}",
+     r"\1\2[REDACTED:SECRET]"),
+    ("HEX", r"\b[0-9a-f]{40,}\b", "[REDACTED:HEX]"),
+]
+
+
+def sql_pattern(pattern: str) -> str:
+    """The same RE2 pattern with named groups degraded to plain groups
+    (DuckDB accepts either; Arrow requires names, the bytes must
+    otherwise be identical for engine/oracle parity)."""
+    return re.sub(r"\(\?P<[^>]+>", "(", pattern)
+
+
+def redact_secrets_column(col) -> pa.ChunkedArray:
+    """Apply the ordered secret-redaction passes to a string column."""
+    out = pc.fill_null(col, "")
+    for _tag, pattern, rewrite in SECRET_PATTERNS:
+        out = pc.replace_substring_regex(
+            out, pattern=pattern, replacement=rewrite)
+    return out
+
+
+def redact_secrets_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "redacted") -> pa.Table:
+    """map_batches body: append ``redacted`` + ``secrets_found``."""
+    col = batch[text_col]
+    red = redact_secrets_column(col)
+    if isinstance(red, pa.ChunkedArray):
+        red = red.combine_chunks()
+    changed = pc.fill_null(pc.not_equal(red, col), True)
+    return (batch.append_column(out_col, red)
+            .append_column("secrets_found", changed))
+
+
+def redact_secrets(ds, text_col: str = "text"):
+    """T73: redact committed credentials; flags rows that changed."""
+    return ds.map_batches(
+        redact_secrets_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# T74 — license / provenance scan
+# ---------------------------------------------------------------------------
+
+SPDX_PATTERN = r"SPDX-License-Identifier:\s*(?P<id>[A-Za-z0-9.+-]+)"
+AUTOGEN_PATTERN = r"(?i)auto-?generated|do not edit|generated by"
+
+#: SPDX ids treated as permissive for training-data compliance.
+PERMISSIVE_LICENSES = (
+    "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+    "Unlicense", "Zlib", "0BSD",
+)
+#: Copyleft license-family prefixes (strong and weak).
+COPYLEFT_PREFIX_PATTERN = r"^(GPL|AGPL|LGPL|MPL|EPL)"
+
+
+def license_scan_batch(batch: pa.Table, text_col: str = "text",
+                       ) -> pa.Table:
+    """map_batches body: append ``spdx`` (empty string when absent —
+    DuckDB's ``regexp_extract`` no-match convention, so the oracle twin
+    is exact), ``license_family`` in {permissive, copyleft, other,
+    none} and ``is_autogen``."""
+    txt = pc.fill_null(batch[text_col], "")
+    spdx = pc.fill_null(
+        pc.struct_field(pc.extract_regex(txt, pattern=SPDX_PATTERN), "id"),
+        "")
+    fam = pc.if_else(
+        pc.equal(spdx, ""), "none",
+        pc.if_else(
+            pc.is_in(spdx, value_set=pa.array(PERMISSIVE_LICENSES)),
+            "permissive",
+            pc.if_else(
+                pc.match_substring_regex(
+                    spdx, pattern=COPYLEFT_PREFIX_PATTERN),
+                "copyleft", "other")))
+    autogen = pc.match_substring_regex(txt, pattern=AUTOGEN_PATTERN)
+    return (batch.append_column("spdx", spdx)
+            .append_column("license_family", fam)
+            .append_column("is_autogen", autogen))
+
+
+def license_scan(ds, text_col: str = "text"):
+    """T74: SPDX extraction + license classification + autogen flag."""
+    return ds.map_batches(
+        license_scan_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col})

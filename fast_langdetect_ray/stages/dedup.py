@@ -1499,6 +1499,73 @@ def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
                    num_partitions=num_partitions)
 
 
+def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          jaccard_threshold: float = 0.5,
+                          max_df: int = 64,
+                          num_partitions: int | None = None):
+    """T76: keep-BEST dedup under exact token n-gram Jaccard — each
+    near-dup component keeps its highest-``score_col`` member (ties:
+    smallest id) instead of the smallest id.  The curation-quality
+    variant of :func:`ngram_dedup_corpus`: when near-duplicates differ
+    (truncated mirror vs full page, stripped vs intact file), keep the
+    best copy, not the arbitrary first.
+
+    Scale shape: identical to keep-first — pairs → components (dup-
+    graph sized) — plus ONE dup-sized hash join to attach scores and a
+    component-hash bucket shuffle for the per-component argmax (numpy
+    lexsort per bucket; never a per-component Python group call).  The
+    corpus itself only crosses the final LEFT ANTI join.
+    """
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    pairs = ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, n=n,
+        jaccard_threshold=jaccard_threshold, max_df=max_df,
+        num_partitions=num_partitions).materialize()
+    if not pairs.take(1):
+        return ds
+    comp = connected_components(pairs, out_id=id_col,
+                                num_partitions=num_partitions)
+    scores = ds.select_columns([id_col, score_col])
+    labeled = comp.join(scores, join_type="inner", on=(id_col,),
+                        num_partitions=num_partitions)
+
+    n_buckets = np.uint64(_pair_buckets())
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch["component"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((c * _BUCKET_MIX) % n_buckets).astype(np.int64)
+        return batch.append_column("cbucket", pa.array(bucket))
+
+    def drops_in_bucket(g: pa.Table) -> pa.Table:
+        # every member of a component shares its bucket, so the argmax
+        # per equal-component run is exact
+        ids = g[id_col].to_numpy().astype(np.int64)
+        comp_v = g["component"].to_numpy().astype(np.int64)
+        sc = g[score_col].to_numpy()
+        order = np.lexsort((ids, -sc, comp_v))
+        c_s, id_s = comp_v[order], ids[order]
+        first = np.empty(c_s.size, dtype=bool)
+        if c_s.size:
+            first[0] = True
+            first[1:] = c_s[1:] != c_s[:-1]
+        return pa.table({id_col: pa.array(id_s[~first])})
+
+    drops = (labeled.map_batches(bucketize, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+             .groupby("cbucket")
+             .map_groups(drops_in_bucket, batch_format="pyarrow"))
+    return ds.join(drops, join_type="left_anti", on=(id_col,),
+                   num_partitions=num_partitions)
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash64-as-hex) per doc — deterministic fingerprints."""
     def batch_fn(batch: pa.Table) -> pa.Table:
