@@ -159,6 +159,12 @@ def cmd_dedup(args: argparse.Namespace) -> int:
                 out = ngram_jaccard_pairs(
                     ds, text_col=args.text_col, id_col=args.id_col,
                     n=args.ngram, jaccard_threshold=args.threshold)
+        elif args.mode == "ngram-best":
+            from .stages.dedup import ngram_dedup_keep_best
+            out = ngram_dedup_keep_best(
+                ds, score_col=args.score_col, text_col=args.text_col,
+                id_col=args.id_col, n=args.ngram,
+                jaccard_threshold=args.threshold)
         elif args.mode == "containment":
             from .stages.dedup import ngram_containment_pairs
             out = ngram_containment_pairs(
@@ -328,19 +334,79 @@ def cmd_prune(args: argparse.Namespace) -> int:
 
 def cmd_analyze(args: argparse.Namespace) -> int:
     """Corpus analysis reports: n-gram novelty per doc (cross-doc
-    memorization/boilerplate risk)."""
+    memorization/boilerplate risk), per-file line statistics with the
+    StarCoder structural keep flag, or SPDX license/provenance scan."""
     import ray
 
     _init_ray(args.num_cpus)
     try:
-        from .stages.textstats import gram_novelty
-        out = gram_novelty(_read_frags(args.input), n=args.n,
-                           text_col=args.text_col, id_col=args.id_col)
+        ds = _read_frags(args.input)
+        if args.mode == "lines":
+            from .stages.code import line_stats
+            out = line_stats(ds, text_col=args.text_col)
+        elif args.mode == "license":
+            from .stages.code import license_scan
+            out = license_scan(ds, text_col=args.text_col)
+        else:
+            from .stages.textstats import gram_novelty
+            out = gram_novelty(ds, n=args.n, text_col=args.text_col,
+                               id_col=args.id_col)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq
         rows = sum(pq.ParquetFile(f).metadata.num_rows
                    for f in Path(args.output).rglob("*.parquet"))
-        print(json.dumps({"mode": "novelty", "rows_out": rows,
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_redact(args: argparse.Namespace) -> int:
+    """Redact committed credentials (and optionally PII) in place —
+    appends the redacted column + change flag, writes parquet."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        ds = _read_frags(args.input)
+        if args.patterns in ("secrets", "both"):
+            from .stages.code import redact_secrets
+            ds = redact_secrets(ds, text_col=args.text_col)
+        if args.patterns in ("pii", "both"):
+            from .stages.scrub import scrub_batch
+            ds = ds.map_batches(scrub_batch, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                fn_kwargs={"text_col": args.text_col})
+        ds.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"patterns": args.patterns, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_tokenizer(args: argparse.Namespace) -> int:
+    """Train a BPE merge table over the corpus (one distributed
+    word-count pass + bounded in-memory merge loop)."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from .stages.bpe import bpe_train
+        merges = bpe_train(_read_frags(args.input),
+                           text_col=args.text_col,
+                           n_merges=args.merges,
+                           max_vocab_words=args.max_vocab_words)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        Path(args.output).mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(merges),
+                       str(Path(args.output) / "merges.parquet"))
+        print(json.dumps({"merges_learned": len(merges),
                           "output": str(args.output)}))
     finally:
         ray.shutdown()
@@ -466,8 +532,12 @@ def main(argv=None) -> int:
     dd.add_argument("output", help="output parquet directory")
     dd.add_argument("--mode", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "containment", "cross", "cross-bloom",
-                             "semantic"])
+                             "ngram-best", "containment", "cross",
+                             "cross-bloom", "semantic"])
+    dd.add_argument("--score-col", default="n_chars",
+                    help="ngram-best: numeric column ranking which "
+                         "cluster member to keep (max wins, ties → "
+                         "smallest id)")
     dd.add_argument("--bloom-bits", type=int, default=1 << 23,
                     help="cross-bloom: bitmap size in bits (~10x the "
                          "expected distinct prior docs; FP-only errors)")
@@ -555,14 +625,36 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_prune)
 
     an = sub.add_parser("analyze",
-                        help="per-doc n-gram novelty report")
+                        help="per-doc novelty / line-stat / license report")
     an.add_argument("input", help="parquet file or directory of fragments")
     an.add_argument("output", help="output parquet directory")
+    an.add_argument("--mode", default="novelty",
+                    choices=["novelty", "lines", "license"])
     an.add_argument("--n", type=int, default=3, help="token n-gram width")
     an.add_argument("--text-col", default="text")
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--num-cpus", type=int, default=8)
     an.set_defaults(fn=cmd_analyze)
+
+    rx = sub.add_parser("redact",
+                        help="redact committed credentials and/or PII")
+    rx.add_argument("input", help="parquet file or directory of fragments")
+    rx.add_argument("output", help="output parquet directory")
+    rx.add_argument("--patterns", default="secrets",
+                    choices=["secrets", "pii", "both"])
+    rx.add_argument("--text-col", default="text")
+    rx.add_argument("--num-cpus", type=int, default=8)
+    rx.set_defaults(fn=cmd_redact)
+
+    tk = sub.add_parser("tokenizer",
+                        help="train a BPE merge table over the corpus")
+    tk.add_argument("input", help="parquet file or directory of fragments")
+    tk.add_argument("output", help="output directory (merges.parquet)")
+    tk.add_argument("--merges", type=int, default=1000)
+    tk.add_argument("--max-vocab-words", type=int, default=100_000)
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--num-cpus", type=int, default=8)
+    tk.set_defaults(fn=cmd_tokenizer)
 
     jn = sub.add_parser("join", help="distributed as-of / range join")
     jn.add_argument("input", help="left parquet file or directory")
