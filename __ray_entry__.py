@@ -1894,6 +1894,68 @@ def _q_ngram_dedup_keep_best(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _q_repo_overlap(sf_dir: str):
+    """T77: repo/fork overlap — distinct shared contents + containment
+    per repo pair (The-Stack fork-dedup signal).  The driver corpus has
+    no natural cross-source duplicate text, so doc_id % 9 rows are
+    rewritten to one of 23 shared templates (mirrored in the oracle) to
+    give the pair kernel real positives."""
+    from fast_langdetect_ray.stages.overlap import repo_overlap
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(batch["text"].to_pylist(), dtype=object)
+        sel = ids % 9 == 0
+        txt = txt.copy()
+        txt[sel] = [f"shared-template-{i % 23}" for i in ids[sel]]
+        return pa.table({"source": batch["source"],
+                         "text": pa.array(txt, type=pa.string())})
+
+    ds = _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "source", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return repo_overlap(ds, repo_col="source")
+
+
+def _q_top_imports(sf_dir: str):
+    """T81: corpus-wide top imported modules (files importing each
+    module at least once), with planted import/include/require headers
+    (doc_id % 6) mirrored in the oracle."""
+    from fast_langdetect_ray.stages.code import top_imports
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(batch["text"].to_pylist(), dtype=object)
+        out = txt.copy()
+        m = ids % 6
+        for cls, fmt in (
+            (0, lambda i, t: f"import mod{i % 13}\n{t}"),
+            (1, lambda i, t: f"#include <lib{i % 7}.h>\n{t}"),
+            (2, lambda i, t: f"const x = require('pkg{i % 5}')\n{t}"),
+        ):
+            sel = m == cls
+            out[sel] = [fmt(i, t) for i, t in zip(ids[sel], txt[sel])]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return top_imports(ds, top_k=25)
+
+
+def _q_bpe_encode(sf_dir: str):
+    """T78: train 50 BPE merges on the corpus, then encode the corpus
+    with them — per-doc (n_words, n_bpe_tokens).  Rows-only (iterative
+    encoder, no SQL twin; pinned by a pure-Python reference encoder in
+    tests)."""
+    from fast_langdetect_ray.stages.bpe import bpe_encode_lengths, bpe_train
+
+    merges = bpe_train(_read(sf_dir, "documents"), n_merges=50)
+    return bpe_encode_lengths(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        merges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1951,8 +2013,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "license_scan": _q_license_scan,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "ngram_dedup_keep_best": _q_ngram_dedup_keep_best,
+        "repo_overlap": _q_repo_overlap,
+        "top_imports": _q_top_imports,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode_lengths": _q_bpe_encode,
         "lang_confusion": _q_lang_confusion,
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -2112,6 +2177,12 @@ def oracle_sql() -> dict[str, str]:
         _p = sql_pattern(_pat).replace("'", "''")
         sec_expr = f"regexp_replace({sec_expr}, '{_p}', '{_rw}', 'g')"
     permissive = ", ".join(f"'{x}'" for x in PERMISSIVE_LICENSES)
+    from fast_langdetect_ray.stages.code import IMPORT_PATTERNS
+    imp_exprs = [
+        "nullif(regexp_extract(l, '{}', 1), '')".format(
+            sql_pattern(p).replace("'", "''"))
+        for _t, p in IMPORT_PATTERNS]
+    imp_coalesce = "coalesce(" + ", ".join(imp_exprs) + ")"
     spdx_whens = "\n                     ".join(
         f"WHEN {i} THEN '{h}' || chr(10) || text"
         for i, h in enumerate(_SPDX_PLANTS))
@@ -2866,6 +2937,62 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY p
             ORDER BY cnt DESC, p
             LIMIT 25
+        """,
+        "top_imports": f"""
+            WITH mut AS (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'import mod' ||
+                            CAST(doc_id % 13 AS VARCHAR) || chr(10) || text
+                       WHEN 1 THEN '#include <lib' ||
+                            CAST(doc_id % 7 AS VARCHAR) || '.h>' ||
+                            chr(10) || text
+                       WHEN 2 THEN 'const x = require(''pkg' ||
+                            CAST(doc_id % 5 AS VARCHAR) || ''')' ||
+                            chr(10) || text
+                       ELSE text END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+              FROM mut
+            ),
+            ext AS (SELECT doc_id, {imp_coalesce} AS module FROM lines),
+            dm AS (SELECT DISTINCT doc_id, module FROM ext
+                   WHERE module IS NOT NULL)
+            SELECT module, CAST(count(*) AS BIGINT) AS n_files
+            FROM dm GROUP BY module
+            ORDER BY n_files DESC, module
+            LIMIT 25
+        """,
+        "repo_overlap": """
+            WITH mut AS (
+              SELECT source,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN 'shared-template-' ||
+                               CAST(doc_id % 23 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ),
+            dr AS (SELECT DISTINCT source, text FROM mut),
+            sh AS (SELECT text FROM dr GROUP BY text
+                   HAVING count(*) BETWEEN 2 AND 64),
+            prs AS (
+              SELECT a.source AS repo_a, b.source AS repo_b
+              FROM dr a JOIN dr b USING (text) JOIN sh USING (text)
+              WHERE a.source < b.source
+            ),
+            cnt AS (SELECT repo_a, repo_b,
+                           CAST(count(*) AS BIGINT) AS n_shared
+                    FROM prs GROUP BY repo_a, repo_b),
+            sizes AS (SELECT source, count(*) AS n_distinct
+                      FROM dr GROUP BY source)
+            SELECT repo_a, repo_b, n_shared,
+                   CAST(n_shared AS DOUBLE) /
+                       least(sa.n_distinct, sb.n_distinct) AS containment
+            FROM cnt
+            JOIN sizes sa ON repo_a = sa.source
+            JOIN sizes sb ON repo_b = sb.source
         """,
         "ngram_dedup_keep_best": f"""
             WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},

@@ -88,6 +88,15 @@ HEADLINE = [
     "snapshot_diff",
     "source_lang_keep",
     "lang_confusion",
+    "code_line_stats",
+    "redact_secrets",
+    "license_scan",
+    "bpe_pair_counts",
+    "bpe_merges",
+    "ngram_dedup_keep_best",
+    "repo_overlap",
+    "top_imports",
+    "bpe_encode_lengths",
 ]
 
 

@@ -347,12 +347,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         elif args.mode == "license":
             from .stages.code import license_scan
             out = license_scan(ds, text_col=args.text_col)
+        elif args.mode == "overlap":
+            from .stages.overlap import repo_overlap
+            out = repo_overlap(ds, repo_col=args.repo_col,
+                               text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
                                id_col=args.id_col)
-        out.write_parquet(args.output)
         import pyarrow.parquet as pq
+        if hasattr(out, "write_parquet"):
+            out.write_parquet(args.output)
+        else:  # repo-pair-bounded pandas report
+            import pyarrow as pa
+            Path(args.output).mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           str(Path(args.output) / "report.parquet"))
         rows = sum(pq.ParquetFile(f).metadata.num_rows
                    for f in Path(args.output).rglob("*.parquet"))
         print(json.dumps({"mode": args.mode, "rows_out": rows,
@@ -629,7 +639,9 @@ def main(argv=None) -> int:
     an.add_argument("input", help="parquet file or directory of fragments")
     an.add_argument("output", help="output parquet directory")
     an.add_argument("--mode", default="novelty",
-                    choices=["novelty", "lines", "license"])
+                    choices=["novelty", "lines", "license", "overlap"])
+    an.add_argument("--repo-col", default="source",
+                    help="overlap: repo/source grouping column")
     an.add_argument("--n", type=int, default=3, help="token n-gram width")
     an.add_argument("--text-col", default="text")
     an.add_argument("--id-col", default="doc_id")

@@ -76,7 +76,18 @@ def bpe_pair_counts(ds, text_col: str = "text", top_k: int = 20):
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("p").aggregate(Sum("cnt", alias_name="cnt")))
-    return agg.sort(["cnt", "p"], descending=[True, False]).limit(top_k)
+    # materialize is bounded (<= top_k rows); a token-free corpus
+    # yields a schema-less empty from Ray's Aggregate, so substitute
+    # the typed empty result
+    ranked = agg.sort(["cnt", "p"],
+                      descending=[True, False]).limit(top_k).materialize()
+    if ranked.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "p": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }))
+    return ranked
 
 
 def _merge_word(sym: Tuple[str, ...], left: str, right: str,
@@ -144,3 +155,79 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 30,
     vocab = list(zip(vocab_tbl["word"], vocab_tbl["cnt"]))
     merges = train_merges_from_vocab(vocab, n_merges)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])
+
+
+def encode_word(word: str, ranks: Dict[Tuple[str, str], int],
+                ) -> List[str]:
+    """Encode one word with a trained merge table: repeatedly apply the
+    LOWEST-rank applicable merge (the classic BPE encoder — GPT-2's
+    ``bpe()``), deterministically, until no merge applies."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_lengths(ds, merges, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """T78: apply a trained merge table corpus-wide — per-doc BPE token
+    count ``(id, n_words, n_bpe_tokens)``, the statistic sequence
+    packing and context-length budgeting need.
+
+    The merge table (tokenizer-sized, ≤ n_merges rows) is broadcast
+    once via ``ray.put``; each batch encodes only its DISTINCT words
+    (vocab-bounded Python, the standard encoder cache) and maps encoded
+    lengths back to the flat word stream with ``searchsorted`` +
+    per-doc ``bincount`` — no per-occurrence Python.
+
+    ``merges``: DataFrame/records with (rank, left, right) as returned
+    by :func:`bpe_train`.
+    """
+    import ray
+
+    ranks = {(str(l), str(r)): int(k)
+             for k, l, r in zip(merges["rank"], merges["left"],
+                                merges["right"])}
+    ranks_ref = ray.put(ranks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        txt = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+        toks_all = pc.utf8_split_whitespace(txt)
+        parent = pc.list_parent_indices(toks_all).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks_all)
+        nonempty = pc.not_equal(flat, "")
+        keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+        if not keep.all():
+            flat = flat.filter(nonempty)
+            parent = parent[keep]
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        n_docs = batch.num_rows
+        if words.size:
+            u, inv = np.unique(words, return_inverse=True)
+            enc_len = np.fromiter(
+                (len(encode_word(w, rk)) for w in u),
+                dtype=np.int64, count=u.size)
+            per_word = enc_len[inv]
+            n_words = np.bincount(parent, minlength=n_docs) \
+                .astype(np.int64)
+            n_bpe = np.bincount(parent, weights=per_word,
+                                minlength=n_docs).astype(np.int64)
+        else:
+            n_words = n_bpe = np.zeros(n_docs, dtype=np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "n_bpe_tokens": pa.array(n_bpe),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          zero_copy_batch=True)

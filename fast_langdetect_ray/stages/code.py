@@ -211,3 +211,92 @@ def license_scan(ds, text_col: str = "text"):
     return ds.map_batches(
         license_scan_batch, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# T81 — import / dependency extraction
+# ---------------------------------------------------------------------------
+
+#: One import statement per LINE, first pattern wins (fixed priority,
+#: mirrored with coalesce/nullif in the SQL oracle).  Named groups for
+#: Arrow; :func:`sql_pattern` degrades them for DuckDB.
+IMPORT_PATTERNS: List[Tuple[str, str]] = [
+    # Python / Java / Go-ish:  import x.y / from x.y import ...
+    ("pyish", r"^\s*(?:import|from)\s+(?P<m>[A-Za-z_][A-Za-z0-9_.]*)"),
+    # C / C++:  #include <x.h> or "x.h"
+    ("cinc", r"^\s*#include\s*[<\"](?P<m>[^>\"]+)[>\"]"),
+    # JS:  require('x')  or  import ... from 'x'
+    ("js", r"(?:require\(|from\s+)['\"](?P<m>[^'\"]+)['\"]"),
+]
+
+
+def _first_line_import(lines: pa.Array) -> pa.Array:
+    """First matching import target per line ('' when none) — three
+    vectorized extract passes coalesced in fixed priority."""
+    out = None
+    for _tag, pattern in IMPORT_PATTERNS:
+        hit = pc.fill_null(
+            pc.struct_field(pc.extract_regex(lines, pattern=pattern), "m"),
+            "")
+        out = hit if out is None else pc.if_else(
+            pc.equal(out, ""), hit, out)
+    return out
+
+
+def top_imports(ds, text_col: str = "text", id_col: str = "doc_id",
+                top_k: int = 25):
+    """T81: corpus-wide top imported modules — ``(module, n_files)``
+    sorted (n_files desc, module asc), where ``n_files`` counts files
+    importing the module at least once.
+
+    Per batch: split to lines (Arrow), ONE vectorized regex-extract
+    pass per pattern over the flattened line array, per-(doc, module)
+    dedup via lexsort — each doc lives in exactly one batch, so the
+    per-batch distinct (doc, module) pairs are globally distinct and a
+    module-keyed ``Sum`` of partial counts is exact.  Final table is
+    module-vocabulary-bounded.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch[text_col], "")
+        lists = pc.split_pattern(txt, pattern="\n")
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mod = _first_line_import(pc.list_flatten(lists))
+        mods = np.asarray(mod.to_pylist(), dtype=object)
+        hit = mods != ""
+        if not hit.any():
+            return pa.table({
+                "module": pa.array([], type=pa.string()),
+                "n_files": pa.array([], type=pa.int64()),
+            })
+        mods, parent = mods[hit], parent[hit]
+        order = np.lexsort((parent, mods))
+        m_s, p_s = mods[order], parent[order]
+        first = np.empty(m_s.size, dtype=bool)
+        first[0] = True
+        first[1:] = (m_s[1:] != m_s[:-1]) | (p_s[1:] != p_s[:-1])
+        um, uc = np.unique(m_s[first], return_counts=True)
+        return pa.table({
+            "module": pa.array(um, type=pa.string()),
+            "n_files": pa.array(uc.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("module").aggregate(Sum("n_files",
+                                            alias_name="n_files")))
+    # materialize is bounded (<= top_k rows); an import-free corpus
+    # yields a schema-less empty from Ray's Aggregate, so substitute
+    # the typed empty result (union with a schema-less dataset asserts
+    # inside Ray — the typed-empty-head trick does not work here)
+    ranked = agg.sort(["n_files", "module"],
+                      descending=[True, False]).limit(top_k).materialize()
+    if ranked.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "module": pa.array([], type=pa.string()),
+            "n_files": pa.array([], type=pa.int64()),
+        }))
+    return ranked

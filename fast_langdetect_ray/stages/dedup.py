@@ -1532,11 +1532,66 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
         return ds
     comp = connected_components(pairs, out_id=id_col,
                                 num_partitions=num_partitions)
-    scores = ds.select_columns([id_col, score_col])
-    labeled = comp.join(scores, join_type="inner", on=(id_col,),
-                        num_partitions=num_partitions)
 
+    # score attach WITHOUT a hash join (join aggregator spin-up is the
+    # dominant fixed cost at this graph size — same finding as the
+    # round-4 n-gram pair rewrite): union the dup-graph labels with the
+    # corpus (id, score) projection under one tagged schema, ONE
+    # id-hash bucket shuffle co-locates each id's ≤2 rows, in-bucket
+    # searchsorted attaches the score to the label row.
     n_buckets = np.uint64(_pair_buckets())
+
+    def _idbucket(ids: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            return pa.array(((ids.astype(np.int64).view(np.uint64)
+                              * _BUCKET_MIX) % n_buckets).astype(np.int64))
+
+    def tag_comp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "component": batch["component"],
+            "score": pa.array(np.zeros(ids.size, dtype=np.float64)),
+            "kind": pa.array(np.ones(ids.size, dtype=np.int8)),
+            "bucket": _idbucket(ids),
+        })
+
+    def tag_score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        sc = batch[score_col].to_numpy().astype(np.float64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "component": pa.array(np.full(ids.size, -1, dtype=np.int64)),
+            "score": pa.array(sc),
+            "kind": pa.array(np.zeros(ids.size, dtype=np.int8)),
+            "bucket": _idbucket(ids),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
+        comp_v = g["component"].to_numpy().astype(np.int64)
+        sc = g["score"].to_numpy()
+        is_score = kind == 0
+        sid, ssc = ids[is_score], sc[is_score]
+        order = np.argsort(sid, kind="stable")
+        sid, ssc = sid[order], ssc[order]
+        cid, ccomp = ids[~is_score], comp_v[~is_score]
+        pos = np.searchsorted(sid, cid)
+        return pa.table({
+            id_col: pa.array(cid),
+            "component": pa.array(ccomp),
+            "score": pa.array(ssc[pos] if cid.size else
+                              np.zeros(0, dtype=np.float64)),
+        })
+
+    labeled = (comp.map_batches(tag_comp, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(ds.select_columns([id_col, score_col])
+                      .map_batches(tag_score, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+               .groupby("bucket")
+               .map_groups(attach, batch_format="pyarrow"))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         c = batch["component"].to_numpy().view(np.uint64)
@@ -1546,10 +1601,11 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
 
     def drops_in_bucket(g: pa.Table) -> pa.Table:
         # every member of a component shares its bucket, so the argmax
-        # per equal-component run is exact
+        # per equal-component run is exact; float64 score is exact for
+        # integer scores below 2**53
         ids = g[id_col].to_numpy().astype(np.int64)
         comp_v = g["component"].to_numpy().astype(np.int64)
-        sc = g[score_col].to_numpy()
+        sc = g["score"].to_numpy()
         order = np.lexsort((ids, -sc, comp_v))
         c_s, id_s = comp_v[order], ids[order]
         first = np.empty(c_s.size, dtype=bool)

@@ -1,0 +1,139 @@
+"""T77 — repo/fork overlap report (cross-repo exact-content sharing).
+
+The Stack's published pipeline dedups FORKS before anything else: a
+fork shares most of its file contents with its upstream, and training
+on both multiplies the duplication factor.  This operator produces the
+signal that decision needs — for every pair of repos, how many DISTINCT
+file contents they share and the containment ratio
+``n_shared / min(|A|, |B|)`` (1.0 = one repo's distinct content is a
+subset of the other's: a pure fork or mirror).
+
+Scale shape (10^12 files, millions of repos):
+
+* per-batch: *distinct* (sha256, repo) projection (lexsort + first
+  mask; the full sha is the identity key — a 64-bit truncation would
+  alias at this scale; its first 8 bytes are only the bucket key);
+* ONE sha-bucket shuffle co-locates every occurrence of a content
+  hash, so per-bucket pair emission is exact and per-repo distinct
+  counts sum exactly (each distinct (sha, repo) lands in exactly one
+  bucket);
+* per bucket: cross-batch dedup, then pair emission per equal-sha run.
+  Only shas shared by ≥ 2 repos emit anything; ``max_repos`` caps the
+  quadratic blow-up of boilerplate contents (empty files, LICENSE
+  texts live in millions of repos — dropping them loses no fork
+  signal; the cap is mirrored in the SQL oracle via HAVING);
+* final ``groupby(repo_a, repo_b).Sum`` moves repo-pair-bounded rows;
+  the containment finish joins two repo-cardinality tables on the
+  driver (bounded take, documented).
+
+Text never moves — only hashes and repo names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _BUCKET_MIX, _pair_buckets, add_sha256
+
+
+def _distinct_sha_repo(batch: pa.Table, repo_col: str, text_col: str,
+                       n_buckets: np.uint64) -> pa.Table:
+    b = add_sha256(batch.select([repo_col, text_col]), text_col=text_col,
+                   out_col="__sha256")
+    repo = np.asarray(b[repo_col].to_pylist(), dtype=object)
+    sha = np.asarray(b["__sha256"].to_pylist(), dtype=object)
+    order = np.lexsort((repo, sha))
+    sha_s, repo_s = sha[order], repo[order]
+    first = np.empty(sha_s.size, dtype=bool)
+    if sha_s.size:
+        first[0] = True
+        first[1:] = (sha_s[1:] != sha_s[:-1]) | (repo_s[1:] != repo_s[:-1])
+    sha_d, repo_d = sha_s[first], repo_s[first]
+    h = np.fromiter((int(s[:16], 16) for s in sha_d),
+                    dtype=np.uint64, count=sha_d.size)
+    with np.errstate(over="ignore"):
+        bucket = ((h * _BUCKET_MIX) % n_buckets).astype(np.int64)
+    return pa.table({
+        "sha": pa.array(sha_d, type=pa.string()),
+        "repo": pa.array(repo_d, type=pa.string()),
+        "bucket": pa.array(bucket),
+    })
+
+
+def repo_overlap(ds, repo_col: str = "source", text_col: str = "text",
+                 max_repos: int = 64):
+    """T77: ``(repo_a, repo_b, n_shared, containment)`` for every repo
+    pair sharing at least one distinct file content (repo_a < repo_b).
+
+    ``max_repos``: contents present in more than this many repos are
+    treated as boilerplate and emit no pairs (quadratic-cap, mirrored
+    in the oracle).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nb = np.uint64(_pair_buckets())
+
+    def bucket_emit(g: pa.Table) -> pa.Table:
+        repo = np.asarray(g["repo"].to_pylist(), dtype=object)
+        sha = np.asarray(g["sha"].to_pylist(), dtype=object)
+        order = np.lexsort((repo, sha))
+        sha_s, repo_s = sha[order], repo[order]
+        first = np.empty(sha_s.size, dtype=bool)
+        if sha_s.size:
+            first[0] = True
+            first[1:] = (sha_s[1:] != sha_s[:-1]) | (repo_s[1:] != repo_s[:-1])
+        sha_s, repo_s = sha_s[first], repo_s[first]  # cross-batch dedup
+        # per-repo distinct-count partials (exact: each distinct
+        # (sha, repo) is in exactly this bucket)
+        ur, uc = np.unique(repo_s, return_counts=True)
+        ra = [r for r in ur]
+        rb = ["" for _ in ur]          # "" sentinel = size row
+        n = [int(c) for c in uc]
+        # pair emission per equal-sha run (2..max_repos repos)
+        if sha_s.size:
+            starts = np.flatnonzero(np.concatenate(
+                ([True], sha_s[1:] != sha_s[:-1])))
+            lengths = np.diff(np.append(starts, sha_s.size))
+            for s, l in zip(starts[lengths >= 2], lengths[lengths >= 2]):
+                if l > max_repos:
+                    continue  # boilerplate content: no fork signal
+                run = repo_s[s:s + l]  # sorted, distinct by construction
+                for i in range(l - 1):
+                    for j in range(i + 1, l):
+                        ra.append(run[i])
+                        rb.append(run[j])
+                        n.append(1)
+        return pa.table({
+            "repo_a": pa.array(ra, type=pa.string()),
+            "repo_b": pa.array(rb, type=pa.string()),
+            "n": pa.array(np.asarray(n, dtype=np.int64)),
+        })
+
+    agg = (ds.map_batches(_distinct_sha_repo, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          fn_kwargs={"repo_col": repo_col,
+                                     "text_col": text_col,
+                                     "n_buckets": nb})
+           .groupby("bucket")
+           .map_groups(bucket_emit, batch_format="pyarrow")
+           .groupby(["repo_a", "repo_b"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # bounded: repo-pair cardinality + repo sizes
+
+    sizes = dict(zip(agg.loc[agg["repo_b"] == "", "repo_a"],
+                     agg.loc[agg["repo_b"] == "", "n"]))
+    pairs = agg[agg["repo_b"] != ""].rename(columns={"n": "n_shared"})
+    if len(pairs):
+        mins = np.minimum(pairs["repo_a"].map(sizes).to_numpy(),
+                          pairs["repo_b"].map(sizes).to_numpy())
+        pairs = pairs.assign(
+            containment=pairs["n_shared"].to_numpy() / mins)
+    else:
+        pairs = pd.DataFrame(columns=["repo_a", "repo_b", "n_shared",
+                                      "containment"])
+        pairs = pairs.astype({"repo_a": str, "repo_b": str,
+                              "n_shared": np.int64,
+                              "containment": np.float64})
+    return pairs.sort_values(["repo_a", "repo_b"]).reset_index(drop=True)
