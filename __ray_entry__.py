@@ -1956,6 +1956,33 @@ def _q_bpe_encode(sf_dir: str):
         merges)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """T79: context-window chunking — overlapping 64-token windows
+    (overlap 8) exploded one-to-many inside map_batches; chunk count
+    and boundaries are integer arithmetic mirrored exactly in SQL."""
+    from fast_langdetect_ray.stages.chunk import chunk_documents
+    return chunk_documents(_read(sf_dir, "documents"),
+                           max_tokens=64, overlap=8)
+
+
+def _q_fim_transform(sf_dir: str):
+    """T80: fill-in-the-middle (PSM) augmentation with sha-derived
+    pivots — rows-only (hash-pivot arithmetic has no SQL twin; pinned
+    by a pure-Python reference in tests)."""
+    from fast_langdetect_ray.stages.chunk import fim_transform
+    return fim_transform(_read(sf_dir, "documents"), fim_rate_mod=2)
+
+
+def _q_repo_split_assign(sf_dir: str):
+    """T27b: GROUP-aware train/val/test split — every doc of a repo
+    lands in the same split (hash the repo key, not the doc id), the
+    leakage-safe split for code corpora where near-identical files
+    live inside one repo."""
+    from fast_langdetect_ray.stages.sampling import hash_split
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    return hash_split(ds, id_col="source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2015,9 +2042,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_keep_best": _q_ngram_dedup_keep_best,
         "repo_overlap": _q_repo_overlap,
         "top_imports": _q_top_imports,
+        "doc_chunks": _q_doc_chunks,
+        "repo_split_assign": _q_repo_split_assign,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
+        "fim_transform": _q_fim_transform,
         "lang_confusion": _q_lang_confusion,
         "detect_documents": _q_detect_documents,
         "detect_topk": _q_detect_topk,
@@ -2937,6 +2967,39 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY p
             ORDER BY cnt DESC, p
             LIMIT 25
+        """,
+        "doc_chunks": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            nn AS (SELECT doc_id, t, len(t) AS n FROM tok
+                   WHERE len(t) > 0),
+            ch AS (
+              SELECT doc_id, t, n,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                  ELSE (n - 64 + 55) // 56 + 1 END))
+                         AS chunk_id
+              FROM nn
+            )
+            SELECT doc_id, chunk_id,
+                   least(chunk_id * 56 + 64, n) - chunk_id * 56
+                       AS n_tokens,
+                   array_to_string(
+                       t[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)],
+                       ' ') AS chunk_text
+            FROM ch
+        """,
+        "repo_split_assign": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(sha256(source), 1, 2) < 'cc'
+                             THEN 'train'
+                        WHEN substr(sha256(source), 1, 2) < 'e6'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "top_imports": f"""
             WITH mut AS (

@@ -97,6 +97,8 @@ HEADLINE = [
     "repo_overlap",
     "top_imports",
     "bpe_encode_lengths",
+    "doc_chunks",
+    "fim_transform",
 ]
 
 

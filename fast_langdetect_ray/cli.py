@@ -399,6 +399,36 @@ def cmd_redact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    """Context-window chunking (overlapping token windows) or
+    fill-in-the-middle transformation over a parquet corpus."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        ds = _read_frags(args.input)
+        if args.mode == "fim":
+            from .stages.chunk import fim_transform
+            out = fim_transform(ds, text_col=args.text_col,
+                                id_col=args.id_col,
+                                fim_rate_mod=args.fim_rate_mod)
+        else:
+            from .stages.chunk import chunk_documents
+            out = chunk_documents(ds, text_col=args.text_col,
+                                  id_col=args.id_col,
+                                  max_tokens=args.max_tokens,
+                                  overlap=args.overlap)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def cmd_tokenizer(args: argparse.Namespace) -> int:
     """Train a BPE merge table over the corpus (one distributed
     word-count pass + bounded in-memory merge loop)."""
@@ -657,6 +687,22 @@ def main(argv=None) -> int:
     rx.add_argument("--text-col", default="text")
     rx.add_argument("--num-cpus", type=int, default=8)
     rx.set_defaults(fn=cmd_redact)
+
+    ck = sub.add_parser("chunk",
+                        help="context-window chunking / FIM transform")
+    ck.add_argument("input", help="parquet file or directory of fragments")
+    ck.add_argument("output", help="output parquet directory")
+    ck.add_argument("--mode", default="windows",
+                    choices=["windows", "fim"])
+    ck.add_argument("--max-tokens", type=int, default=2048)
+    ck.add_argument("--overlap", type=int, default=128)
+    ck.add_argument("--fim-rate-mod", type=int, default=2,
+                    help="fim: transform docs whose hash selector %% "
+                         "mod == 0 (2 = ~half)")
+    ck.add_argument("--text-col", default="text")
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--num-cpus", type=int, default=8)
+    ck.set_defaults(fn=cmd_chunk)
 
     tk = sub.add_parser("tokenizer",
                         help="train a BPE merge table over the corpus")

@@ -1,0 +1,165 @@
+"""T79/T80 — context-window document chunking and fill-in-the-middle.
+
+**T79 chunking** (:func:`chunk_documents`): every LLM data pipeline
+cuts long documents into model-context-sized pieces before packing.
+One-to-many explode INSIDE ``map_batches`` (never a driver loop): a doc
+with ``n`` whitespace tokens yields
+
+    ``n_chunks = 1                                   if n <= max_tokens
+               = (n - max_tokens + stride - 1) // stride + 1 otherwise``
+
+chunks, ``stride = max_tokens - overlap``, chunk ``i`` covering tokens
+``[i*stride, min(i*stride + max_tokens, n))`` — integer arithmetic on
+both engine and SQL oracle, so the twin is exact.  Chunk text is the
+space-join of its tokens (whitespace-NORMALIZED output, the documented
+contract — chunking happens after normalization in a real pipeline).
+Token-less docs emit nothing.
+
+**T80 FIM** (:func:`fim_transform`): the fill-in-the-middle
+augmentation code models train with (Bavarian et al.): split each doc's
+token stream into prefix/middle/suffix at two DETERMINISTIC pivots
+derived from sha256(id) — reproducible across runs and partitionings,
+no RNG state — and emit ``<PRE> prefix <SUF> suffix <MID> middle``
+(PSM order).  Stateless map_batches; rows-only (hash-pivot arithmetic
+has no reasonable SQL twin) pinned by a pure-Python reference in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """(flat tokens, per-doc counts) — empty tokens dropped, same
+    tokenization as spans/textstats."""
+    txt = pc.fill_null(batch[text_col], "")
+    lists = pc.utf8_split_whitespace(txt)
+    parent = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    nonempty = pc.not_equal(flat, "")
+    keep = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    if not keep.all():
+        flat = flat.filter(nonempty)
+        parent = parent[keep]
+    counts = np.bincount(parent, minlength=batch.num_rows) \
+        .astype(np.int64)
+    return np.asarray(flat.to_pylist(), dtype=object), counts
+
+
+def n_chunks_for(n: np.ndarray, max_tokens: int, stride: int,
+                 ) -> np.ndarray:
+    """Chunk count per doc (0 for token-less docs) — int arithmetic."""
+    out = np.where(n <= max_tokens, 1,
+                   (n - max_tokens + stride - 1) // stride + 1)
+    return np.where(n == 0, 0, out).astype(np.int64)
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 64, overlap: int = 8):
+    """T79: explode docs into overlapping token-window chunks —
+    ``(id, chunk_id, n_tokens, chunk_text)``."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # fully vectorized one-to-many explode: ragged chunk ranges via
+        # repeat/cumsum index arithmetic, ONE Arrow take for the token
+        # gather, ONE binary_join for the chunk texts — zero Python per
+        # chunk (chunking is corpus-sized at scale)
+        toks_flat, counts = _doc_tokens(batch, text_col)
+        id_arr = batch[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        doc_base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nch = n_chunks_for(counts, max_tokens, stride)
+        total = int(nch.sum())
+        if not total:
+            return pa.table({
+                # id keeps the INPUT dtype (string paths work too)
+                id_col: pa.array([], type=id_arr.type),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            })
+        doc_idx = np.repeat(np.arange(counts.size), nch)
+        chunk_id = (np.arange(total)
+                    - np.repeat(np.concatenate(([0], np.cumsum(nch)[:-1])),
+                                nch))
+        lo = chunk_id * stride
+        hi = np.minimum(lo + max_tokens, counts[doc_idx])
+        ln = hi - lo
+        starts = doc_base[doc_idx] + lo
+        tok_idx = (np.repeat(starts, ln)
+                   + np.arange(int(ln.sum()))
+                   - np.repeat(np.concatenate(([0], np.cumsum(ln)[:-1])),
+                               ln))
+        gathered = pa.array(toks_flat, type=pa.string()).take(
+            pa.array(tok_idx))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(ln))).astype(np.int32))
+        chunk_lists = pa.ListArray.from_arrays(offsets, gathered)
+        chunk_text = pc.binary_join(chunk_lists, " ")
+        return pa.table({
+            id_col: id_arr.take(pa.array(doc_idx)),
+            "chunk_id": pa.array(chunk_id.astype(np.int64)),
+            "n_tokens": pa.array(ln.astype(np.int64)),
+            "chunk_text": chunk_text,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def _fim_pivots(doc_id, n: int):
+    """Two deterministic token pivots a <= b from sha256(id) — the id
+    only feeds the hash string, so int and string ids both work."""
+    h = hashlib.sha256(f"fim:{doc_id}".encode()).digest()
+    a = int.from_bytes(h[:8], "big") % (n + 1)
+    b = int.from_bytes(h[8:16], "big") % (n + 1)
+    return (a, b) if a <= b else (b, a)
+
+
+def fim_transform(ds, text_col: str = "text", id_col: str = "doc_id",
+                  fim_rate_mod: int = 2):
+    """T80: PSM fill-in-the-middle — docs with ``sha-derived
+    selector % fim_rate_mod == 0`` are transformed to
+    ``<PRE> prefix <SUF> suffix <MID> middle``; the rest pass through
+    unchanged (``fim_applied`` flags which).  Pivots are pure functions
+    of the id, so the output is partition- and resume-independent."""
+
+    def transform(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch[text_col], "")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = txt.to_pylist()
+        out, applied = [], []
+        for i, t in zip(ids, texts):
+            toks = t.split()
+            sel = int.from_bytes(
+                hashlib.sha256(f"fimsel:{i}".encode()).digest()[:4],
+                "big")
+            if not toks or sel % fim_rate_mod != 0:
+                out.append(t)
+                applied.append(False)
+                continue
+            a, b = _fim_pivots(i, len(toks))
+            pre, mid, suf = toks[:a], toks[a:b], toks[b:]
+            out.append(f"{FIM_PRE} {' '.join(pre)} {FIM_SUF} "
+                       f"{' '.join(suf)} {FIM_MID} {' '.join(mid)}")
+            applied.append(True)
+        return pa.table({
+            id_col: batch[id_col],
+            "fim_text": pa.array(out, type=pa.string()),
+            "fim_applied": pa.array(applied),
+        })
+
+    return ds.map_batches(transform, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -546,3 +546,37 @@ def test_cli_dedup_ngram_best(tmp_path):
         pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
     ]).to_pandas()
     assert sorted(got["doc_id"]) == [2, 3]
+
+
+def test_cli_chunk_windows_and_fim(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": [" ".join(f"t{i}" for i in range(25)), "short text"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "chunks"
+    p = _run("chunk", str(src), str(out), "--mode", "windows",
+             "--max-tokens", "10", "--overlap", "3",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values(["doc_id", "chunk_id"])
+    # doc 0: 25 tokens, stride 7 -> 1 + ceil(15/7) = 4 chunks
+    assert got[got["doc_id"] == 0]["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert got[got["doc_id"] == 1]["n_tokens"].tolist() == [2]
+
+    out2 = tmp_path / "fim"
+    p = _run("chunk", str(src), str(out2), "--mode", "fim",
+             "--fim-rate-mod", "1", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    assert got2["fim_applied"].all()
+    assert got2["fim_text"].str.contains("<MID>").all()
