@@ -1558,7 +1558,11 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
 
     def tag_score(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
-        sc = batch[score_col].to_numpy().astype(np.float64)
+        # null score = -inf: a scoreless member never wins its cluster
+        # unless every member is scoreless (then min id, as always)
+        sc = pa.compute.fill_null(
+            pa.compute.cast(batch[score_col], pa.float64()),
+            float("-inf")).to_numpy(zero_copy_only=False)
         return pa.table({
             id_col: pa.array(ids),
             "component": pa.array(np.full(ids.size, -1, dtype=np.int64)),

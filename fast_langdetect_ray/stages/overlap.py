@@ -41,7 +41,10 @@ def _distinct_sha_repo(batch: pa.Table, repo_col: str, text_col: str,
                        n_buckets: np.uint64) -> pa.Table:
     b = add_sha256(batch.select([repo_col, text_col]), text_col=text_col,
                    out_col="__sha256")
-    repo = np.asarray(b[repo_col].to_pylist(), dtype=object)
+    # null repo rows sort as "" (fill-null-first policy, ADVICE r3):
+    # web-crawled provenance is allowed to be missing
+    repo = np.asarray(
+        pa.compute.fill_null(b[repo_col], "").to_pylist(), dtype=object)
     sha = np.asarray(b["__sha256"].to_pylist(), dtype=object)
     order = np.lexsort((repo, sha))
     sha_s, repo_s = sha[order], repo[order]

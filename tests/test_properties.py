@@ -196,3 +196,80 @@ def test_kana_present_batch_matches_scalar(texts):
 
     got = _kana_present(texts)
     assert got.tolist() == [scalar(t) for t in texts]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_line_stats_batch_invariants(texts):
+    """line_stats kernel on arbitrary unicode: totals consistent,
+    lengths are codepoints, keep flag matches its definition."""
+    from fast_langdetect_ray.stages.code import line_stats_batch
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = line_stats_batch(t)
+    for i, txt in enumerate(texts):
+        lines = (txt or "").split("\n")
+        assert out["n_lines"][i].as_py() == len(lines)
+        assert out["max_line_len"][i].as_py() == max(len(x) for x in lines)
+        assert out["sum_line_len"][i].as_py() == sum(len(x) for x in lines)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_redact_secrets_idempotent(texts):
+    """Secret redaction is a fixpoint: redaction tokens never re-match
+    (re-running on redacted output is a no-op) — safe task retries."""
+    from fast_langdetect_ray.stages.code import redact_secrets_column
+    col = pa.chunked_array([pa.array(texts, type=pa.string())])
+    once = redact_secrets_column(col)
+    if hasattr(once, "combine_chunks"):
+        once = once.combine_chunks()
+    again = redact_secrets_column(once)
+    if hasattr(again, "combine_chunks"):
+        again = again.combine_chunks()
+    assert once.to_pylist() == again.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.sampled_from("ab "), max_size=80),
+       st.integers(min_value=2, max_value=12),
+       st.integers(min_value=0, max_value=6))
+def test_chunk_arithmetic_covers_stream(text, max_tokens, overlap):
+    """Chunk boundaries tile the token stream exactly: stitching
+    chunks (dropping each chunk's first `overlap` tokens after the
+    first chunk) reconstructs the stream; every chunk is non-empty and
+    at most max_tokens long."""
+    import numpy as np
+
+    from fast_langdetect_ray.stages.chunk import n_chunks_for
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    toks = text.split()
+    n = len(toks)
+    nch = int(n_chunks_for(np.array([n]), max_tokens, stride)[0])
+    if n == 0:
+        assert nch == 0
+        return
+    chunks = [toks[ci * stride: min(ci * stride + max_tokens, n)]
+              for ci in range(nch)]
+    assert all(0 < len(c) <= max_tokens for c in chunks)
+    stitched = list(chunks[0])
+    for c in chunks[1:]:
+        stitched.extend(c[overlap:])
+    assert stitched == toks
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.sampled_from("abcde"), min_size=0,
+               max_size=12),
+       st.lists(st.tuples(st.sampled_from("abcde"),
+                          st.sampled_from("abcde")),
+                max_size=8, unique=True))
+def test_encode_word_partitions_word(word, pairs):
+    """BPE encoding is a partition of the word: concatenating the
+    output symbols reproduces the word, for any merge table."""
+    from fast_langdetect_ray.stages.bpe import encode_word
+    ranks = {p: i for i, p in enumerate(pairs)}
+    out = encode_word(word, ranks)
+    assert "".join(out) == word
+    assert encode_word(word, ranks) == out
