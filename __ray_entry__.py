@@ -1983,6 +1983,49 @@ def _q_repo_split_assign(sf_dir: str):
     return hash_split(ds, id_col="source")
 
 
+_XC_WORDS = ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+             "november", "oscar", "papa", "quebec", "romeo", "sierra",
+             "tango")
+
+
+def _q_cross_corpus_neardup(sf_dir: str):
+    """T82: incremental NEAR-dup dedup of the odd-id half against the
+    even-id 'prior snapshot'.  Planted per-pair-unique templates
+    (doc_id%10==0 gets template(k), doc_id%10==1 gets template(k) plus
+    a 3-token tail, k = the shared 10-block) give real cross-corpus
+    near-dup positives whose grams have df=2 at every sf."""
+    from fast_langdetect_ray.stages.dedup import cross_corpus_neardup_dedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(b["text"].to_pylist(), dtype=object)
+        out = txt.copy()
+        k = ids - (ids % 10)
+        sel0 = ids % 10 == 0
+        out[sel0] = [" ".join(f"{w}{kk}" for w in _XC_WORDS)
+                     for kk in k[sel0]]
+        sel1 = ids % 10 == 1
+        out[sel1] = [" ".join(f"{w}{kk}" for w in _XC_WORDS)
+                     + " xtail1 xtail2 xtail3" for kk in k[sel1]]
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "n_chars": b["n_chars"],
+                         "text": pa.array(out, type=pa.string())})
+
+    base = _read(sf_dir, "documents") \
+        .select_columns(["doc_id", "lang", "n_chars", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    prior = base.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    new = base.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    out = cross_corpus_neardup_dedup(new, prior, n=3,
+                                     jaccard_threshold=0.5, max_df=64)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2044,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_imports": _q_top_imports,
         "doc_chunks": _q_doc_chunks,
         "repo_split_assign": _q_repo_split_assign,
+        "cross_corpus_neardup": _q_cross_corpus_neardup,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -2216,6 +2260,8 @@ def oracle_sql() -> dict[str, str]:
     spdx_whens = "\n                     ".join(
         f"WHEN {i} THEN '{h}' || chr(10) || text"
         for i, h in enumerate(_SPDX_PLANTS))
+    _k = "CAST(doc_id - (doc_id % 10) AS VARCHAR)"
+    xc_tpl = " || ' ' || ".join(f"'{w}' || {_k}" for w in _XC_WORDS)
     return {
         "hash_split_assign": """
             SELECT doc_id,
@@ -2967,6 +3013,58 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY p
             ORDER BY cnt DESC, p
             LIMIT 25
+        """,
+        "cross_corpus_neardup": f"""
+            WITH base AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN doc_id % 10 = 0 THEN {xc_tpl}
+                          WHEN doc_id % 10 = 1 THEN {xc_tpl} ||
+                               ' xtail1 xtail2 xtail3'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            uni AS (
+              SELECT -doc_id - 2 AS doc_id, text FROM base
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, text FROM base WHERE doc_id % 2 = 1
+            ),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM uni
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[gi:gi+2], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 1)) AS gi) r
+              WHERE len(t) >= 3
+            ),
+            rare AS (SELECT g FROM grams GROUP BY g
+                     HAVING count(*) <= 64),
+            rg AS (SELECT doc_id, g FROM grams JOIN rare USING (g)),
+            sizes AS (SELECT doc_id, count(*) AS sz
+                      FROM rg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM rg a JOIN rg b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT DISTINCT greatest(id_a, id_b) AS doc_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE (id_a < 0) <> (id_b < 0)
+                AND CAST(i.n_inter AS DOUBLE)
+                    / (sa.sz + sb.sz - i.n_inter) >= 0.5
+            )
+            SELECT doc_id, lang, n_chars FROM base
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)
         """,
         "doc_chunks": """
             WITH tok AS (

@@ -99,6 +99,7 @@ HEADLINE = [
     "bpe_encode_lengths",
     "doc_chunks",
     "fim_transform",
+    "cross_corpus_neardup",
 ]
 
 

@@ -170,12 +170,18 @@ def cmd_dedup(args: argparse.Namespace) -> int:
             out = ngram_containment_pairs(
                 ds, text_col=args.text_col, id_col=args.id_col,
                 n=args.ngram, containment_threshold=args.threshold)
-        elif args.mode in ("cross", "cross-bloom"):
+        elif args.mode in ("cross", "cross-bloom", "cross-neardup"):
             if not args.prior:
                 print(f"--prior is required for mode={args.mode}",
                       file=sys.stderr)
                 return 1
-            if args.mode == "cross":
+            if args.mode == "cross-neardup":
+                from .stages.dedup import cross_corpus_neardup_dedup
+                out = cross_corpus_neardup_dedup(
+                    ds, _read_frags(args.prior),
+                    text_col=args.text_col, id_col=args.id_col,
+                    n=args.ngram, jaccard_threshold=args.threshold)
+            elif args.mode == "cross":
                 from .stages.dedup import cross_corpus_dedup
                 out = cross_corpus_dedup(
                     ds, _read_frags(args.prior),
@@ -573,7 +579,7 @@ def main(argv=None) -> int:
     dd.add_argument("--mode", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
                              "ngram-best", "containment", "cross",
-                             "cross-bloom", "semantic"])
+                             "cross-bloom", "cross-neardup", "semantic"])
     dd.add_argument("--score-col", default="n_chars",
                     help="ngram-best: numeric column ranking which "
                          "cluster member to keep (max wins, ties → "

@@ -1626,6 +1626,69 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
                    num_partitions=num_partitions)
 
 
+def cross_corpus_neardup_dedup(ds, prior, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               jaccard_threshold: float = 0.5,
+                               max_df: int = 64,
+                               num_partitions: int | None = None):
+    """T82: incremental NEAR-dup dedup — drop every doc of ``ds`` whose
+    exact token n-gram Jaccard against ANY doc of the ``prior`` corpus
+    reaches the threshold.  The near-dup counterpart of
+    :func:`cross_corpus_dedup` (which only catches byte-identical
+    text): re-crawls, light edits and trailing-boilerplate variants of
+    already-trained documents are caught here.
+
+    Mechanism: prior ids map to the disjoint negative range
+    ``-(id)-2`` (int64 ids required — documented contract; the shift
+    past -1 keeps real ids clear of the pair kernel's -1 sentinel
+    rows), the tagged
+    union feeds the SAME inverted-index pair kernel as
+    :func:`ngram_jaccard_pairs`, pairs crossing the sign boundary flag
+    their non-negative (new) member, and ONE LEFT ANTI join drops the
+    flagged docs.  The ``max_df`` cut applies over the union —
+    boilerplate n-grams shared across both corpora are stopworded,
+    same trade as within-corpus dedup.  Scale shape: identical to the
+    pair kernel (grams move as 64-bit hashes; both corpora cross the
+    bucket shuffle once; the new corpus crosses the anti-join once).
+    """
+    from ..state.pools import default_join_partitions
+    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+
+    ensure_join_schema_broadcast_fix()
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def neg_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: pa.array(-ids - 2),
+            text_col: batch[text_col],
+        })
+
+    uni = (prior.select_columns([id_col, text_col])
+           .map_batches(neg_ids, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .union(ds.select_columns([id_col, text_col])))
+    pairs = ngram_jaccard_pairs(
+        uni, text_col=text_col, id_col=id_col, n=n,
+        jaccard_threshold=jaccard_threshold, max_df=max_df,
+        num_partitions=num_partitions).materialize()
+    if not pairs.take(1):
+        return ds
+
+    def flag_new(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        cross = (a < 0) != (b < 0)
+        return pa.table({
+            id_col: pa.array(np.unique(np.maximum(a, b)[cross]))})
+
+    drops = pairs.map_batches(flag_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return ds.join(drops, join_type="left_anti", on=(id_col,),
+                   num_partitions=num_partitions)
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash64-as-hex) per doc — deterministic fingerprints."""
     def batch_fn(batch: pa.Table) -> pa.Table:
