@@ -1841,6 +1841,7 @@ _SPDX_PLANTS = (
     "// SPDX-License-Identifier: CC-BY-4.0",
     "// AUTO-GENERATED FILE. DO NOT EDIT.",
     "# generated by protoc",
+    "// SPDX-License-Identifier: MIT AND GPL-3.0-only",
 )
 
 
@@ -2251,6 +2252,10 @@ def oracle_sql() -> dict[str, str]:
         _p = sql_pattern(_pat).replace("'", "''")
         sec_expr = f"regexp_replace({sec_expr}, '{_p}', '{_rw}', 'g')"
     permissive = ", ".join(f"'{x}'" for x in PERMISSIVE_LICENSES)
+    from fast_langdetect_ray.stages.code import (COPYLEFT_TOKEN_PATTERN,
+                                                 SPDX_PATTERN)
+    spdx_sql = sql_pattern(SPDX_PATTERN).replace("'", "''")
+    copyleft_sql = COPYLEFT_TOKEN_PATTERN.replace("'", "''")
     from fast_langdetect_ray.stages.code import IMPORT_PATTERNS
     imp_exprs = [
         "nullif(regexp_extract(l, '{}', 1), '')".format(
@@ -2980,16 +2985,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             ex AS (
               SELECT doc_id, text,
-                     regexp_extract(text,
-                         'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)',
-                         1) AS spdx
+                     regexp_extract(text, '{spdx_sql}', 1) AS spdx
               FROM mut
             )
             SELECT doc_id, spdx,
                    CASE WHEN spdx = '' THEN 'none'
-                        WHEN spdx IN ({permissive}) THEN 'permissive'
-                        WHEN regexp_matches(spdx, '^(GPL|AGPL|LGPL|MPL|EPL)')
+                        WHEN regexp_matches(spdx, '{copyleft_sql}')
                              THEN 'copyleft'
+                        WHEN spdx IN ({permissive}) THEN 'permissive'
                         ELSE 'other' END AS license_family,
                    regexp_matches(text,
                        '(?i)auto-?generated|do not edit|generated by')

@@ -391,9 +391,13 @@ def cmd_redact(args: argparse.Namespace) -> int:
             ds = redact_secrets(ds, text_col=args.text_col)
         if args.patterns in ("pii", "both"):
             from .stages.scrub import scrub_batch
+            # 'both' composes: the PII pass scrubs the secrets-redacted
+            # text, so the 'scrubbed' column carries BOTH redactions
+            scrub_col = "redacted" if args.patterns == "both" \
+                else args.text_col
             ds = ds.map_batches(scrub_batch, batch_format="pyarrow",
                                 zero_copy_batch=True,
-                                fn_kwargs={"text_col": args.text_col})
+                                fn_kwargs={"text_col": scrub_col})
         ds.write_parquet(args.output)
         import pyarrow.parquet as pq
         rows = sum(pq.ParquetFile(f).metadata.num_rows

@@ -152,7 +152,10 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 30,
                 .sort(["cnt", "word"], descending=[True, False])
                 .limit(max_vocab_words))
     vocab_tbl = vocab_ds.to_pandas()  # bounded take: <= max_vocab_words
-    vocab = list(zip(vocab_tbl["word"], vocab_tbl["cnt"]))
+    # a token-free corpus yields a schema-less empty from Ray's
+    # Aggregate (no "word" column at all) — train zero merges
+    vocab = ([] if "word" not in vocab_tbl.columns
+             else list(zip(vocab_tbl["word"], vocab_tbl["cnt"])))
     merges = train_merges_from_vocab(vocab, n_merges)
     return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])
 

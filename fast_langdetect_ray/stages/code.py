@@ -123,8 +123,13 @@ SECRET_PATTERNS: List[Tuple[str, str, str]] = [
     ("GHTOKEN", r"\bghp_[A-Za-z0-9]{36}\b", "[REDACTED:GHTOKEN]"),
     ("SLACK", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b", "[REDACTED:SLACK]"),
     ("SECRET",
+     # sep consumes an optional closing quote of a quoted key (JSON
+     # "password": ...); the value alternation covers double-quoted,
+     # single-quoted (quotes removed with the value) and bare values —
+     # quoted values are the common form in real code
      r"(?i)\b(?P<key>api_key|apikey|api-key|secret|token|password|passwd)"
-     r"\b(?P<sep>\s*[:=]\s*)[^\s\"']{6,}",
+     r"\b(?P<sep>[\"']?\s*[:=]\s*)"
+     r"(?:\"[^\"]{6,}\"|'[^']{6,}'|[^\s\"']{6,})",
      r"\1\2[REDACTED:SECRET]"),
     ("HEX", r"\b[0-9a-f]{40,}\b", "[REDACTED:HEX]"),
 ]
@@ -169,16 +174,23 @@ def redact_secrets(ds, text_col: str = "text"):
 # T74 — license / provenance scan
 # ---------------------------------------------------------------------------
 
-SPDX_PATTERN = r"SPDX-License-Identifier:\s*(?P<id>[A-Za-z0-9.+-]+)"
+#: Captures the FULL SPDX expression, including compound
+#: ``A AND/OR/WITH B`` forms — truncating at the first token would
+#: classify ``MIT AND GPL-3.0-only`` as permissive.
+SPDX_PATTERN = (r"SPDX-License-Identifier:\s*(?P<id>[A-Za-z0-9.+-]+"
+                r"(?: (?:AND|OR|WITH) [A-Za-z0-9.+-]+)*)")
 AUTOGEN_PATTERN = r"(?i)auto-?generated|do not edit|generated by"
 
-#: SPDX ids treated as permissive for training-data compliance.
+#: SPDX ids treated as permissive for training-data compliance
+#: (single-id expressions only; any compound not containing a copyleft
+#: token classifies conservatively as 'other').
 PERMISSIVE_LICENSES = (
     "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
     "Unlicense", "Zlib", "0BSD",
 )
-#: Copyleft license-family prefixes (strong and weak).
-COPYLEFT_PREFIX_PATTERN = r"^(GPL|AGPL|LGPL|MPL|EPL)"
+#: Copyleft family token ANYWHERE in the expression (strong and weak):
+#: checked FIRST, so 'MIT AND GPL-3.0-only' is copyleft.
+COPYLEFT_TOKEN_PATTERN = r"(?:^| )(?:GPL|AGPL|LGPL|MPL|EPL)"
 
 
 def license_scan_batch(batch: pa.Table, text_col: str = "text",
@@ -194,12 +206,12 @@ def license_scan_batch(batch: pa.Table, text_col: str = "text",
     fam = pc.if_else(
         pc.equal(spdx, ""), "none",
         pc.if_else(
-            pc.is_in(spdx, value_set=pa.array(PERMISSIVE_LICENSES)),
-            "permissive",
+            pc.match_substring_regex(
+                spdx, pattern=COPYLEFT_TOKEN_PATTERN),
+            "copyleft",
             pc.if_else(
-                pc.match_substring_regex(
-                    spdx, pattern=COPYLEFT_PREFIX_PATTERN),
-                "copyleft", "other")))
+                pc.is_in(spdx, value_set=pa.array(PERMISSIVE_LICENSES)),
+                "permissive", "other")))
     autogen = pc.match_substring_regex(txt, pattern=AUTOGEN_PATTERN)
     return (batch.append_column("spdx", spdx)
             .append_column("license_family", fam)

@@ -1658,17 +1658,32 @@ def cross_corpus_neardup_dedup(ds, prior, text_col: str = "text",
     if num_partitions is None:
         num_partitions = default_join_partitions()
 
+    def _require_nonneg(ids: np.ndarray, side: str) -> None:
+        if ids.size and int(ids.min()) < 0:
+            raise ValueError(
+                f"cross_corpus_neardup_dedup requires non-negative "
+                f"{side} ids (prior ids are mapped into the negative "
+                f"range; a negative new-corpus id would make "
+                f"within-corpus pairs masquerade as cross-corpus)")
+
     def neg_ids(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
+        _require_nonneg(ids, "prior")
         return pa.table({
             id_col: pa.array(-ids - 2),
             text_col: batch[text_col],
         })
 
+    def check_new(batch: pa.Table) -> pa.Table:
+        _require_nonneg(batch[id_col].to_numpy().astype(np.int64), "new")
+        return batch
+
     uni = (prior.select_columns([id_col, text_col])
            .map_batches(neg_ids, batch_format="pyarrow",
                         zero_copy_batch=True)
-           .union(ds.select_columns([id_col, text_col])))
+           .union(ds.select_columns([id_col, text_col])
+                  .map_batches(check_new, batch_format="pyarrow",
+                               zero_copy_batch=True)))
     pairs = ngram_jaccard_pairs(
         uni, text_col=text_col, id_col=id_col, n=n,
         jaccard_threshold=jaccard_threshold, max_df=max_df,

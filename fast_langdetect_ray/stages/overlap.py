@@ -79,6 +79,8 @@ def repo_overlap(ds, repo_col: str = "source", text_col: str = "text",
     nb = np.uint64(_pair_buckets())
 
     def bucket_emit(g: pa.Table) -> pa.Table:
+        from .dedup import _emit_run_pairs
+
         repo = np.asarray(g["repo"].to_pylist(), dtype=object)
         sha = np.asarray(g["sha"].to_pylist(), dtype=object)
         order = np.lexsort((repo, sha))
@@ -89,29 +91,29 @@ def repo_overlap(ds, repo_col: str = "source", text_col: str = "text",
             first[1:] = (sha_s[1:] != sha_s[:-1]) | (repo_s[1:] != repo_s[:-1])
         sha_s, repo_s = sha_s[first], repo_s[first]  # cross-batch dedup
         # per-repo distinct-count partials (exact: each distinct
-        # (sha, repo) is in exactly this bucket)
+        # (sha, repo) is in exactly this bucket); "" = size-row sentinel
         ur, uc = np.unique(repo_s, return_counts=True)
-        ra = [r for r in ur]
-        rb = ["" for _ in ur]          # "" sentinel = size row
-        n = [int(c) for c in uc]
-        # pair emission per equal-sha run (2..max_repos repos)
-        if sha_s.size:
-            starts = np.flatnonzero(np.concatenate(
-                ([True], sha_s[1:] != sha_s[:-1])))
-            lengths = np.diff(np.append(starts, sha_s.size))
-            for s, l in zip(starts[lengths >= 2], lengths[lengths >= 2]):
-                if l > max_repos:
-                    continue  # boilerplate content: no fork signal
-                run = repo_s[s:s + l]  # sorted, distinct by construction
-                for i in range(l - 1):
-                    for j in range(i + 1, l):
-                        ra.append(run[i])
-                        rb.append(run[j])
-                        n.append(1)
+        # pair emission via the shared vectorized run-pair kernel
+        # (runs grouped by length, one triu_indices broadcast per
+        # length class — no Python loop over runs or pairs): factorize
+        # repos to codes; np.unique assigns codes in SORTED repo order,
+        # so code order == lexicographic order and code pairs map back
+        # to (repo_a < repo_b) pairs.  drop_over=True drops runs above
+        # max_repos whole — the boilerplate cut (no fork signal).
+        codes = np.searchsorted(ur, repo_s).astype(np.int64) \
+            if repo_s.size else np.empty(0, dtype=np.int64)
+        a_codes, b_codes = _emit_run_pairs(
+            codes, np.zeros(codes.size, dtype=np.int64), sha_s,
+            max_repos, drop_over=True)
         return pa.table({
-            "repo_a": pa.array(ra, type=pa.string()),
-            "repo_b": pa.array(rb, type=pa.string()),
-            "n": pa.array(np.asarray(n, dtype=np.int64)),
+            "repo_a": pa.array(
+                np.concatenate([ur, ur[a_codes]]), type=pa.string()),
+            "repo_b": pa.array(
+                np.concatenate([np.full(ur.size, "", dtype=object),
+                                ur[b_codes]]), type=pa.string()),
+            "n": pa.array(np.concatenate(
+                [uc.astype(np.int64),
+                 np.ones(a_codes.size, dtype=np.int64)])),
         })
 
     agg = (ds.map_batches(_distinct_sha_repo, batch_format="pyarrow",

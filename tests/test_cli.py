@@ -500,10 +500,11 @@ def test_cli_redact_both(tmp_path):
     got = pa.concat_tables([
         pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
     ]).to_pandas().sort_values("doc_id")
-    # secrets pass redacts the AWS key; PII pass (over the original
-    # text column) hashes + redacts the email
+    # secrets pass redacts the AWS key; the PII pass composes on the
+    # secrets-redacted text, so 'scrubbed' carries BOTH redactions
     assert "[REDACTED:AWSKEY]" in got.loc[0, "redacted"]
     assert "[REDACTED:EMAIL]" in got.loc[0, "scrubbed"]
+    assert "AKIA" not in got.loc[0, "scrubbed"]
     assert got["secrets_found"].tolist() == [True, False]
 
 

@@ -63,6 +63,9 @@ def test_redact_secrets_goldens(ray_session):
         "password: hunter2secret",
         "sha " + "ab" * 20 + " blob",
         "API_KEY=verysecretvalue",
+        'password = "hunter2 secret"',
+        "api_key: 'sk-live-abc123'",
+        '{"password": "supersecret9"}',
         "clean text with no credentials",
         None,
     ]
@@ -74,6 +77,9 @@ def test_redact_secrets_goldens(ray_session):
         "password: [REDACTED:SECRET]",
         "sha [REDACTED:HEX] blob",
         "API_KEY=[REDACTED:SECRET]",
+        "password = [REDACTED:SECRET]",
+        "api_key: [REDACTED:SECRET]",
+        '{"password": [REDACTED:SECRET]}',
         "clean text with no credentials",
         "",
     ]
@@ -82,7 +88,8 @@ def test_redact_secrets_goldens(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert got["redacted"].tolist() == want
     assert got["secrets_found"].tolist() == [
-        True, True, True, True, True, True, True, False, True]
+        True, True, True, True, True, True, True, True, True, True,
+        False, True]
 
 
 def test_redact_secrets_order_structured_before_assignment(ray_session):
@@ -115,6 +122,12 @@ def test_license_scan_families(ray_session):
          "LGPL-2.1-or-later", "copyleft"),
         ("SPDX-License-Identifier: MPL-2.0", "MPL-2.0", "copyleft"),
         ("SPDX-License-Identifier: CC-BY-4.0", "CC-BY-4.0", "other"),
+        # compound expressions: any copyleft token wins; an
+        # all-permissive compound stays conservative ('other')
+        ("// SPDX-License-Identifier: MIT AND GPL-3.0-only",
+         "MIT AND GPL-3.0-only", "copyleft"),
+        ("# SPDX-License-Identifier: MIT OR Apache-2.0",
+         "MIT OR Apache-2.0", "other"),
         ("no header at all", "", "none"),
         (None, "", "none"),
     ]
@@ -674,3 +687,24 @@ def test_cross_corpus_neardup_vs_exact(ray_session):
     near = cross_corpus_neardup_dedup(new, prior, n=3,
                                       jaccard_threshold=0.5)
     assert sorted(near.to_pandas()["doc_id"]) == [12]
+
+
+def test_cross_corpus_neardup_rejects_negative_ids(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import cross_corpus_neardup_dedup
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()), "text": ["a b c d"]}))
+    bad_new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-5, 7], type=pa.int64()),
+        "text": ["x y z w v", "x y z w v u"]}))
+    with pytest.raises(Exception, match="non-negative"):
+        cross_corpus_neardup_dedup(bad_new, prior).materialize()
+    bad_prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], type=pa.int64()), "text": ["a b c d"]}))
+    good_new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], type=pa.int64()), "text": ["p q r s t"]}))
+    with pytest.raises(Exception, match="non-negative"):
+        cross_corpus_neardup_dedup(good_new, bad_prior).materialize()
