@@ -1957,6 +1957,13 @@ def _q_bpe_encode(sf_dir: str):
         merges)
 
 
+def _q_rule_threshold_sweep(sf_dir: str):
+    """T83: filter-threshold calibration — keep rate of every
+    (min_len, min_alpha) combination in ONE corpus pass."""
+    from fast_langdetect_ray.stages.rules import rule_threshold_sweep
+    return rule_threshold_sweep(_read(sf_dir, "documents"))
+
+
 def _q_doc_chunks(sf_dir: str):
     """T79: context-window chunking — overlapping 64-token windows
     (overlap 8) exploded one-to-many inside map_batches; chunk count
@@ -2089,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "repo_split_assign": _q_repo_split_assign,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
+        "rule_threshold_sweep": _q_rule_threshold_sweep,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3016,6 +3024,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY p
             ORDER BY cnt DESC, p
             LIMIT 25
+        """,
+        "rule_threshold_sweep": f"""
+            SELECT CAST(c.min_len AS BIGINT) AS min_len,
+                   CAST(a.min_alpha AS DOUBLE) AS min_alpha,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN length(text) >= c.min_len
+                                  AND {_sql_alpha_ratio('text')}
+                                      >= CAST(a.min_alpha AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(sum(CASE WHEN length(text) >= c.min_len
+                                  AND {_sql_alpha_ratio('text')}
+                                      >= CAST(a.min_alpha AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS keep_rate
+            FROM documents
+            CROSS JOIN (VALUES (10), (50), (100)) c(min_len)
+            CROSS JOIN (VALUES (0.1), (0.25), (0.4)) a(min_alpha)
+            GROUP BY c.min_len, a.min_alpha
         """,
         "cross_corpus_neardup": f"""
             WITH base AS (

@@ -100,6 +100,7 @@ HEADLINE = [
     "doc_chunks",
     "fim_transform",
     "cross_corpus_neardup",
+    "rule_threshold_sweep",
 ]
 
 

@@ -357,6 +357,9 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.overlap import repo_overlap
             out = repo_overlap(ds, repo_col=args.repo_col,
                                text_col=args.text_col)
+        elif args.mode == "sweep":
+            from .stages.rules import rule_threshold_sweep
+            out = rule_threshold_sweep(ds, text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -679,7 +682,8 @@ def main(argv=None) -> int:
     an.add_argument("input", help="parquet file or directory of fragments")
     an.add_argument("output", help="output parquet directory")
     an.add_argument("--mode", default="novelty",
-                    choices=["novelty", "lines", "license", "overlap"])
+                    choices=["novelty", "lines", "license", "overlap",
+                             "sweep"])
     an.add_argument("--repo-col", default="source",
                     help="overlap: repo/source grouping column")
     an.add_argument("--n", type=int, default=3, help="token n-gram width")

@@ -24,6 +24,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..state.lm import default_perplexity_model
 from ..state.pools import TARGET_LANGS
@@ -103,6 +104,60 @@ def apply_rules(batch: pa.Table, config: RuleConfig = RuleConfig()) -> pa.Table:
     batch = batch.append_column(
         "drop_reason", pa.array(reasons, type=pa.string()))
     return batch
+
+
+def rule_threshold_sweep(ds, text_col: str = "text",
+                         len_cuts=(10, 50, 100),
+                         alpha_cuts=(0.1, 0.25, 0.4)):
+    """T83: filter-threshold calibration sweep — ONE streaming corpus
+    pass evaluates the keep rate of EVERY ``(min_len, min_alpha)``
+    threshold combination simultaneously: ``(min_len, min_alpha,
+    n_docs, n_keep, keep_rate)`` per combo.  The report a curator
+    reads before committing rule thresholds (sweeping by re-running
+    the filter per combo would cost |combos| corpus passes).
+
+    Per batch: the stats vectors are computed once, each combo is two
+    vectorized comparisons + a popcount; partials are combo-sized
+    (|len_cuts| × |alpha_cuts| rows), so the final groupby moves tiny
+    tables regardless of corpus size.  Comparisons run on the same
+    float64 values as the SQL oracle, so the twin is exact.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import alpha_ratio, n_chars
+
+    combos = [(int(l), float(a)) for l in len_cuts for a in alpha_cuts]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        nc = pc.cast(n_chars(txt), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ar = alpha_ratio(txt).to_numpy(zero_copy_only=False)
+        rows = [(l, a, nc.size, int(((nc >= l) & (ar >= a)).sum()))
+                for l, a in combos]
+        return pa.table({
+            "min_len": pa.array([r[0] for r in rows], type=pa.int64()),
+            "min_alpha": pa.array([r[1] for r in rows],
+                                  type=pa.float64()),
+            "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_keep": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["min_len", "min_alpha"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_keep", alias_name="n_keep")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nd = batch["n_docs"].to_numpy().astype(np.float64)
+        nk = batch["n_keep"].to_numpy().astype(np.float64)
+        return batch.append_column("keep_rate", pa.array(nk / nd))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def quantile_band_filter(ds, value_col: str = "n_chars",

@@ -708,3 +708,29 @@ def test_cross_corpus_neardup_rejects_negative_ids(ray_session):
         "doc_id": pa.array([7], type=pa.int64()), "text": ["p q r s t"]}))
     with pytest.raises(Exception, match="non-negative"):
         cross_corpus_neardup_dedup(good_new, bad_prior).materialize()
+
+
+def test_rule_threshold_sweep_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.functions.textstats import alpha_ratio
+    from fast_langdetect_ray.stages.rules import rule_threshold_sweep
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    nc = np.array([len(x or "") for x in t["text"].to_pylist()])
+    ar = alpha_ratio(t["text"]).to_numpy(zero_copy_only=False)
+
+    got = rule_threshold_sweep(rd.from_arrow(t).repartition(4),
+                               len_cuts=(5, 40), alpha_cuts=(0.2, 0.5)) \
+        .to_pandas().sort_values(["min_len", "min_alpha"]) \
+        .reset_index(drop=True)
+    assert len(got) == 4
+    for r in got.itertuples():
+        keep = int(((nc >= r.min_len) & (ar >= r.min_alpha)).sum())
+        assert r.n_docs == len(nc)
+        assert r.n_keep == keep
+        assert abs(r.keep_rate - keep / len(nc)) < 1e-12
+    # monotonicity: tightening either threshold never keeps more
+    g = got.set_index(["min_len", "min_alpha"])["n_keep"]
+    assert g[(5, 0.2)] >= g[(40, 0.2)] >= g[(40, 0.5)]
