@@ -1,0 +1,75 @@
+"""Pure-stdlib WAV (RIFF PCM) codec — the audio counterpart of
+:mod:`.png`: makes the multimodal AUDIO kernel path real in the
+offline container (no ffmpeg / soundfile needed for PCM WAV, by far
+the most common raw-audio container in crawled corpora).
+
+Decoding uses only the stdlib ``wave`` module + numpy: PCM widths
+8/16/32 bit, any channel count (averaged to mono), output float32 in
+[-1, 1].  :func:`encode_wav` exists so tests can round-trip known
+signals.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+
+_WIDTH_DTYPE = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def is_wav(payload: bytes) -> bool:
+    return (len(payload) >= 12 and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE")
+
+
+def decode_wav(payload: bytes):
+    """→ ``(mono float32 samples in [-1, 1], sample_rate)``."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        if width not in _WIDTH_DTYPE:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        n_ch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    arr = np.frombuffer(raw, dtype=_WIDTH_DTYPE[width]).astype(np.float32)
+    if width == 1:          # 8-bit WAV is unsigned, midpoint 128
+        arr = (arr - 128.0) / 128.0
+    else:
+        arr = arr / float(2 ** (8 * width - 1))
+    if n_ch > 1:
+        arr = arr[: (arr.size // n_ch) * n_ch]
+        arr = arr.reshape(-1, n_ch).mean(axis=1)
+    return arr, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float [-1, 1] mono → 16-bit PCM WAV bytes (for tests)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def block_rms(samples: np.ndarray, n_blocks: int) -> np.ndarray:
+    """``n_blocks`` per-block RMS energies in [0, 1] — the audio
+    analogue of the image gray-block-means feature vector; vectorized
+    ``add.reduceat`` over the squared signal."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size == 0:
+        return np.zeros(n_blocks, dtype=np.float32)
+    edges = np.linspace(0, x.size, n_blocks + 1).astype(np.int64)
+    sq = x * x
+    sums = np.add.reduceat(sq, edges[:-1])
+    counts = np.maximum(np.diff(edges), 1)
+    # reduceat on an empty segment returns the element at the index;
+    # zero those out explicitly
+    empty = np.diff(edges) == 0
+    sums[empty] = 0.0
+    return np.sqrt(sums / counts).astype(np.float32)

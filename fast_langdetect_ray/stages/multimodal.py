@@ -29,7 +29,7 @@ from typing import Callable, Optional
 import numpy as np
 import pyarrow as pa
 
-from ..functions import png
+from ..functions import png, wav
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -104,6 +104,11 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         return _gray_block_means(np.asarray(img, dtype=np.float32))
     if kind == "image" and png.is_png(payload):
         return _gray_block_means(_to_gray(png.decode_png(payload)))
+    if kind == "audio" and wav.is_wav(payload):
+        # pure-stdlib WAV path (functions/wav.py): per-block RMS
+        # energies — real offline, like the PNG image path
+        samples, _rate = wav.decode_wav(payload)
+        return wav.block_rms(samples, FEATURE_DIM)
     raise NotImplementedError(
         f"decoding kind={kind!r} requires "
         f"{'Pillow (non-PNG image)' if kind == 'image' else 'ffmpeg'} "

@@ -734,3 +734,52 @@ def test_rule_threshold_sweep_brute_force(ray_session):
     # monotonicity: tightening either threshold never keeps more
     g = got.set_index(["min_len", "min_alpha"])["n_keep"]
     assert g[(5, 0.2)] >= g[(40, 0.2)] >= g[(40, 0.5)]
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from fast_langdetect_ray.functions.wav import (block_rms, decode_wav,
+                                                   encode_wav, is_wav)
+
+    t = np.arange(16000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_wav(sig, rate=16000)
+    assert is_wav(payload) and not is_wav(b"\x89PNG\r\n\x1a\n")
+    out, rate = decode_wav(payload)
+    assert rate == 16000 and out.size == 16000
+    assert np.abs(out - sig).max() < 1e-3  # 16-bit quantization
+    # constant-amplitude sine: every block RMS ~= 0.5/sqrt(2)
+    f = block_rms(out, 16)
+    assert f.shape == (16,)
+    assert np.abs(f - 0.5 / np.sqrt(2)).max() < 0.01
+    # silence -> zero features; empty -> zeros, not NaN
+    assert block_rms(np.zeros(100), 8).max() == 0.0
+    assert not np.isnan(block_rms(np.zeros(0), 8)).any()
+
+
+def test_real_decoder_wav_audio_strict(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fast_langdetect_ray.functions.wav import encode_wav
+    from fast_langdetect_ray.stages.multimodal import (FEATURE_DIM,
+                                                       MediaFeatureExtractor)
+
+    loud = encode_wav(0.9 * np.sin(np.linspace(0, 100, 4000)))
+    quiet = encode_wav(0.05 * np.sin(np.linspace(0, 100, 4000)))
+    t = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "kind": ["audio", "audio"],
+        "payload": pa.array([loud, quiet], type=pa.binary()),
+    })
+    # strict=True: the REAL kernel path runs offline for WAV payloads
+    ds = rd.from_arrow(t).map_batches(
+        MediaFeatureExtractor, batch_size=2, concurrency=1,
+        batch_format="pyarrow", fn_constructor_kwargs={"strict": True})
+    got = ds.to_pandas().sort_values("media_id").reset_index(drop=True)
+    f0 = np.asarray(got.loc[0, "features"])
+    f1 = np.asarray(got.loc[1, "features"])
+    assert len(f0) == FEATURE_DIM
+    # real energies: loud signal's RMS features dominate the quiet one's
+    assert f0.mean() > 5 * f1.mean()
