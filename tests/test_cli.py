@@ -581,3 +581,41 @@ def test_cli_chunk_windows_and_fim(tmp_path):
     ]).to_pandas()
     assert got2["fim_applied"].all()
     assert got2["fim_text"].str.contains("<MID>").all()
+
+
+def test_cli_analyze_overlap_and_sweep(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "source": ["repoA", "repoB", "repoB"],
+        "text": ["shared content body", "shared content body",
+                 "own words here"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "overlap"
+    p = _run("analyze", str(src), str(out), "--mode", "overlap",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert len(got) == 1
+    assert (got.loc[0, "repo_a"], got.loc[0, "repo_b"]) == ("repoA",
+                                                            "repoB")
+    assert got.loc[0, "n_shared"] == 1
+    # repoA has 1 distinct content -> containment 1.0 (pure subset)
+    assert abs(got.loc[0, "containment"] - 1.0) < 1e-12
+
+    out2 = tmp_path / "sweep"
+    p = _run("analyze", str(src), str(out2), "--mode", "sweep",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    assert len(got2) == 9  # 3 len cuts x 3 alpha cuts
+    assert (got2["n_docs"] == 3).all()
