@@ -2980,7 +2980,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    {sec_expr} AS redacted,
-                   {sec_expr} <> text AS secrets_found
+                   COALESCE({sec_expr} <> text, FALSE) AS secrets_found
             FROM planted
         """,
         "license_scan": f"""

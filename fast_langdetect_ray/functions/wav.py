@@ -64,9 +64,13 @@ def block_rms(samples: np.ndarray, n_blocks: int) -> np.ndarray:
     x = np.asarray(samples, dtype=np.float64)
     if x.size == 0:
         return np.zeros(n_blocks, dtype=np.float32)
-    edges = np.linspace(0, x.size, n_blocks + 1).astype(np.int64)
+    # round, don't truncate: truncation collapses most edges to 0 for
+    # signals shorter than n_blocks, piling all energy into one block
+    edges = np.round(np.linspace(0, x.size, n_blocks + 1)).astype(np.int64)
     sq = x * x
-    sums = np.add.reduceat(sq, edges[:-1])
+    # reduceat start indices must stay < x.size (a rounded edge can hit
+    # x.size for an empty trailing block — zeroed below anyway)
+    sums = np.add.reduceat(sq, np.minimum(edges[:-1], x.size - 1))
     counts = np.maximum(np.diff(edges), 1)
     # reduceat on an empty segment returns the element at the index;
     # zero those out explicitly

@@ -26,16 +26,15 @@ has no reasonable SQL twin) pinned by a pure-Python reference in tests.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
 def _doc_tokens(batch: pa.Table, text_col: str):
-    """(flat tokens, per-doc counts) — empty tokens dropped, same
-    tokenization as spans/textstats."""
+    """(flat token Arrow string array, per-doc counts) — empty tokens
+    dropped, same tokenization as spans/textstats.  The tokens stay an
+    Arrow array so downstream gathers are zero-Python ``take`` calls."""
     txt = pc.fill_null(batch[text_col], "")
     lists = pc.utf8_split_whitespace(txt)
     parent = pc.list_parent_indices(lists).to_numpy(
@@ -46,9 +45,11 @@ def _doc_tokens(batch: pa.Table, text_col: str):
     if not keep.all():
         flat = flat.filter(nonempty)
         parent = parent[keep]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
     counts = np.bincount(parent, minlength=batch.num_rows) \
         .astype(np.int64)
-    return np.asarray(flat.to_pylist(), dtype=object), counts
+    return flat, counts
 
 
 def n_chunks_for(n: np.ndarray, max_tokens: int, stride: int,
@@ -99,11 +100,12 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                    + np.arange(int(ln.sum()))
                    - np.repeat(np.concatenate(([0], np.cumsum(ln)[:-1])),
                                ln))
-        gathered = pa.array(toks_flat, type=pa.string()).take(
-            pa.array(tok_idx))
+        gathered = toks_flat.take(pa.array(tok_idx))
+        # int64 offsets: an int32 cumsum would silently wrap past 2^31
+        # gathered tokens per batch (binary_join still emits `string`)
         offsets = pa.array(
-            np.concatenate(([0], np.cumsum(ln))).astype(np.int32))
-        chunk_lists = pa.ListArray.from_arrays(offsets, gathered)
+            np.concatenate(([0], np.cumsum(ln))), type=pa.int64())
+        chunk_lists = pa.LargeListArray.from_arrays(offsets, gathered)
         chunk_text = pc.binary_join(chunk_lists, " ")
         return pa.table({
             id_col: id_arr.take(pa.array(doc_idx)),
@@ -118,48 +120,93 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
 FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
 
+# seeds separating the three id-hash families (selector, pivot a/b);
+# the pivots/selector are pure functions of the id, so the output is
+# partition- and resume-independent.  Round 5 moved these from per-row
+# sha256 to the vectorized splitmix kernel (functions/hashing.py) — an
+# intentional hash change; the tests re-derive expectations through
+# these same helpers.
+_FIM_SEL_SEED = 0x46494D53  # "FIMS"
+_FIM_A_SEED = 0x46494D41    # "FIMA"
+_FIM_B_SEED = 0x46494D42    # "FIMB"
 
-def _fim_pivots(doc_id, n: int):
-    """Two deterministic token pivots a <= b from sha256(id) — the id
-    only feeds the hash string, so int and string ids both work."""
-    h = hashlib.sha256(f"fim:{doc_id}".encode()).digest()
-    a = int.from_bytes(h[:8], "big") % (n + 1)
-    b = int.from_bytes(h[8:16], "big") % (n + 1)
-    return (a, b) if a <= b else (b, a)
+
+def fim_select_pivots(id_arr, counts: np.ndarray, fim_rate_mod: int):
+    """Vectorized (selected, a, b) for every doc: splitmix64 over the
+    id's string form with three seeds; pivots ``a <= b`` in
+    ``[0, n_tokens]``.  Int and string ids both work (ints hash their
+    decimal form)."""
+    from ..functions.hashing import hash_string_array
+
+    ids = id_arr
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if not (pa.types.is_string(ids.type)
+            or pa.types.is_large_string(ids.type)):
+        ids = ids.cast(pa.string())
+    sel = (hash_string_array(ids, seed=_FIM_SEL_SEED)
+           % np.uint64(fim_rate_mod)) == 0
+    n1 = (counts + 1).astype(np.uint64)
+    a = (hash_string_array(ids, seed=_FIM_A_SEED) % n1).astype(np.int64)
+    b = (hash_string_array(ids, seed=_FIM_B_SEED) % n1).astype(np.int64)
+    return sel, np.minimum(a, b), np.maximum(a, b)
 
 
 def fim_transform(ds, text_col: str = "text", id_col: str = "doc_id",
                   fim_rate_mod: int = 2):
-    """T80: PSM fill-in-the-middle — docs with ``sha-derived
-    selector % fim_rate_mod == 0`` are transformed to
-    ``<PRE> prefix <SUF> suffix <MID> middle``; the rest pass through
-    unchanged (``fim_applied`` flags which).  Pivots are pure functions
-    of the id, so the output is partition- and resume-independent."""
+    """T80: PSM fill-in-the-middle — docs whose id-hash selector is
+    ``% fim_rate_mod == 0`` are rewritten to
+    ``<PRE> prefix <SUF> suffix <MID> middle`` (single-space token
+    join); the rest pass through unchanged (``fim_applied`` flags
+    which).  Fully vectorized: one token explode, one ``np.select``
+    over the output token positions, one Arrow ``take`` + ``binary_join``
+    — zero per-row Python."""
 
     def transform(batch: pa.Table) -> pa.Table:
         txt = pc.fill_null(batch[text_col], "")
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = txt.to_pylist()
-        out, applied = [], []
-        for i, t in zip(ids, texts):
-            toks = t.split()
-            sel = int.from_bytes(
-                hashlib.sha256(f"fimsel:{i}".encode()).digest()[:4],
-                "big")
-            if not toks or sel % fim_rate_mod != 0:
-                out.append(t)
-                applied.append(False)
-                continue
-            a, b = _fim_pivots(i, len(toks))
-            pre, mid, suf = toks[:a], toks[a:b], toks[b:]
-            out.append(f"{FIM_PRE} {' '.join(pre)} {FIM_SUF} "
-                       f"{' '.join(suf)} {FIM_MID} {' '.join(mid)}")
-            applied.append(True)
-        return pa.table({
-            id_col: batch[id_col],
-            "fim_text": pa.array(out, type=pa.string()),
-            "fim_applied": pa.array(applied),
-        })
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        id_arr = batch[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        flat, counts = _doc_tokens(batch, text_col)
+        sel, a, b = fim_select_pivots(id_arr, counts, fim_rate_mod)
+        apply = sel & (counts > 0)
+        if not apply.any():
+            return pa.table({id_col: id_arr, "fim_text": txt,
+                             "fim_applied": pa.array(apply)})
+        doc_base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        na, nb = a[apply], b[apply]
+        nn, bb0 = counts[apply], doc_base[apply]
+        # token stream per applied doc:
+        #   <PRE> t[0:a] <SUF> t[b:n] <MID> t[a:b]      (n + 3 tokens)
+        ext = pa.concat_arrays([
+            flat, pa.array([FIM_PRE, FIM_SUF, FIM_MID], type=flat.type)])
+        s0 = len(flat)
+        out_len = nn + 3
+        tot = int(out_len.sum())
+        starts_out = np.concatenate(([0], np.cumsum(out_len)[:-1]))
+        doc_rep = np.repeat(np.arange(nn.size), out_len)
+        pos = np.arange(tot) - starts_out[doc_rep]
+        A, B = na[doc_rep], nb[doc_rep]
+        BB, SUF = bb0[doc_rep], (nn - nb)[doc_rep]
+        tok_idx = np.select(
+            [pos == 0,                  # <PRE>
+             pos <= A,                  # prefix tokens 0..a-1
+             pos == A + 1,              # <SUF>
+             pos <= A + 1 + SUF,        # suffix tokens b..n-1
+             pos == A + 2 + SUF],       # <MID>
+            [np.int64(s0), BB + pos - 1, np.int64(s0 + 1),
+             BB + B + pos - A - 2, np.int64(s0 + 2)],
+            default=BB + pos - 3 - SUF)  # middle tokens a..b-1
+        gathered = ext.take(pa.array(tok_idx, type=pa.int64()))
+        offsets = pa.array(np.concatenate(([0], np.cumsum(out_len))),
+                           type=pa.int64())
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, gathered), " ")
+        out = pc.replace_with_mask(txt, pa.array(apply), joined)
+        return pa.table({id_col: id_arr, "fim_text": out,
+                         "fim_applied": pa.array(apply)})
 
     return ds.map_batches(transform, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -131,7 +131,9 @@ SECRET_PATTERNS: List[Tuple[str, str, str]] = [
      r"\b(?P<sep>[\"']?\s*[:=]\s*)"
      r"(?:\"[^\"]{6,}\"|'[^']{6,}'|[^\s\"']{6,})",
      r"\1\2[REDACTED:SECRET]"),
-    ("HEX", r"\b[0-9a-f]{40,}\b", "[REDACTED:HEX]"),
+    # case-insensitive class (not the (?i) flag) so SHA/API blobs
+    # printed uppercase are caught — recall-over-precision
+    ("HEX", r"\b[0-9a-fA-F]{40,}\b", "[REDACTED:HEX]"),
 ]
 
 
@@ -153,12 +155,19 @@ def redact_secrets_column(col) -> pa.ChunkedArray:
 
 def redact_secrets_batch(batch: pa.Table, text_col: str = "text",
                          out_col: str = "redacted") -> pa.Table:
-    """map_batches body: append ``redacted`` + ``secrets_found``."""
+    """map_batches body: append ``redacted`` + ``secrets_found``.
+
+    Null text stays null in ``redacted`` (regexp_replace(NULL) is NULL
+    in the SQL twin too) and counts as ``secrets_found = false`` — a
+    null row contains no credential."""
     col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     red = redact_secrets_column(col)
     if isinstance(red, pa.ChunkedArray):
         red = red.combine_chunks()
-    changed = pc.fill_null(pc.not_equal(red, col), True)
+    red = pc.if_else(pc.is_valid(col), red, pa.scalar(None, col.type))
+    changed = pc.fill_null(pc.not_equal(red, col), False)
     return (batch.append_column(out_col, red)
             .append_column("secrets_found", changed))
 
@@ -255,11 +264,11 @@ def _first_line_import(lines: pa.Array) -> pa.Array:
     return out
 
 
-def top_imports(ds, text_col: str = "text", id_col: str = "doc_id",
-                top_k: int = 25):
+def top_imports(ds, text_col: str = "text", top_k: int = 25):
     """T81: corpus-wide top imported modules — ``(module, n_files)``
     sorted (n_files desc, module asc), where ``n_files`` counts files
-    importing the module at least once.
+    importing the module at least once.  Doc identity is positional
+    within a batch (each row is one file), so no id column is needed.
 
     Per batch: split to lines (Arrow), ONE vectorized regex-extract
     pass per pattern over the flattened line array, per-(doc, module)
