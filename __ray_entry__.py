@@ -1007,11 +1007,7 @@ def _q_customer_order_stats(sf_dir: str):
     never raw order rows."""
     from ray.data.aggregate import Sum
 
-    from fast_langdetect_ray.state.pools import default_join_partitions
-    from fast_langdetect_ray.state.rayjoin import (
-        ensure_join_schema_broadcast_fix)
-
-    ensure_join_schema_broadcast_fix()
+    from fast_langdetect_ray.state.shufflejoin import hash_bucket_join
 
     def partials(batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(
@@ -1031,8 +1027,11 @@ def _q_customer_order_stats(sf_dir: str):
     )
     cust = _read(sf_dir, "customer").select_columns(
         ["c_custkey", "c_name", "c_mktsegment"])
-    joined = rolled.join(cust, join_type="inner", on=("c_custkey",),
-                         num_partitions=default_join_partitions())
+    joined = hash_bucket_join(
+        rolled, cust, on=("c_custkey",), join_type="inner",
+        right_schema=pa.schema([pa.field("c_custkey", pa.int64()),
+                                pa.field("c_name", pa.string()),
+                                pa.field("c_mktsegment", pa.string())]))
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("total_price", pc.divide(

@@ -199,13 +199,8 @@ def dedup_segments_keep_first(ds, sep: str = "\n", text_col: str = "text",
     doc_id < 2^42.  Null text is treated as "" (testdata has none;
     the SQL twin drops NULL-text rows instead — don't feed nulls to
     the oracle compare)."""
-    from ..state.pools import default_hash_buckets, \
-        default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+    from ..state.pools import default_hash_buckets
 
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
     nb = np.uint64(n_buckets or default_hash_buckets(floor=256))
     mix = np.uint64(0x9E3779B97F4A7C15)
 
@@ -282,9 +277,14 @@ def dedup_segments_keep_first(ds, sep: str = "\n", text_col: str = "text",
         .groupby("dbucket")
         .map_groups(pack_blobs, batch_format="pyarrow")
     )
-    joined = ds.select_columns([id_col, text_col]).join(
-        blobs, join_type="left_outer", on=(id_col,),
-        num_partitions=num_partitions)
+    from ..state.shufflejoin import hash_bucket_join
+
+    joined = hash_bucket_join(
+        ds.select_columns([id_col, text_col]), blobs, on=(id_col,),
+        join_type="left_outer", num_buckets=num_partitions,
+        right_schema=lambda lt: pa.schema([
+            pa.field(id_col, lt.schema.field(id_col).type),
+            pa.field("drop_pos", pa.binary())]))
 
     def rebuild(batch: pa.Table) -> pa.Table:
         flat, parent, _, n_docs = _split_and_hash(batch[text_col], sep)

@@ -147,12 +147,7 @@ def flag_contaminated_join(ds, bench_ds, n: int = 8,
     touches the driver."""
     from ray.data.aggregate import Count
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def postings(batch: pa.Table) -> pa.Table:
         p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
@@ -173,11 +168,13 @@ def flag_contaminated_join(ds, bench_ds, n: int = 8,
              .groupby("sh").aggregate(Count(alias_name="_n"))
              .select_columns(["sh"]))
 
-    hits = (ds.select_columns([id_col, text_col])
-            .map_batches(postings, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .join(bench, join_type="inner", on=("sh",),
-                  num_partitions=num_partitions)
+    hits = (hash_bucket_join(
+                ds.select_columns([id_col, text_col])
+                .map_batches(postings, batch_format="pyarrow",
+                             zero_copy_batch=True),
+                bench, on=("sh",), join_type="inner",
+                num_buckets=num_partitions,
+                right_schema=pa.schema([pa.field("sh", pa.int64())]))
             .groupby(id_col)
             .aggregate(Count(alias_name="n_hits")))
 
@@ -191,8 +188,12 @@ def flag_contaminated_join(ds, bench_ds, n: int = 8,
             "contaminated": pc.greater(nh, 0),
         })
 
-    return (spine.join(hits, join_type="left_outer", on=(id_col,),
-                       num_partitions=num_partitions)
+    return (hash_bucket_join(
+                spine, hits, on=(id_col,), join_type="left_outer",
+                num_buckets=num_partitions,
+                right_schema=lambda lt: pa.schema([
+                    pa.field(id_col, lt.schema.field(id_col).type),
+                    pa.field("n_hits", pa.int64())]))
             .map_batches(finalize, batch_format="pyarrow",
                          zero_copy_batch=True))
 

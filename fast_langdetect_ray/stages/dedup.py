@@ -357,12 +357,7 @@ def cross_corpus_dedup(ds, prior_ds, text_col: str = "text",
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def prior_hashes(batch: pa.Table) -> pa.Table:
         batch = add_sha256(batch.select([text_col]), text_col=text_col)
@@ -378,9 +373,9 @@ def cross_corpus_dedup(ds, prior_ds, text_col: str = "text",
     hashed = ds.map_batches(add_sha256, batch_format="pyarrow",
                             zero_copy_batch=True,
                             fn_kwargs={"text_col": text_col})
-    return hashed.join(prior, join_type="left_anti",
-                       on=("text_sha256",),
-                       num_partitions=num_partitions)
+    return hash_bucket_join(hashed, prior, on=("text_sha256",),
+                            join_type="left_anti",
+                            num_buckets=num_partitions)
 
 
 _BLOOM_SEED_A = 0x626C6D31  # "blm1"
@@ -557,12 +552,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def hash_prune(batch: pa.Table) -> pa.Table:
         batch = add_sha256(
@@ -586,8 +576,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("text_sha256")
         .aggregate(Min(id_col, alias_name=id_col))
     )
-    return ds.join(reps, join_type="inner", on=(id_col,),
-                   num_partitions=num_partitions)
+    return hash_bucket_join(
+        ds, reps, on=(id_col,), join_type="inner",
+        num_buckets=num_partitions,
+        right_schema=lambda lt: pa.schema([
+            pa.field("text_sha256", pa.string()),
+            pa.field(id_col, lt.schema.field(id_col).type)]))
 
 
 def normalized_exact_dedup(ds, text_col: str = "text",
@@ -608,12 +602,7 @@ def normalized_exact_dedup(ds, text_col: str = "text",
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def norm_hash_prune(batch: pa.Table) -> pa.Table:
         norm = pc.utf8_trim(
@@ -641,8 +630,10 @@ def normalized_exact_dedup(ds, text_col: str = "text",
         .aggregate(Min(id_col, alias_name=id_col))
         .drop_columns(["norm_sha256"])
     )
-    return ds.join(reps, join_type="inner", on=(id_col,),
-                   num_partitions=num_partitions)
+    # right side is key-only → the inner join is a semi-filter
+    return hash_bucket_join(
+        ds, reps, on=(id_col,), join_type="left_semi",
+        num_buckets=num_partitions)
 
 
 def minhash_candidate_pairs(
@@ -668,13 +659,6 @@ def minhash_candidate_pairs(
        doc side once per end of the pair.
     """
     import ray.data as rd
-
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
 
     bands = ds.map_batches(
         MinHashBands, batch_format="pyarrow", zero_copy_batch=True,
@@ -916,12 +900,20 @@ def _attach_pair_features(pairs, feats, id_col: str, feat_col: str,
     feats_b = feats.map_batches(
         rename, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"mapping": {id_col: "id_b", feat_col: "_b"}})
-    return (
-        pairs.join(feats_a, join_type="inner", on=("id_a",),
-                   num_partitions=num_partitions)
-        .join(feats_b, join_type="inner", on=("id_b",),
-              num_partitions=num_partitions)
-    )
+    from ..state.shufflejoin import hash_bucket_join
+
+    # pairs is non-empty whenever this runs (callers short-circuit),
+    # hence the feature side (the corpus projection) is too — no
+    # right_schema needed.  The intermediate is materialized so the
+    # second join doesn't re-execute the first inside its lineage
+    # (dup-graph × one feature column — bounded, same contract as the
+    # caller's final withtext/withsig dataset).
+    once = hash_bucket_join(pairs, feats_a, on=("id_a",),
+                            join_type="inner",
+                            num_buckets=num_partitions).materialize()
+    return hash_bucket_join(once, feats_b, on=("id_b",),
+                            join_type="inner",
+                            num_buckets=num_partitions)
 
 
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
@@ -965,12 +957,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     path.  Same decision shape as a broadcast-vs-shuffle join."""
     from ray.data.aggregate import Min
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1008,9 +995,10 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
     converged = False
     for _ in range(max_iters):
-        joined = edges.join(labels, join_type="inner", on=("src",),
-                            right_on=("node",),
-                            num_partitions=num_partitions)
+        joined = hash_bucket_join(edges, labels, on=("src",),
+                                  right_on=("node",),
+                                  join_type="inner",
+                                  num_buckets=num_partitions)
         cand = (
             joined.groupby("dst").aggregate(Min("label", alias_name="label"))
             .map_batches(lambda b: pa.table({"node": b["dst"],
@@ -1091,12 +1079,7 @@ def near_dup_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     id) is another doc, via a distributed LEFT ANTI join.  The corpus
     never moves except through that one anti-join; the pair/component
     side is dup-graph sized."""
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     pairs = minhash_candidate_pairs(
         ds, text_col=text_col, id_col=id_col,
@@ -1111,10 +1094,9 @@ def near_dup_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             pa.compute.not_equal(b[id_col], b["component"])
         ).select([id_col]),
         batch_format="pyarrow", zero_copy_batch=True)
-    # ≥1 verified pair ⇒ ≥1 non-representative node ⇒ drop side is
-    # non-empty (anti-join right side must carry a schema)
-    return ds.join(drop_ids, join_type="left_anti", on=(id_col,),
-                   num_partitions=num_partitions)
+    return hash_bucket_join(ds, drop_ids, on=(id_col,),
+                            join_type="left_anti",
+                            num_buckets=num_partitions)
 
 
 _POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -1151,12 +1133,6 @@ def simhash_near_dup_pairs(
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
     bits = 64 // n_bands
     mask = np.uint64((1 << bits) - 1)
 
@@ -1475,12 +1451,7 @@ def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     doc whose component representative (min id) is another doc, via a
     distributed LEFT ANTI join — same shape as :func:`near_dup_dedup`
     but with exact (SQL-checkable) pair semantics end to end."""
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     pairs = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, n=n,
@@ -1495,8 +1466,9 @@ def ngram_dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             pa.compute.not_equal(b[id_col], b["component"])
         ).select([id_col]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return ds.join(drop_ids, join_type="left_anti", on=(id_col,),
-                   num_partitions=num_partitions)
+    return hash_bucket_join(ds, drop_ids, on=(id_col,),
+                            join_type="left_anti",
+                            num_buckets=num_partitions)
 
 
 def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
@@ -1517,12 +1489,7 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
     lexsort per bucket; never a per-component Python group call).  The
     corpus itself only crosses the final LEFT ANTI join.
     """
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     pairs = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, n=n,
@@ -1622,8 +1589,9 @@ def ngram_dedup_keep_best(ds, score_col: str, text_col: str = "text",
                                  zero_copy_batch=True)
              .groupby("cbucket")
              .map_groups(drops_in_bucket, batch_format="pyarrow"))
-    return ds.join(drops, join_type="left_anti", on=(id_col,),
-                   num_partitions=num_partitions)
+    return hash_bucket_join(ds, drops, on=(id_col,),
+                            join_type="left_anti",
+                            num_buckets=num_partitions)
 
 
 def cross_corpus_neardup_dedup(ds, prior, text_col: str = "text",
@@ -1651,12 +1619,7 @@ def cross_corpus_neardup_dedup(ds, prior, text_col: str = "text",
     pair kernel (grams move as 64-bit hashes; both corpora cross the
     bucket shuffle once; the new corpus crosses the anti-join once).
     """
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     def _require_nonneg(ids: np.ndarray, side: str) -> None:
         if ids.size and int(ids.min()) < 0:
@@ -1700,8 +1663,9 @@ def cross_corpus_neardup_dedup(ds, prior, text_col: str = "text",
 
     drops = pairs.map_batches(flag_new, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return ds.join(drops, join_type="left_anti", on=(id_col,),
-                   num_partitions=num_partitions)
+    return hash_bucket_join(ds, drops, on=(id_col,),
+                            join_type="left_anti",
+                            num_buckets=num_partitions)
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -43,14 +43,11 @@ def range_join(left, right, key_col: str, ts_col: str,
     """Inner range join of ``left`` (rows at ``ts_col``) against
     ``right`` (intervals [``start_col``, ``end_col``) per key).
     Right columns come back suffixed (the key stays unsuffixed)."""
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+    from ..state.shufflejoin import hash_bucket_join
 
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
     l_names = left.schema().names
-    r_names = right.schema().names
+    r_schema = right.schema()
+    r_names = r_schema.names
     renames = {n: n + suffix for n in r_names if n != key_col}
     clash = set(renames.values()) & set(l_names)
     if clash:
@@ -88,9 +85,16 @@ def range_join(left, right, key_col: str, ts_col: str,
                               zero_copy_batch=True)
     wide_r = right.map_batches(explode_right, batch_format="pyarrow",
                                zero_copy_batch=True)
-    joined = wide_l.join(wide_r, join_type="inner",
-                         on=(key_col, "_cell"),
-                         num_partitions=num_partitions)
+    # typed fallback for an interval-less right side (inner join output
+    # still carries the suffixed right columns)
+    wide_r_schema = pa.schema(
+        [pa.field(renames.get(n, n), t)
+         for n, t in zip(r_names, r_schema.types)]
+        + [pa.field("_cell", pa.int64())])
+    joined = hash_bucket_join(wide_l, wide_r, on=(key_col, "_cell"),
+                              join_type="inner",
+                              num_buckets=num_partitions,
+                              right_schema=wide_r_schema)
 
     start_r = renames.get(start_col, start_col + suffix)
     end_r = renames.get(end_col, end_col + suffix)

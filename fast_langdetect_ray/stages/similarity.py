@@ -522,13 +522,8 @@ def embedding_near_dup_dedup(ds, threshold: float = 0.95,
     dup-graph sized.  Recall follows the pair stage's LSH union over
     ``n_tables`` plane seeds (documented < 1; raise ``n_tables`` to
     trade compute for recall)."""
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
+    from ..state.shufflejoin import hash_bucket_join
     from .dedup import connected_components
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
 
     pairs = embedding_neardup_pairs(
         ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
@@ -569,10 +564,11 @@ def embedding_near_dup_dedup(ds, threshold: float = 0.95,
         return batch.set_column(
             batch.schema.get_field_index(emb_col), emb_col, lists)
 
-    kept = ds.map_batches(encode, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .join(drop_ids, join_type="left_anti", on=(id_col,),
-              num_partitions=num_partitions)
+    kept = hash_bucket_join(
+        ds.map_batches(encode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        drop_ids, on=(id_col,), join_type="left_anti",
+        num_buckets=num_partitions)
     return kept.map_batches(decode, batch_format="pyarrow",
                             zero_copy_batch=True)
 

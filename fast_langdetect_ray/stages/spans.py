@@ -151,13 +151,6 @@ def remove_repeated_spans_global(ds, text_col: str = "text",
     raise.  Intra-doc repeats are a special case — on a corpus with
     no cross-doc duplication this reduces to
     :func:`remove_repeated_spans`."""
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
-
     def emit_spans(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
@@ -238,9 +231,14 @@ def remove_repeated_spans_global(ds, text_col: str = "text",
         .groupby("dbucket")
         .map_groups(pack_blobs, batch_format="pyarrow")
     )
-    joined = ds.select_columns([id_col, text_col]).join(
-        blobs, join_type="left_outer", on=(id_col,),
-        num_partitions=num_partitions)
+    from ..state.shufflejoin import hash_bucket_join
+
+    joined = hash_bucket_join(
+        ds.select_columns([id_col, text_col]), blobs, on=(id_col,),
+        join_type="left_outer", num_buckets=num_partitions,
+        right_schema=lambda lt: pa.schema([
+            pa.field(id_col, lt.schema.field(id_col).type),
+            pa.field("rep_pos", pa.binary())]))
 
     def rebuild(batch: pa.Table) -> pa.Table:
         col = batch[text_col]

@@ -409,12 +409,7 @@ def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from ..state.pools import default_join_partitions
-    from ..state.rayjoin import ensure_join_schema_broadcast_fix
-
-    ensure_join_schema_broadcast_fix()
-    if num_partitions is None:
-        num_partitions = default_join_partitions()
+    from ..state.shufflejoin import hash_bucket_join
 
     n_docs = ds.count()
 
@@ -452,8 +447,11 @@ def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
            .materialize())          # vocab×groups sized, two consumers
 
     df_tbl = agg.groupby("token").aggregate(Sum("dfp", alias_name="df"))
-    scored_in = agg.join(df_tbl, join_type="inner", on=("token",),
-                         num_partitions=num_partitions)
+    scored_in = hash_bucket_join(
+        agg, df_tbl, on=("token",), join_type="inner",
+        num_buckets=num_partitions,
+        right_schema=pa.schema([pa.field("token", pa.string()),
+                                pa.field("df", pa.int64())]))
 
     def score(batch: pa.Table) -> pa.Table:
         tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)

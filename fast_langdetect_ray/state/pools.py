@@ -140,31 +140,6 @@ def safe_pool_size(requested: int) -> int:
     return max(1, min(requested, cpus - 2))
 
 
-def default_join_partitions(cap: int = 8) -> int:
-    """Hash-join / hash-shuffle partition count sized to the cluster.
-
-    Ray's JoinOperator gives its aggregator actors a CPU budget of
-    roughly (operator budget / num_partitions) EACH and waits for ALL
-    of them to start; a pipeline with several joins and a partition
-    count larger than the CPU pool deadlocks at startup (observed:
-    3 joins × 16 partitions on 8 CPUs never starts), while aggregator
-    spin-up cost grows ~linearly with the partition count (measured: a
-    3-join pipeline at 32 CPUs takes 7.4 s with 4 partitions vs 12.6 s
-    with 16 on the same input).  min(cpus//2, 8) keeps several
-    concurrent joins schedulable and the fixed cost low on one node;
-    on a real cluster, callers size ``num_partitions`` to the data
-    (≈ one partition per 1–2 GB of the larger side) instead of relying
-    on this default."""
-    try:
-        import ray
-        if not ray.is_initialized():
-            return max(2, min(cap, 4))
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        return max(2, min(cap, 4))
-    return max(2, min(cap, cpus // 2))
-
-
 def default_hash_buckets(mult: int = 4, floor: int = 64,
                          cap: int = 65536) -> int:
     """Bucket count for the hash-bucketed group ops (sessionize, as-of

@@ -1,0 +1,144 @@
+"""hash_bucket_join (state/shufflejoin.py) — semantics vs in-memory
+pyarrow ground truth, empty-side corners, key-type coverage, and
+bucket-count invariance.  This primitive replaced every
+``Dataset.join`` call site in round 5 (no ``ray.data._internal``
+import on any query path)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fast_langdetect_ray.state.shufflejoin import (hash_bucket_join,
+                                                   key_buckets)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df[sorted(df.columns)].sort_values(
+        sorted(df.columns)).reset_index(drop=True)
+
+
+def _expect(lt: pa.Table, rt: pa.Table, keys, rkeys, jt) -> pd.DataFrame:
+    m = {"inner": "inner", "left_outer": "left outer",
+         "left_anti": "left anti", "left_semi": "left semi"}
+    return lt.join(rt, keys=list(keys), right_keys=list(rkeys),
+                   join_type=m[jt], use_threads=False).to_pandas()
+
+
+L = pa.table({"id": [1, 2, 3, 4, 5], "x": ["a", "b", "c", "d", "e"]})
+R = pa.table({"id": [2, 3, 3, 6], "y": [20, 30, 31, 60]})
+
+
+@pytest.mark.parametrize("jt", ["inner", "left_outer", "left_anti",
+                                "left_semi"])
+def test_join_types_match_arrow(ray_session, jt):
+    import ray.data as rd
+
+    got = hash_bucket_join(
+        rd.from_arrow(L).repartition(3), rd.from_arrow(R).repartition(2),
+        on=("id",), join_type=jt, num_buckets=4).to_pandas()
+    want = _expect(L, R, ("id",), ("id",), jt)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_right_on_and_multikey(ray_session):
+    import ray.data as rd
+
+    r2 = pa.table({"node": [2, 3], "lbl": [9, 8]})
+    got = hash_bucket_join(rd.from_arrow(L), rd.from_arrow(r2),
+                           on=("id",), right_on=("node",),
+                           join_type="inner", num_buckets=3).to_pandas()
+    want = _expect(L, r2, ("id",), ("node",), "inner")
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    lm = pa.table({"k": ["a", "a", "b"], "c": [1, 2, 1], "v": [1, 2, 3]})
+    rm = pa.table({"k": ["a", "b", "b"], "c": [2, 1, 9], "w": [5, 6, 7]})
+    got2 = hash_bucket_join(rd.from_arrow(lm), rd.from_arrow(rm),
+                            on=("k", "c"), join_type="left_outer",
+                            num_buckets=5).to_pandas()
+    want2 = _expect(lm, rm, ("k", "c"), ("k", "c"), "left_outer")
+    pd.testing.assert_frame_equal(_sorted(got2), _sorted(want2))
+
+
+def test_empty_right_side(ray_session):
+    import ray.data as rd
+
+    # a filter that drops everything yields ZERO batches downstream —
+    # the exact corner the retired Ray-internals monkeypatch papered
+    # over in Dataset.join
+    empty_r = rd.from_arrow(R).filter(lambda r: False)
+    anti = hash_bucket_join(rd.from_arrow(L), empty_r, on=("id",),
+                            join_type="left_anti",
+                            num_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(anti), _sorted(L.to_pandas()))
+
+    semi = hash_bucket_join(rd.from_arrow(L), empty_r, on=("id",),
+                            join_type="left_semi", num_buckets=4)
+    # (to_pandas drops columns at 0 rows — a Ray quirk — so assert on
+    # the dataset schema)
+    assert semi.count() == 0
+    assert sorted(semi.schema().names) == ["id", "x"]
+
+    outer = hash_bucket_join(
+        rd.from_arrow(L), empty_r, on=("id",), join_type="left_outer",
+        num_buckets=4,
+        right_schema=lambda lt: pa.schema([
+            pa.field("id", lt.schema.field("id").type),
+            pa.field("y", pa.int64())])).to_pandas()
+    assert len(outer) == 5 and outer["y"].isna().all()
+
+    with pytest.raises(Exception, match="right_schema"):
+        hash_bucket_join(rd.from_arrow(L), empty_r, on=("id",),
+                         join_type="inner", num_buckets=4).to_pandas()
+
+
+def test_empty_left_side(ray_session):
+    import ray.data as rd
+
+    empty_l = rd.from_arrow(L).filter(lambda r: False)
+    got = hash_bucket_join(empty_l, rd.from_arrow(R), on=("id",),
+                           join_type="inner", num_buckets=4)
+    assert got.count() == 0
+
+
+def test_string_keys_and_nulls(ray_session):
+    import ray.data as rd
+
+    ls = pa.table({"k": ["x", "y", None, "z"], "v": [1, 2, 3, 4]})
+    rs = pa.table({"k": ["y", "z", None], "w": [9, 8, 7]})
+    for jt in ["inner", "left_anti", "left_outer"]:
+        got = hash_bucket_join(rd.from_arrow(ls), rd.from_arrow(rs),
+                               on=("k",), join_type=jt,
+                               num_buckets=4).to_pandas()
+        want = _expect(ls, rs, ("k",), ("k",), jt)
+        pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_bucket_count_invariance(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    lt = pa.table({"id": rng.integers(0, 500, 2000),
+                   "x": rng.integers(0, 9, 2000)})
+    rt = pa.table({"id": rng.integers(0, 500, 800),
+                   "y": rng.integers(0, 9, 800)})
+    outs = []
+    for nb in (2, 7, 512):
+        outs.append(_sorted(hash_bucket_join(
+            rd.from_arrow(lt).repartition(5), rd.from_arrow(rt),
+            on=("id",), join_type="inner", num_buckets=nb).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    want = _expect(lt, rt, ("id",), ("id",), "inner")
+    pd.testing.assert_frame_equal(outs[0], _sorted(want))
+
+
+def test_key_buckets_side_and_layout_independent():
+    t1 = pa.table({"id": pa.array([1, 2, 3], type=pa.int32())})
+    t2 = pa.table({"id": pa.array([1, 2, 3], type=pa.int64())})
+    assert (key_buckets(t1, ("id",), 16)
+            == key_buckets(t2, ("id",), 16)).all()
+    s1 = pa.table({"k": ["aa", "bb"]})
+    s2 = pa.table({"k": pa.array(["aa", "bb"], type=pa.large_string())})
+    assert (key_buckets(s1, ("k",), 16)
+            == key_buckets(s2, ("k",), 16)).all()
