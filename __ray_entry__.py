@@ -1327,42 +1327,50 @@ def _q_embedding_neardup_lsh(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic binary media table → actor-pool
-    feature extraction (decode kernel stubbed, see stages/multimodal)."""
+    """Multimodal feature extraction with REAL kernels offline
+    (``strict=True``): stdlib-codec PNG decode for image rows and
+    video keyframes, PCM WAV block-RMS for audio — actor-pool
+    ``map_batches`` with small batches (payload-sized rows)."""
     import ray.data as rd
 
     from fast_langdetect_ray.stages.multimodal import (
-        MediaFeatureExtractor, synth_media_table)
-    ds = rd.from_arrow(synth_media_table(200))
+        MediaFeatureExtractor, synth_real_media_table)
+    ds = rd.from_arrow(synth_real_media_table(200))
     return ds.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=32, concurrency=2)
+        batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"strict": True})
 
 
 def _q_media_resize(sf_dir: str):
-    """Multimodal resize plumbing (image rows resized, others pass
-    through; fake kernel, real actor-pool shape)."""
+    """Multimodal resize with the REAL stdlib PNG codec
+    (``strict=True``; image rows re-encoded at 32×32, others pass
+    through)."""
     import ray.data as rd
 
     from fast_langdetect_ray.stages.multimodal import (
-        MediaResizer, synth_media_table)
-    ds = rd.from_arrow(synth_media_table(200))
+        MediaResizer, synth_real_media_table)
+    ds = rd.from_arrow(synth_real_media_table(200))
     return ds.map_batches(
         MediaResizer, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=32, concurrency=2)
+        batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"strict": True})
 
 
 def _q_media_frames(sf_dir: str):
-    """Multimodal frame-sample plumbing: one-to-many explode of video
-    rows into (media_id, frame_idx, frame) rows inside map_batches."""
+    """Multimodal frame sampling with the REAL concatenated-PNG video
+    kernel (``strict=True``): one-to-many explode of video rows into
+    (media_id, frame_idx, frame) rows inside map_batches, every output
+    frame a decodable PNG."""
     import ray.data as rd
 
     from fast_langdetect_ray.stages.multimodal import (
-        FrameSampler, synth_media_table)
-    ds = rd.from_arrow(synth_media_table(200))
+        FrameSampler, synth_real_media_table)
+    ds = rd.from_arrow(synth_real_media_table(200))
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=32, concurrency=2)
+        batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"strict": True})
 
 
 def _q_hash_split_assign(sf_dir: str):

@@ -135,6 +135,31 @@ def encode_png(arr: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def split_concatenated_pngs(payload: bytes) -> list:
+    """Frame list of a concatenated-PNG stream — the sandbox VIDEO
+    container (PNG frames back to back; the PNG grammar is
+    self-delimiting, so no extra header is needed: each frame is the
+    8-byte signature plus length-prefixed chunks through IEND).
+    Raises ``ValueError`` on anything that isn't a clean
+    concatenation."""
+    frames, pos, n = [], 0, len(payload)
+    while pos < n:
+        if payload[pos:pos + 8] != _SIG:
+            raise ValueError("not a concatenated-PNG stream")
+        start, pos2 = pos, pos + 8
+        while True:
+            if pos2 + 8 > n:
+                raise ValueError("truncated PNG chunk")
+            length = int.from_bytes(payload[pos2:pos2 + 4], "big")
+            ctype = payload[pos2 + 4:pos2 + 8]
+            pos2 += 12 + length          # len + type + data + crc
+            if ctype == b"IEND":
+                break
+        frames.append(payload[start:pos2])
+        pos = pos2
+    return frames
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample (the dependency-free
     stand-in for Pillow's LANCZOS; exact and engine-independent)."""

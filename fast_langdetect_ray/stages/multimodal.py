@@ -109,6 +109,11 @@ def real_decoder(payload: bytes, kind: str) -> np.ndarray:
         # energies — real offline, like the PNG image path
         samples, _rate = wav.decode_wav(payload)
         return wav.block_rms(samples, FEATURE_DIM)
+    if kind == "video" and png.is_png(payload):
+        # concatenated-PNG container: featurize the FIRST frame (the
+        # standard cheap keyframe featurizer) — real offline
+        first = png.split_concatenated_pngs(payload)[0]
+        return _gray_block_means(_to_gray(png.decode_png(first)))
     raise NotImplementedError(
         f"decoding kind={kind!r} requires "
         f"{'Pillow (non-PNG image)' if kind == 'image' else 'ffmpeg'} "
@@ -218,9 +223,18 @@ class MediaResizer:
 
 
 def real_frame_sample(payload: bytes, n_frames: int) -> list:
-    """Real video frame-sampling kernel (ffmpeg when on PATH): pipe
-    the payload through ``ffmpeg -i - -vf fps=...`` and collect
-    ``n_frames`` PNG frames.  Raises when ffmpeg is missing."""
+    """Real video frame-sampling kernel.  A concatenated-PNG payload
+    (the sandbox video container, ``functions.png.
+    split_concatenated_pngs``) is split and uniformly sampled — REAL
+    offline, no external binary.  Other containers pipe through ffmpeg
+    when it is on PATH; otherwise raises."""
+    if png.is_png(payload):
+        frames = png.split_concatenated_pngs(payload)
+        if len(frames) <= n_frames:
+            return frames
+        idx = np.round(np.linspace(0, len(frames) - 1,
+                                   n_frames)).astype(np.int64)
+        return [frames[int(i)] for i in idx]
     if _FFMPEG is not None:
         import subprocess
         import tempfile
@@ -240,8 +254,9 @@ def real_frame_sample(payload: bytes, n_frames: int) -> list:
                     frames.append(f.read())
             return frames[:n_frames]
     raise NotImplementedError(
-        "frame sampling requires ffmpeg which is not on PATH; "
-        "use the deterministic fake via strict=False")
+        "frame sampling of non-PNG containers requires ffmpeg, which "
+        "is not on PATH; use a concatenated-PNG payload or the "
+        "deterministic fake via strict=False")
 
 
 def fake_frame_sample(payload: bytes, n_frames: int) -> list:
@@ -282,6 +297,54 @@ class FrameSampler:
             "frame_idx": pa.array(out_idx, type=pa.int32()),
             "frame": pa.array(out_frame, type=pa.binary()),
         })
+
+
+def _synth_frame(i: int, j: int, w: int = 20, h: int = 12) -> np.ndarray:
+    """Deterministic uint8 (h, w) test image — pure integer math."""
+    base = np.arange(h * w, dtype=np.int64) * 40503
+    return ((i * 2654435761 + j * 97003 + base) % 251).reshape(
+        h, w).astype(np.uint8)
+
+
+def synth_real_media_table(n: int, seed: int = 7,
+                           video_frames: int = 6) -> pa.Table:
+    """Media table whose payloads are REAL in this offline container:
+    stdlib-codec PNG images, 16-bit PCM WAV audio, concatenated-PNG
+    video — every ``strict=True`` kernel decodes them for real
+    (no Pillow / ffmpeg needed).  Deterministic: pure integer/trig
+    math from (seed, media_id), no RNG state."""
+    kinds, payloads, widths, heights, durs = [], [], [], [], []
+    t = np.arange(800, dtype=np.float64)
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        kinds.append(kind)
+        if kind == "image":
+            payloads.append(png.encode_png(_synth_frame(seed + i, 0)))
+            widths.append(20)
+            heights.append(12)
+            durs.append(None)
+        elif kind == "audio":
+            sig = 0.5 * np.sin(2 * np.pi * (40 + (seed + i) % 60)
+                               * t / 8000.0)
+            payloads.append(wav.encode_wav(sig, rate=8000))
+            widths.append(None)
+            heights.append(None)
+            durs.append(100)
+        else:
+            payloads.append(b"".join(
+                png.encode_png(_synth_frame(seed + i, j))
+                for j in range(video_frames)))
+            widths.append(20)
+            heights.append(12)
+            durs.append(40 * video_frames)
+    return pa.table({
+        "media_id": list(range(n)),
+        "kind": kinds,
+        "payload": payloads,
+        "width": widths,
+        "height": heights,
+        "duration_ms": durs,
+    }, schema=MEDIA_SCHEMA)
 
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
