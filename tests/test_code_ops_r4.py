@@ -795,3 +795,39 @@ def test_real_decoder_wav_audio_strict(ray_session):
     assert len(f0) == FEATURE_DIM
     # real energies: loud signal's RMS features dominate the quiet one's
     assert f0.mean() > 5 * f1.mean()
+
+
+def test_cross_corpus_neardup_cached_postings_identical(ray_session):
+    """prior_postings= (the incremental-run cache) gives byte-identical
+    results to passing the prior text, and works with prior=None."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import (
+        build_prior_postings, cross_corpus_neardup_dedup)
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "one two three four five six seven",
+                 "red green blue yellow purple orange"]}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": ["alpha beta gamma delta epsilon eta",   # near-dup of 0
+                 "one two three four five six seven",    # exact dup of 1
+                 "totally fresh unrelated content here",
+                 "red green blue cyan magenta black"]}))
+
+    direct = cross_corpus_neardup_dedup(
+        new, prior, n=3, jaccard_threshold=0.4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cached = build_prior_postings(prior, n=3).materialize()
+    via_cache = cross_corpus_neardup_dedup(
+        new, None, n=3, jaccard_threshold=0.4,
+        prior_postings=cached).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert direct.equals(via_cache)
+    assert set(direct["doc_id"]) == {12, 13}
+
+    import pytest
+    with pytest.raises(ValueError, match="prior"):
+        cross_corpus_neardup_dedup(new, None, n=3)
