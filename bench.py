@@ -440,6 +440,93 @@ def scaling_dedup_mode(lo: int, hi: int) -> None:
     }))
 
 
+def one_run_buckets(num_cpus: int, n_buckets: int) -> dict:
+    """Fresh-process run of the three bucket-shuffle-shaped ops
+    (sessionize, as-of join, n-gram pair scoring) at a FORCED bucket
+    count — wall-time evidence that the cluster-scaled
+    ``default_hash_buckets`` story has no superlinear bucket-count
+    cost (results are bucket-count-invariant by construction; this
+    measures the TIME shape)."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import __ray_entry__ as em
+        from fast_langdetect_ray.stages import dedup
+        from fast_langdetect_ray.stages.asof import asof_join
+
+        out = {"n_buckets": n_buckets}
+        t0 = time.perf_counter()
+        out["sessionize_rows"] = em._q_sessionize(
+            str(SF_DIR), n_buckets=n_buckets).count()
+        out["sessionize_sec"] = round(time.perf_counter() - t0, 3)
+
+        import pyarrow.compute as pc
+        ev = em._read(str(SF_DIR), "events")
+
+        def pick(et, cols):
+            def fn(b):
+                return b.filter(pc.equal(b["event_type"], et)) \
+                    .select(cols)
+            return fn
+
+        clicks = ev.map_batches(
+            pick("click", ["event_id", "user_id", "ts"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        errors = ev.map_batches(
+            pick("error", ["user_id", "ts", "value"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        t0 = time.perf_counter()
+        out["asof_rows"] = asof_join(
+            clicks, errors, key_col="user_id", ts_col="ts",
+            n_buckets=n_buckets).count()
+        out["asof_sec"] = round(time.perf_counter() - t0, 3)
+
+        # pair scoring reads its bucket count from _pair_buckets();
+        # force it for the measurement (bench-only, results invariant)
+        dedup._pair_buckets = lambda: n_buckets
+        src = str(_ensure_dedup_corpus())
+        import ray.data as rd
+        t0 = time.perf_counter()
+        out["ngram_pairs"] = dedup.ngram_jaccard_pairs(
+            rd.read_parquet(src), jaccard_threshold=0.5).count()
+        out["ngram_pairs_sec"] = round(time.perf_counter() - t0, 3)
+        out["elapsed_sec"] = round(out["sessionize_sec"]
+                                   + out["asof_sec"]
+                                   + out["ngram_pairs_sec"], 3)
+        return out
+    finally:
+        ray.shutdown()
+
+
+def buckets_mode(lo: int, hi: int, num_cpus: int) -> None:
+    """VERDICT r4 item 5: run the bucket-shuffle ops at ``lo`` vs
+    ``hi`` forced buckets (fresh process each) and report the
+    wall-time ratio — a superlinear bucket-count cost would show as
+    ratio >> 1; identical row counts re-prove result invariance."""
+    _ensure_dedup_corpus()
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--one-run-buckets",
+             "--num-cpus", str(num_cpus), "--n-buckets", str(n)],
+            capture_output=True, text=True, check=True, cwd=str(REPO))
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    for k in ("sessionize_rows", "asof_rows", "ngram_pairs"):
+        assert results[lo][k] == results[hi][k], (k, results)
+    print(json.dumps({
+        "metric": f"bucket-count wall-time shape {lo} vs {hi} buckets "
+                  f"(sessionize + asof + ngram pairs, {num_cpus} CPUs, "
+                  "fresh ray.init per run, identical outputs)",
+        "value": round(results[hi]["elapsed_sec"]
+                       / results[lo]["elapsed_sec"], 3),
+        "unit": "hi/lo wall-time ratio",
+        "runs": {str(lo): results[lo], str(hi): results[hi]},
+    }))
+
+
 def stats_mode(num_cpus: int) -> None:
     """Per-operator breakdown of the flagship quality-filter pipeline
     (``Dataset.stats()``) over the sf corpus — the profiling loop the
@@ -480,9 +567,16 @@ def main() -> None:
     ap.add_argument("--scaling-dedup", action="store_true")
     ap.add_argument("--one-run", action="store_true")
     ap.add_argument("--one-run-dedup", action="store_true")
+    ap.add_argument("--one-run-buckets", action="store_true")
+    ap.add_argument("--buckets", action="store_true",
+                    help="bucket-count wall-time shape: the bucket ops "
+                         "at --bucket-lo vs --bucket-hi forced buckets")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--actors", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=4)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--bucket-lo", type=int, default=64)
+    ap.add_argument("--bucket-hi", type=int, default=4096)
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
@@ -490,6 +584,10 @@ def main() -> None:
         stats_mode(args.num_cpus)
     elif args.one_run:
         print(json.dumps(one_run(args.num_cpus, actors=args.actors)))
+    elif args.one_run_buckets:
+        print(json.dumps(one_run_buckets(args.num_cpus, args.n_buckets)))
+    elif args.buckets:
+        buckets_mode(args.bucket_lo, args.bucket_hi, args.num_cpus)
     elif args.one_run_dedup:
         print(json.dumps(one_run_dedup(args.num_cpus, args.partitions)))
     elif args.scaling_dedup:
