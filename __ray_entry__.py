@@ -2041,6 +2041,46 @@ def _q_cross_corpus_neardup(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
+# BM25 probe queries over the documents keyword vocabulary — fixed so
+# the oracle's VALUES list matches exactly (terms exist in the corpus).
+def _bm25_values() -> str:
+    return ", ".join(f"({q}, '{t}')"
+                     for q, ts in sorted(_BM25_QUERIES.items())
+                     for t in ts)
+
+
+_BM25_QUERIES = {
+    0: ("hash", "join", "merge"),
+    1: ("customer", "order", "line"),
+    2: ("slow", "scan", "filter", "vector"),
+}
+
+
+def _q_bm25_topk(sf_dir: str):
+    """T86: Okapi BM25 top-10 docs per probe query (two streaming
+    passes: query-term df/avgdl stats, then score + lossless
+    per-batch top-k).  Fixed-point micros, so the oracle hash is
+    order-exact."""
+    from fast_langdetect_ray.stages.retrieval import bm25_topk
+    return bm25_topk(_read(sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    """T85: top-50 adjacent bigrams by PMI (count ≥ 5) — collocation
+    extraction, wordcount-shaped with vocab-sized joins."""
+    from fast_langdetect_ray.stages.collocations import pmi_bigrams
+    return pmi_bigrams(_read(sf_dir, "documents"), k=50, min_count=5)
+
+
+def _q_temperature_sample(sf_dir: str):
+    """T84: temperature-flattened mixture sample (tau=0.7, total=250)
+    over lang groups; deterministic hash-rank selection per group."""
+    from fast_langdetect_ray.stages.sampling import temperature_sample
+    return temperature_sample(
+        _read(sf_dir, "documents"), total=250, tau=0.7, group_col="lang"
+    ).select_columns(["doc_id", "lang", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2104,6 +2144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_split_assign": _q_repo_split_assign,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "rule_threshold_sweep": _q_rule_threshold_sweep,
+        "bm25_topk": _q_bm25_topk,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "temperature_sample": _q_temperature_sample,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3293,5 +3336,115 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a CROSS JOIN embeddings b
                 WHERE a.vec_id < {_ANN_NQ}
             ) WHERE rn <= {_ANN_K}
+        """,
+        "temperature_sample": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+            ),
+            t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.7)) AS s FROM c),
+            q AS (
+              SELECT lang, n,
+                     least(n, CAST(floor(
+                         250.0 * pow(CAST(n AS DOUBLE), 0.7) / t.s
+                         + 1e-9) AS BIGINT)) AS quota
+              FROM c CROSS JOIN t
+            ),
+            ranked AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY sha256(CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rn
+              FROM documents
+            )
+            SELECT r.doc_id, r.lang, r.source
+            FROM ranked r JOIN q USING (lang)
+            WHERE r.rn <= q.quota
+        """,
+        "pmi_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            uni AS (SELECT unnest(l) AS g FROM toks),
+            ucnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+                     FROM uni GROUP BY g),
+            bz AS (SELECT unnest(list_zip(l, l[2:])) AS z FROM toks),
+            bi AS (SELECT z[1] || ' ' || z[2] AS g, z[1] AS lw,
+                          z[2] AS rw
+                   FROM bz WHERE z[2] IS NOT NULL),
+            bcnt AS (SELECT g, min(lw) AS lw, min(rw) AS rw,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM bi GROUP BY g),
+            nu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM ucnt),
+            nb AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM bcnt),
+            scored AS (
+              SELECT b.g AS bigram,
+                     b.c AS bigram_count,
+                     ul.c AS left_count,
+                     ur.c AS right_count,
+                     ln((CAST(b.c AS DOUBLE) * nu.v * nu.v)
+                        / (nb.v * ul.c * ur.c)) AS pmi
+              FROM bcnt b
+              JOIN ucnt ul ON ul.g = b.lw
+              JOIN ucnt ur ON ur.g = b.rw
+              CROSS JOIN nu CROSS JOIN nb
+              WHERE b.c >= 5
+            )
+            SELECT bigram, bigram_count, left_count, right_count, pmi
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY pmi DESC, bigram) AS rn FROM scored)
+            WHERE rn <= 50
+        """,
+        "bm25_topk": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS token
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                   FROM tok GROUP BY doc_id),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            avgl AS (SELECT (SELECT CAST(sum(len) AS DOUBLE) FROM dl)
+                                / n AS a
+                     FROM nd),
+            q(query_id, term) AS (VALUES {_bm25_values()}),
+            terms AS (SELECT DISTINCT term FROM q),
+            df AS (SELECT token AS term,
+                          CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM tok WHERE token IN (SELECT term FROM terms)
+                   GROUP BY token),
+            tf AS (SELECT doc_id, token AS term,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM tok WHERE token IN (SELECT term FROM terms)
+                   GROUP BY doc_id, token),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                     CAST(floor(
+                         ln((nd.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len
+                                           / avgl.a))
+                         * 1e6 + 0.5) AS BIGINT) AS m
+              FROM tf
+              JOIN q ON q.term = tf.term
+              JOIN df ON df.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN nd CROSS JOIN avgl
+            ),
+            scores AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                              doc_id,
+                              CAST(sum(m) AS BIGINT) AS score_micros
+                       FROM contrib GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, score_micros
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score_micros DESC, doc_id) AS rn
+                  FROM scores)
+            WHERE rn <= 10
         """,
     }

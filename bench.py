@@ -527,6 +527,96 @@ def buckets_mode(lo: int, hi: int, num_cpus: int) -> None:
     }))
 
 
+def _spill_stats() -> dict:
+    """Object-store spill/restore counters for the LIVE Ray session,
+    read from the raylet's periodic ``debug_state.txt`` dump (the
+    LocalObjectManager section) plus the throttled ``Spilled … MiB``
+    raylet.out lines.  Recorded by --soak so spill-threshold behavior
+    is visible in BASELINE.md before a real cluster surfaces it.
+    (The grpc-backed ``memory_summary`` API is unavailable in this
+    sandbox, so the log files are the ground truth.)"""
+    import re
+    out: dict = {}
+    try:
+        import ray._private.worker as _w
+        logs = Path(_w._global_node.get_logs_dir_path())
+    except Exception:
+        # fallback: newest session under the default tmp root
+        cands = sorted(Path("/tmp/ray/ray").glob("session_*/logs"),
+                       key=lambda p: p.stat().st_mtime)
+        logs = cands[-1] if cands else None
+    if logs is None:
+        out["error"] = "no ray session logs found"
+        return out
+    out["logs_dir"] = str(logs)
+    try:
+        txt = (logs / "debug_state.txt").read_text()
+        for key, pat in [
+            ("bytes_currently_spilled", r"num bytes currently spilled: (\d+)"),
+            ("bytes_pending_spill", r"num bytes pending spill: (\d+)"),
+            ("cumulative_spill_requests", r"cumulative spill requests: (\d+)"),
+            ("cumulative_restore_requests",
+             r"cumulative restore requests: (\d+)"),
+            ("pinned_objects_bytes", r"pinned objects size: (\d+)"),
+        ]:
+            m = re.search(pat, txt)
+            if m:
+                out[key] = int(m.group(1))
+    except Exception as exc:  # counters are evidence, never a failure
+        out["debug_state_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        ral = (logs / "raylet.out").read_text()
+        sp = re.findall(r"Spilled (\d+) MiB, (\d+) objects", ral)
+        if sp:
+            out["spilled_mib"], out["spilled_objects"] = map(int, sp[-1])
+        rs = re.findall(r"Restored (\d+) MiB, (\d+) objects", ral)
+        if rs:
+            out["restored_mib"], out["restored_objects"] = map(int, rs[-1])
+    except Exception as exc:
+        out["raylet_log_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        import ray
+        out["object_store_bytes"] = int(
+            ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:
+        pass
+    return out
+
+
+def soak_mode(rows: int, num_cpus: int) -> None:
+    """VERDICT r4 item 8: stress the flagship quality-filter job at
+    ``rows`` (30M+) in one fresh Ray session and record wall time,
+    throughput, rows_in == rows_out conservation, and the object-store
+    spill counters — surfacing spill-threshold behavior at several
+    multiples of the object store's capacity before a real cluster
+    does.  Prints ONE JSON line."""
+    global CORPUS_ROWS, CORPUS_DIR
+    CORPUS_ROWS = rows
+    CORPUS_DIR = Path(f"/tmp/fld_bench_corpus_{rows}")
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        stats = _run_corpus_job(num_cpus, Path("/tmp/fld_bench_out_soak"))
+        spill = _spill_stats()
+    finally:
+        ray.shutdown()
+    print(json.dumps({
+        "metric": f"flagship quality-filter soak at {rows} rows "
+                  f"({num_cpus} CPUs, fresh ray.init, spill counters)",
+        "value": stats["elapsed_sec"],
+        "unit": "sec",
+        "rows_in": stats["rows"],
+        "rows_out": stats["rows_out"],
+        "files_per_sec": stats["files_per_sec"],
+        "mb_per_sec": stats["mb_per_sec"],
+        "spill": spill,
+    }))
+
+
 def stats_mode(num_cpus: int) -> None:
     """Per-operator breakdown of the flagship quality-filter pipeline
     (``Dataset.stats()``) over the sf corpus — the profiling loop the
@@ -571,6 +661,9 @@ def main() -> None:
     ap.add_argument("--buckets", action="store_true",
                     help="bucket-count wall-time shape: the bucket ops "
                          "at --bucket-lo vs --bucket-hi forced buckets")
+    ap.add_argument("--soak", type=int, default=None, metavar="ROWS",
+                    help="stress the flagship at ROWS rows in one "
+                         "fresh Ray session and record spill counters")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--actors", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=4)
@@ -580,7 +673,9 @@ def main() -> None:
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
-    if args.stats:
+    if args.soak:
+        soak_mode(args.soak, args.num_cpus)
+    elif args.stats:
         stats_mode(args.num_cpus)
     elif args.one_run:
         print(json.dumps(one_run(args.num_cpus, actors=args.actors)))

@@ -1,0 +1,168 @@
+"""Collocation extraction: corpus-wide PMI-ranked bigrams.
+
+The classic phrase-mining signal (Church & Hanks 1990; the word2vec
+phrase pass): ``PMI(x y) = ln(p(xy) / (p(x)·p(y)))`` with ``p(xy)``
+over adjacent-pair occurrences and ``p(x)`` over token occurrences.
+High-PMI, min-count-filtered bigrams are the candidate multi-word
+expressions a tokenizer / phrase-joiner pass consumes.
+
+Scale shape (wordcount-shaped, one exchange): each batch tokenizes
+its docs (Arrow kernels), pre-aggregates (gram, count) partials for
+unigrams AND adjacent bigrams in one pass, and a single
+``groupby(gram, kind)`` sums the vocabulary-sized partials — tokens
+never cross the wire.  Unigram counts attach to bigram rows via two
+vocabulary-sized :func:`hash_bucket_join` passes (left word, right
+word).  The final top-k uses the lossless batch-local pre-top-k (the
+score is final after the joins), so the last exchange moves ≤
+``k × n_batches`` rows.
+
+The PMI double is emitted by ONE fixed-shape expression —
+``ln((bc·Nu·Nu) / (Nb·ux·uy))`` with left-associative products — so
+the DuckDB oracle evaluates bit-identical doubles (same policy as
+``textstats.tfidf_top_terms``'s score column).
+
+Tokenizer contract (shared with the oracle): lowercase, split on
+``\\s+``, drop empties; bigrams pair ADJACENT tokens within one doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _token_lists(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):  # all-None block arrives untyped
+        col = col.cast(pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+    # drop empty strings ('' only appears from leading/trailing ws)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), np.asarray(parent.filter(keep))
+
+
+def pmi_bigrams(ds, k: int = 50, min_count: int = 5,
+                text_col: str = "text",
+                num_partitions: int | None = None):
+    """Top-``k`` adjacent bigrams by PMI (count ≥ ``min_count``),
+    ties broken by bigram text ascending.  Output: ``(bigram,
+    bigram_count, left_count, right_count, pmi)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..state.shufflejoin import hash_bucket_join
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, parent = _token_lists(batch[text_col])
+        toks = np.asarray(flat, dtype=object)
+        uni = pa.table({"gram": flat}).group_by(
+            ["gram"], use_threads=False).aggregate([("gram", "count")]) \
+            .rename_columns(["gram", "cnt"])
+        # adjacent pairs within the same doc
+        if len(toks) > 1:
+            adj = parent[1:] == parent[:-1]
+            lefts = toks[:-1][adj]
+            rights = toks[1:][adj]
+            big = np.char.add(np.char.add(
+                lefts.astype(str), " "), rights.astype(str))
+        else:
+            big = np.empty(0, dtype=object)
+        bi = pa.table({"gram": pa.array(big, type=pa.string())}) \
+            .group_by(["gram"], use_threads=False) \
+            .aggregate([("gram", "count")]) \
+            .rename_columns(["gram", "cnt"])
+        out = pa.concat_tables([
+            uni.append_column("kind", pa.array(
+                np.zeros(len(uni), dtype=np.int8))),
+            bi.append_column("kind", pa.array(
+                np.ones(len(bi), dtype=np.int8))),
+        ])
+        return out.set_column(1, "cnt", pc.cast(out["cnt"], pa.int64()))
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["gram", "kind"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .materialize())  # vocab-sized; feeds 4 consumers below
+
+    totals = {int(r["kind"]): int(r["cnt"])
+              for r in counts.groupby("kind")
+              .aggregate(Sum("cnt", alias_name="cnt")).take_all()}
+    n_uni, n_bi = totals.get(0, 0), totals.get(1, 0)
+
+    def split_kind(kind: int, names):
+        def fn(b: pa.Table) -> pa.Table:
+            m = b.filter(pc.equal(b["kind"], kind))
+            return pa.table({names[0]: m["gram"], names[1]: m["cnt"]})
+        return fn
+
+    unigrams = counts.map_batches(
+        split_kind(0, ("word", "ucnt")), batch_format="pyarrow",
+        zero_copy_batch=True)
+    bigrams = counts.map_batches(
+        split_kind(1, ("bigram", "bcnt")), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.greater_equal(b["bcnt"],
+                                      pa.scalar(min_count, pa.int64())))
+        big = m["bigram"]
+        if isinstance(big, pa.ChunkedArray):
+            big = big.combine_chunks()
+        sp = pc.split_pattern(big, " ")
+        return pa.table({
+            "bigram": big,
+            "bcnt": m["bcnt"],
+            "lword": pc.list_element(sp, 0),
+            "rword": pc.list_element(sp, 1),
+        })
+
+    filtered = bigrams.map_batches(add_parts, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    uni_schema = pa.schema([pa.field("word", pa.string()),
+                            pa.field("ucnt", pa.int64())])
+    j1 = hash_bucket_join(filtered, unigrams, on=("lword",),
+                          right_on=("word",), join_type="inner",
+                          num_buckets=num_partitions,
+                          right_schema=uni_schema)
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [("lcnt" if c == "ucnt" else c) for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j2 = hash_bucket_join(j1, unigrams, on=("rword",),
+                          right_on=("word",), join_type="inner",
+                          num_buckets=num_partitions,
+                          right_schema=uni_schema)
+
+    nu, nb = float(n_uni), float(n_bi)
+
+    def score(b: pa.Table) -> pa.Table:
+        bc = b["bcnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ux = b["lcnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uy = b["ucnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # fixed-shape expression shared with the SQL twin
+        pmi = np.log((bc * nu * nu) / (nb * ux * uy))
+        return pa.table({
+            "bigram": b["bigram"],
+            "bigram_count": pc.cast(b["bcnt"], pa.int64()),
+            "left_count": pc.cast(b["lcnt"], pa.int64()),
+            "right_count": pc.cast(b["ucnt"], pa.int64()),
+            "pmi": pa.array(pmi),
+        })
+
+    def topk_partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b.sort_values(["pmi", "bigram"],
+                             ascending=[False, True]).head(k)
+
+    scored = (j2.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(topk_partial, batch_format="pandas"))
+    # k × n_batches rows: one-task finish is bounded and deterministic
+    final = scored.repartition(1).map_batches(
+        topk_partial, batch_format="pandas")
+    return final

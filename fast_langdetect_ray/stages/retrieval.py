@@ -1,0 +1,163 @@
+"""Batch BM25 retrieval: top-k documents per query over the corpus.
+
+The curation use-case: given a SMALL query set (eval prompts, topic
+probes, seed documents), rank the corpus by Okapi BM25 and keep /
+inspect the top-k per query — the sparse-retrieval complement to the
+embedding ANN operators in ``stages/similarity.py``.
+
+Scale shape (two streaming passes, no token ever crosses the wire):
+
+1. **stats pass** — each batch tokenizes its docs and pre-aggregates
+   (a) per-QUERY-TERM document frequencies (exact: a doc lives inside
+   one batch) and (b) its token-count sum; one tiny
+   ``groupby`` reduces the ≤ ``|terms|+1``-row partials.  The
+   resulting (df per term, avg doc length) table is query-sized and
+   broadcast via ``ray.put``.
+2. **score pass** — each batch computes per-(doc, query) BM25 and
+   keeps its own top-k per query (lossless: scores are final), so the
+   last exchange moves ≤ ``k × n_batches`` rows per query.
+
+Cross-engine float policy (BASELINE.md): per-term contributions are
+fixed-point **micros** (``floor(term · 1e6 + 0.5)`` int64) computed by
+a fixed-shape double expression with literal constants, then summed as
+integers — so the oracle's per-(doc, query) ``score_micros`` is exact
+regardless of term summation order.
+
+BM25 (Okapi, k1 = 1.2, b = 0.75, +1 idf so scores stay positive):
+
+    idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1.0)
+    term(t) = idf · (tf · 2.2) / (tf + 1.2 · (0.25 + 0.75 · dl / avgdl))
+
+Tokenizer contract (shared with the oracle): lowercase, split on
+``\\s+``, drop empties.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _tokens(col) -> tuple:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):  # all-None block arrives untyped
+        col = col.cast(pa.string())
+    lists = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    return (np.asarray(flat.filter(keep), dtype=object),
+            np.asarray(parent.filter(keep)))
+
+
+def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` docs per query by BM25; ties break by ``doc_id``
+    ascending.  ``queries`` maps query_id → iterable of terms (they
+    are lowercased here).  Output: ``(query_id, doc_id,
+    score_micros)``."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    qterms = {int(q): tuple(dict.fromkeys(t.lower() for t in ts))
+              for q, ts in queries.items()}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    if not terms:
+        raise ValueError("bm25_topk: empty query set")
+    term_idx = {t: i for i, t in enumerate(terms)}
+    n_docs = ds.count()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokens(batch[text_col])
+        # token-count sum rides the same partial under a reserved key
+        # (no token contains "\x00" — the tokenizer splits on \s only,
+        # but \x00 never appears in the corpus contract); doc count
+        # comes from ds.count() outside
+        out_terms, out_cnts = ["\x00len"], [int(flat.size)]
+        if flat.size:
+            for t in terms:
+                hits = parent[flat == t]
+                if hits.size:
+                    out_terms.append(t)
+                    out_cnts.append(int(np.unique(hits).size))
+        return pa.table({
+            "term": pa.array(out_terms, type=pa.string()),
+            "cnt": pa.array(out_cnts, type=pa.int64()),
+        })
+
+    stats = (ds.select_columns([text_col])
+             .map_batches(stats_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+             .take_all())  # ≤ |terms|+1 rows
+    by_term = {r["term"]: int(r["cnt"]) for r in stats}
+    total_len = by_term.pop("\x00len", 0)
+    avgdl = float(total_len) / float(n_docs)
+    df = np.array([by_term.get(t, 0) for t in terms], dtype=np.float64)
+    nd = float(n_docs)
+    idf = np.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+    qref = ray.put((qterms, term_idx, idf))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qterms_s, tidx_s, idf_s = ray.get(qref)
+        flat, parent = _tokens(batch[text_col])
+        n = len(batch)
+        dl = np.bincount(parent, minlength=n).astype(np.float64) \
+            if flat.size else np.zeros(n)
+        # per-(doc, term) tf for the bounded query vocabulary
+        tf = np.zeros((n, len(tidx_s)), dtype=np.float64)
+        for t, j in tidx_s.items():
+            hits = parent[flat == t] if flat.size else \
+                np.empty(0, dtype=np.int64)
+            if hits.size:
+                tf[:, j] += np.bincount(hits, minlength=n)
+        denom_dl = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        q_out, id_out, s_out = [], [], []
+        for q, ts in qterms_s.items():
+            cols = [tidx_s[t] for t in ts]
+            tfq = tf[:, cols]
+            matched = tfq.sum(axis=1) > 0
+            if not matched.any():
+                continue
+            tfm = tfq[matched]
+            micros = np.floor(
+                idf_s[cols][None, :] * (tfm * 2.2)
+                / (tfm + denom_dl[matched][:, None]) * 1e6 + 0.5)
+            micros[tfm == 0] = 0.0
+            s = micros.sum(axis=1).astype(np.int64)
+            q_out.append(np.full(s.size, q, dtype=np.int64))
+            id_out.append(ids[matched])
+            s_out.append(s)
+        if not q_out:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "score_micros": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_out)),
+            id_col: pa.array(np.concatenate(id_out)),
+            "score_micros": pa.array(np.concatenate(s_out)),
+        })
+
+    def topk_partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        return (b.sort_values(["score_micros", id_col],
+                              ascending=[False, True])
+                .groupby("query_id", sort=False).head(k))
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.sort_values(["score_micros", id_col],
+                              ascending=[False, True]).head(k))
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(topk_partial, batch_format="pandas")
+            .groupby("query_id")
+            .map_groups(topk, batch_format="pandas"))

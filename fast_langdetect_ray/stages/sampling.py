@@ -147,6 +147,66 @@ def shard_shuffle(ds, n_shards: int = 64, id_col: str = "doc_id"):
             .map_groups(number, batch_format="pandas"))
 
 
+def temperature_sample(ds, total: int, tau: float = 0.7,
+                       group_col: str = "lang", id_col: str = "doc_id"):
+    """Temperature-flattened mixture sampling (the multilingual-LM
+    recipe: sample group ``g`` with probability ∝ ``count(g)^tau``,
+    ``tau < 1`` flattening head groups and boosting tail groups).
+
+    Per-group quota ``n_g = min(c_g, floor(total · c_g^tau / Σ_h
+    c_h^tau + 1e-9))``; the kept rows are the ``n_g`` with the
+    SMALLEST ``(sha256(str(id)), id)`` per group — a pure function of
+    the row ids (deterministic across runs / engines / partition
+    layouts, the property a training mixture needs so re-runs draw
+    the same subset).  The ``1e-9`` guard absorbs last-ulp ``pow``
+    noise between engines at the ``floor`` boundary.
+
+    Scale shape: one group-cardinality-sized count aggregate (quota
+    table broadcast via ``ray.put``), then each batch keeps only its
+    own ``n_g`` smallest keys per group (lossless — a global top-n_g
+    row is a batch top-n_g row), so the final shuffle moves ≤
+    ``n_g × n_batches`` rows per group, never the corpus.
+
+    Oracle twin: ``row_number() OVER (PARTITION BY g ORDER BY
+    sha256(CAST(id AS VARCHAR)), id) <= quota`` with the quota CTE
+    computing the same pow/floor expression."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([group_col]).groupby(group_col)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    keys = np.asarray(counts[group_col], dtype=object)
+    order = np.argsort(keys)
+    keys = keys[order]
+    ns = counts["n"].to_numpy().astype(np.int64)[order]
+    pw = np.power(ns.astype(np.float64), float(tau))
+    quota = np.minimum(
+        ns, np.floor(float(total) * pw / pw.sum() + 1e-9).astype(np.int64))
+    ref = ray.put((keys, quota))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys_s, quota_s = ray.get(ref)
+        hkey = [hashlib.sha256(str(i).encode()).hexdigest()
+                for i in batch[id_col]]
+        batch = batch.assign(_hkey=hkey)
+        batch = batch.sort_values(["_hkey", id_col])
+        idx = np.searchsorted(keys_s,
+                              np.asarray(batch[group_col], dtype=object))
+        rank = batch.groupby(group_col, sort=False).cumcount()
+        return batch[rank < quota_s[idx]]
+
+    def head_quota(g: pd.DataFrame) -> pd.DataFrame:
+        keys_s, quota_s = ray.get(ref)
+        q = int(quota_s[np.searchsorted(keys_s, g[group_col].iloc[0])])
+        return (g.sort_values(["_hkey", id_col]).head(q)
+                .drop(columns=["_hkey"]))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .map_groups(head_quota, batch_format="pandas"))
+
+
 def balance_groups(ds, target: int, group_col: str = "lang",
                    id_col: str = "doc_id"):
     """Deterministic group re-balancing for training-data mixing:

@@ -1,0 +1,238 @@
+"""Round-5 operators: T84 temperature-flattened mixture sampling
+(quota math + hash-rank oracle), T85 PMI bigram collocations
+(brute-force counter oracle), T86 BM25 top-k retrieval (pure-Python
+scorer oracle).  All checked on sf0.001 plus small synthetic edges."""
+
+import collections
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [t for t in s.lower().split() if t]
+
+
+# ---------------------------------------------------------------- T84
+
+
+def _temp_oracle(ids, langs, total, tau):
+    counts = collections.Counter(langs)
+    keys = sorted(counts)
+    pw = {g: counts[g] ** tau for g in keys}
+    s = sum(pw.values())
+    quota = {g: min(counts[g], int(math.floor(total * pw[g] / s + 1e-9)))
+             for g in keys}
+    per = collections.defaultdict(list)
+    for i, g in zip(ids, langs):
+        per[g].append((hashlib.sha256(str(i).encode()).hexdigest(), i))
+    keep = set()
+    for g, rows in per.items():
+        rows.sort()
+        keep.update(i for _, i in rows[:quota[g]])
+    return keep, quota
+
+
+def test_temperature_sample_matches_oracle(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import temperature_sample
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "source"])
+    ids = t["doc_id"].to_pylist()
+    langs = t["lang"].to_pylist()
+    want, quota = _temp_oracle(ids, langs, total=100, tau=0.7)
+
+    got = temperature_sample(rd.from_arrow(t).repartition(5),
+                             total=100, tau=0.7).to_pandas()
+    assert set(got["doc_id"]) == want
+    # per-group sizes equal the quota; quotas never exceed group size
+    sizes = got.groupby("lang").size().to_dict()
+    counts = collections.Counter(langs)
+    for g, q in quota.items():
+        assert sizes.get(g, 0) == q
+        assert q <= counts[g]
+    # flattening: tau<1 boosts tail-group share vs raw proportions
+    small = min(counts, key=counts.get)
+    assert quota[small] / max(sum(quota.values()), 1) >= \
+        counts[small] / len(ids) * 0.99
+
+
+def test_temperature_sample_partition_independent(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import temperature_sample
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "source"])
+    a = temperature_sample(rd.from_arrow(t).repartition(2),
+                           total=60, tau=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = temperature_sample(rd.from_arrow(t).repartition(13),
+                           total=60, tau=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_temperature_sample_tau_extremes(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import temperature_sample
+
+    t = pa.table({
+        "doc_id": list(range(110)),
+        "lang": ["en"] * 100 + ["sw"] * 10,
+    })
+    # tau=1 keeps raw proportions: quotas 45/50 * {100,10} -> 45, 4
+    got = temperature_sample(rd.from_arrow(t), total=50, tau=1.0,
+                             group_col="lang").to_pandas()
+    sizes = got.groupby("lang").size().to_dict()
+    assert sizes == {"en": 45, "sw": 4}
+    # tau=0 splits the budget evenly (1^0 == 1 per group), capped at n_g
+    got0 = temperature_sample(rd.from_arrow(t), total=50, tau=0.0,
+                              group_col="lang").to_pandas()
+    sizes0 = got0.groupby("lang").size().to_dict()
+    assert sizes0 == {"en": 25, "sw": 10}
+
+
+# ---------------------------------------------------------------- T85
+
+
+def _pmi_oracle(texts, k, min_count):
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for s in texts:
+        ts = _toks(s)
+        uni.update(ts)
+        bi.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+    nu, nb = float(sum(uni.values())), float(sum(bi.values()))
+    rows = []
+    for g, c in bi.items():
+        if c < min_count:
+            continue
+        lw, rw = g.split(" ")
+        pmi = math.log((c * nu * nu) / (nb * uni[lw] * uni[rw]))
+        rows.append((g, c, uni[lw], uni[rw], pmi))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    return rows[:k]
+
+
+def test_pmi_bigrams_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.collocations import pmi_bigrams
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = _pmi_oracle(t["text"].to_pylist(), k=30, min_count=3)
+
+    got = pmi_bigrams(rd.from_arrow(t).repartition(4), k=30,
+                      min_count=3).to_pandas()
+    assert len(got) == len(want)
+    for r, (g, c, lc, rc, pmi) in zip(got.itertuples(), want):
+        assert r.bigram == g
+        assert (int(r.bigram_count), int(r.left_count),
+                int(r.right_count)) == (c, lc, rc)
+        assert abs(r.pmi - pmi) < 1e-9
+
+
+def test_pmi_bigrams_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.collocations import pmi_bigrams
+
+    ds = rd.from_items([
+        {"text": "new york new york new york"},
+        {"text": "the the the the the the"},
+        {"text": "  "},          # whitespace only
+        {"text": None},          # null text
+        {"text": "york new"},    # cross-doc pairs must NOT form
+    ])
+    got = pmi_bigrams(ds, k=10, min_count=2).to_pandas()
+    by = {r.bigram: r for r in got.itertuples()}
+    assert by["new york"].bigram_count == 3
+    assert by["the the"].bigram_count == 5
+    # "new york" is the stronger collocation
+    assert got.iloc[0]["bigram"] == "new york"
+    # adjacency is within-doc only: "york new" appears twice in doc 0
+    # plus once in doc 4 = 3
+    assert by["york new"].bigram_count == 3
+
+
+# ---------------------------------------------------------------- T86
+
+
+def _bm25_oracle(ids, texts, queries, k):
+    toks = [_toks(s) for s in texts]
+    n = float(len(ids))
+    dl = [len(t) for t in toks]
+    avgdl = sum(dl) / n
+    terms = {t for ts in queries.values() for t in ts}
+    df = {t: sum(1 for d in toks if t in set(d)) for t in terms}
+    out = []
+    for q, ts in sorted(queries.items()):
+        scored = []
+        for i, d in enumerate(toks):
+            cnt = collections.Counter(d)
+            micros = 0
+            for t in dict.fromkeys(x.lower() for x in ts):
+                tf = cnt.get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                term = idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * dl[i] / avgdl))
+                micros += int(math.floor(term * 1e6 + 0.5))
+            if micros or cnt and any(t in cnt for t in ts):
+                if any(t in cnt for t in ts):
+                    scored.append((-micros, ids[i]))
+        scored.sort()
+        out.extend((q, i, -m) for m, i in scored[:k])
+    return out
+
+
+def test_bm25_topk_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import bm25_topk
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    queries = {0: ("hash", "join"), 1: ("customer", "order", "scan")}
+    want = _bm25_oracle(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                        queries, k=7)
+
+    got = bm25_topk(rd.from_arrow(t).repartition(4), queries, k=7) \
+        .to_pandas().sort_values(
+            ["query_id", "score_micros", "doc_id"],
+            ascending=[True, False, True]).reset_index(drop=True)
+    assert [(int(r.query_id), int(r.doc_id), int(r.score_micros))
+            for r in got.itertuples()] == want
+
+
+def test_bm25_topk_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import bm25_topk
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "apple banana apple"},
+        {"doc_id": 2, "text": "banana banana banana banana"},
+        {"doc_id": 3, "text": "cherry"},
+        {"doc_id": 4, "text": None},
+    ])
+    got = bm25_topk(ds, {7: ("apple", "APPLE"), 8: ("durian",)},
+                    k=5).to_pandas()
+    # only doc 1 matches query 7 (dup terms deduped); query 8 empty
+    assert got["query_id"].tolist() == [7]
+    assert got["doc_id"].tolist() == [1]
+    assert (got["score_micros"] > 0).all()
+    import pytest
+    with pytest.raises(ValueError):
+        bm25_topk(ds, {})
