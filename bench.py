@@ -101,6 +101,9 @@ HEADLINE = [
     "fim_transform",
     "cross_corpus_neardup",
     "rule_threshold_sweep",
+    "bm25_topk",
+    "pmi_bigrams",
+    "temperature_sample",
 ]
 
 

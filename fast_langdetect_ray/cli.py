@@ -246,6 +246,11 @@ def cmd_sample(args: argparse.Namespace) -> int:
             from .stages.sampling import shard_shuffle
             out = shard_shuffle(ds, n_shards=args.n_shards,
                                 id_col=args.id_col)
+        elif args.mode == "temperature":
+            from .stages.sampling import temperature_sample
+            out = temperature_sample(ds, total=args.total, tau=args.tau,
+                                     group_col=args.group_col,
+                                     id_col=args.id_col)
         else:
             from .stages.sampling import balance_groups
             out = balance_groups(ds, target=args.target,
@@ -360,6 +365,10 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         elif args.mode == "sweep":
             from .stages.rules import rule_threshold_sweep
             out = rule_threshold_sweep(ds, text_col=args.text_col)
+        elif args.mode == "collocations":
+            from .stages.collocations import pmi_bigrams
+            out = pmi_bigrams(ds, k=args.k_top, min_count=args.min_count,
+                              text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -376,6 +385,36 @@ def cmd_analyze(args: argparse.Namespace) -> int:
                    for f in Path(args.output).rglob("*.parquet"))
         print(json.dumps({"mode": args.mode, "rows_out": rows,
                           "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    """BM25 keyword search over a parquet corpus: each ``--terms``
+    occurrence is one query (comma-separated terms); writes the
+    per-query top-k ``(query_id, doc_id, score_micros)`` table."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        queries = {i: tuple(t.strip() for t in spec.split(",") if t.strip())
+                   for i, spec in enumerate(args.terms)}
+        queries = {i: ts for i, ts in queries.items() if ts}
+        if not queries:
+            print("search: at least one non-empty --terms is required",
+                  file=sys.stderr)
+            return 2
+        from .stages.retrieval import bm25_topk
+        out = bm25_topk(_read_frags(args.input), queries, k=args.k,
+                        text_col=args.text_col, id_col=args.id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"queries": {str(i): list(ts)
+                                      for i, ts in queries.items()},
+                          "rows_out": rows, "output": str(args.output)}))
     finally:
         ray.shutdown()
     return 0
@@ -622,7 +661,13 @@ def main(argv=None) -> int:
     sp.add_argument("input", help="parquet file or directory of fragments")
     sp.add_argument("output", help="output parquet directory")
     sp.add_argument("--mode", default="split",
-                    choices=["split", "stratified", "balance", "shard"])
+                    choices=["split", "stratified", "balance", "shard",
+                             "temperature"])
+    sp.add_argument("--total", type=int, default=1000,
+                    help="temperature: total sample budget")
+    sp.add_argument("--tau", type=float, default=0.7,
+                    help="temperature: flattening exponent (<1 boosts "
+                         "tail groups)")
     sp.add_argument("--n-shards", type=int, default=64,
                     help="shard: deterministic hash-shard count")
     sp.add_argument("--group-col", default="lang")
@@ -683,7 +728,11 @@ def main(argv=None) -> int:
     an.add_argument("output", help="output parquet directory")
     an.add_argument("--mode", default="novelty",
                     choices=["novelty", "lines", "license", "overlap",
-                             "sweep"])
+                             "sweep", "collocations"])
+    an.add_argument("--k-top", type=int, default=50,
+                    help="collocations: bigrams kept")
+    an.add_argument("--min-count", type=int, default=5,
+                    help="collocations: min bigram count")
     an.add_argument("--repo-col", default="source",
                     help="overlap: repo/source grouping column")
     an.add_argument("--n", type=int, default=3, help="token n-gram width")
@@ -701,6 +750,21 @@ def main(argv=None) -> int:
     rx.add_argument("--text-col", default="text")
     rx.add_argument("--num-cpus", type=int, default=8)
     rx.set_defaults(fn=cmd_redact)
+
+    se = sub.add_parser("search",
+                        help="BM25 keyword top-k over the corpus")
+    se.add_argument("input", help="parquet file or directory of fragments")
+    se.add_argument("output", help="output parquet directory")
+    se.add_argument("--terms", action="append", required=True,
+                    metavar="T1,T2,...",
+                    help="one query's comma-separated terms; repeat "
+                         "for multiple queries (query_id = order)")
+    se.add_argument("--k", type=int, default=10,
+                    help="docs kept per query")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--num-cpus", type=int, default=8)
+    se.set_defaults(fn=cmd_search)
 
     ck = sub.add_parser("chunk",
                         help="context-window chunking / FIM transform")

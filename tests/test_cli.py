@@ -619,3 +619,58 @@ def test_cli_analyze_overlap_and_sweep(tmp_path):
     ]).to_pandas()
     assert len(got2) == 9  # 3 len cuts x 3 alpha cuts
     assert (got2["n_docs"] == 3).all()
+
+
+def test_cli_search_sample_temperature_collocations(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(range(12), type=pa.int64()),
+        "lang": ["en"] * 9 + ["sw"] * 3,
+        "source": ["s"] * 12,
+        "text": (["alpha beta gamma"] * 4
+                 + ["beta gamma delta"] * 4
+                 + ["gamma delta alpha"] * 4),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "search"
+    p = _run("search", str(src), str(out), "--terms", "alpha,delta",
+             "--terms", "beta", "--k", "3", "--num-cpus", "4",
+             timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert got.groupby("query_id").size().to_dict() == {0: 3, 1: 3}
+    assert (got["score_micros"] > 0).all()
+
+    # no non-empty query -> exit 2, no output dir contract violated
+    p = _run("search", str(src), str(tmp_path / "none"),
+             "--terms", " , ", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 2
+
+    out2 = tmp_path / "temp"
+    p = _run("sample", str(src), str(out2), "--mode", "temperature",
+             "--total", "6", "--tau", "0.5", "--num-cpus", "4",
+             timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    # quotas: pw = {en: 3, sw: sqrt(3)}; en floor(6*3/4.732)=3,
+    # sw floor(6*1.732/4.732)=2
+    assert got2.groupby("lang").size().to_dict() == {"en": 3, "sw": 2}
+
+    out3 = tmp_path / "coll"
+    p = _run("analyze", str(src), str(out3), "--mode", "collocations",
+             "--k-top", "10", "--min-count", "4", "--num-cpus", "4",
+             timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got3 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out3.rglob("*.parquet"))
+    ]).to_pandas()
+    by = dict(zip(got3["bigram"], got3["bigram_count"]))
+    assert by["beta gamma"] == 8 and by["gamma delta"] == 8
