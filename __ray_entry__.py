@@ -2072,6 +2072,35 @@ def _q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_read(sf_dir, "documents"), k=50, min_count=5)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_funnel(sf_dir: str):
+    """T88: ordered funnel (view → click → purchase, strictly
+    increasing ts, greedy earliest-match ≡ subsequence existence)
+    over the events stream; user-bucket shuffle + K vectorized
+    passes per bucket."""
+    from fast_langdetect_ray.stages.funnel import funnel_counts
+    return funnel_counts(_read(sf_dir, "events"), _FUNNEL_STEPS)
+
+
+def _q_running_user_stats(sf_dir: str):
+    """T89: per-event running (count, fixed-point value sum) per user
+    ordered by (ts, event_id) — grouped prefix sums via one
+    user-bucket shuffle."""
+    from fast_langdetect_ray.stages.timeseries import running_user_stats
+    return running_user_stats(_read(sf_dir, "events"))
+
+
+def _q_inverted_index(sf_dir: str):
+    """T87: materialized inverted index (term, doc_id, tf, df) with
+    df-band vocabulary pruning — one term-hash bucket shuffle, run
+    lengths are exact global df, zero joins."""
+    from fast_langdetect_ray.stages.retrieval import build_inverted_index
+    return build_inverted_index(_read(sf_dir, "documents"),
+                                min_df=5, max_df=400)
+
+
 def _q_temperature_sample(sf_dir: str):
     """T84: temperature-flattened mixture sample (tau=0.7, total=250)
     over lang groups; deterministic hash-rank selection per group."""
@@ -2147,6 +2176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "pmi_bigrams": _q_pmi_bigrams,
         "temperature_sample": _q_temperature_sample,
+        "inverted_index": _q_inverted_index,
+        "event_funnel": _q_funnel,
+        "running_user_stats": _q_running_user_stats,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3336,6 +3368,60 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a CROSS JOIN embeddings b
                 WHERE a.vec_id < {_ANN_NQ}
             ) WHERE rn <= {_ANN_K}
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT term, doc_id,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY term, doc_id),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term)
+            SELECT tf.term, tf.doc_id, tf.tf, df.df
+            FROM tf JOIN df USING (term)
+            WHERE df.df BETWEEN 5 AND 400
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step,
+                   'view' AS event_type,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "running_user_stats": """
+            SELECT event_id, user_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS running_n,
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS running_value_micros
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "temperature_sample": """
             WITH c AS (

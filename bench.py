@@ -104,6 +104,9 @@ HEADLINE = [
     "bm25_topk",
     "pmi_bigrams",
     "temperature_sample",
+    "inverted_index",
+    "event_funnel",
+    "running_user_stats",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Ordered-funnel analysis over an event stream.
+
+The product-analytics staple: how many users performed step 1, then
+step 2 strictly later, then step 3 strictly later still — with each
+step matched GREEDILY at its earliest eligible timestamp.  Greedy
+earliest-match is optimal for subsequence existence, so "user reached
+step k" is exactly "there exist events of types s₁…s_k at strictly
+increasing timestamps" — which is also what the SQL oracle's chained
+min-ts CTEs compute (each CTE takes the earliest event of the next
+type after the previous step's match).
+
+Tie policy: chaining requires STRICTLY increasing ``ts`` — two steps
+can never be satisfied by events sharing a timestamp (deterministic
+without an event-id tiebreak, and identical in both engines).
+
+Scale shape: the corpus projects to ``(user, ts, step)`` rows for the
+funnel's event types only, then ONE user-hash bucket shuffle
+co-locates whole users; each bucket runs the greedy chain for ALL its
+users in K vectorized passes (per step: lexsorted (user, ts) +
+``searchsorted`` against the per-user frontier — Python runs K times
+per bucket, never per user) and emits one ≤K-row count partial; a
+tiny ``groupby(step).Sum`` merges the ≤ K×B partials.  Nothing
+user-cardinality-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def funnel_counts(ds, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  n_buckets: int | None = None):
+    """Per funnel step, the number of users whose event stream
+    contains ``steps[0] … steps[k]`` at strictly increasing ``ts``.
+    Output: ``(step, event_type, n_users)`` — ``step`` is 1-based;
+    ``n_users`` is non-increasing in ``step``."""
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    steps = list(steps)
+    if len(steps) != len(set(steps)):
+        raise ValueError("funnel_counts: steps must be distinct")
+    if not steps:
+        raise ValueError("funnel_counts: at least one step required")
+    nb = int(n_buckets or default_hash_buckets())
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[type_col],
+                        value_set=pa.array(steps, type=pa.string()))
+        m = batch.filter(mask)
+        sidx = pc.index_in(
+            m[type_col],
+            value_set=pa.array(steps, type=pa.string())) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = m[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = m[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(users),
+            "t": pa.array(ts),
+            "s": pa.array(sidx),
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def chain(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        s = g["s"].to_numpy().astype(np.int64)
+        users_u, ucodes = np.unique(u, return_inverse=True)
+        n_users = users_u.size
+        # dense ts ranks so a (user, rank) composite key fits int64
+        # (strict > on actual ts ≡ strict > on ranks, both drawn from
+        # the same distinct sorted domain)
+        t_dom = np.unique(t)
+        rank = np.searchsorted(t_dom, t).astype(np.int64)
+        span = np.int64(t_dom.size + 1)
+        # frontier[c] = ts-RANK of user c's previous-step match
+        # (-1 = chain start; the next step needs rank > frontier)
+        frontier = np.full(n_users, -1, dtype=np.int64)
+        alive = np.ones(n_users, dtype=bool)
+        counts = np.zeros(len(steps), dtype=np.int64)
+        uidx = np.arange(n_users, dtype=np.int64)
+        for k in range(len(steps)):
+            mk = s == k
+            ck, rk = ucodes[mk], rank[mk]
+            key = np.sort(ck.astype(np.int64) * span + rk)
+            ends = np.searchsorted(key, (uidx + 1) * span)
+            # earliest step-k event strictly after the frontier: one
+            # global searchsorted on the composite key — entries of a
+            # LATER user also compare greater, caught by pos < ends
+            pos = np.searchsorted(key, uidx * span + frontier,
+                                  side="right")
+            ok = alive & (pos < ends)
+            frontier[ok] = key[pos[ok]] - uidx[ok] * span
+            alive = ok
+            counts[k] = int(alive.sum())
+            if not alive.any():
+                break
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1,
+                                       dtype=np.int64)),
+            "n": pa.array(counts),
+        })
+
+    counted = (ds.select_columns([user_col, ts_col, type_col])
+               .map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("bucket")
+               .map_groups(chain, batch_format="pyarrow")
+               .groupby("step")
+               .aggregate(Sum("n", alias_name="n_users")))
+
+    def attach_type(batch: pa.Table) -> pa.Table:
+        st = batch["step"].to_numpy().astype(np.int64)
+        return pa.table({
+            "step": pa.array(st),
+            "event_type": pa.array([steps[i - 1] for i in st],
+                                   type=pa.string()),
+            "n_users": pc.cast(batch["n_users"], pa.int64()),
+        })
+
+    return counted.map_batches(attach_type, batch_format="pyarrow",
+                               zero_copy_batch=True)

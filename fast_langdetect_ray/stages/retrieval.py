@@ -161,3 +161,95 @@ def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
             .map_batches(topk_partial, batch_format="pandas")
             .groupby("query_id")
             .map_groups(topk, batch_format="pandas"))
+
+
+def build_inverted_index(ds, min_df: int = 1, max_df: int | None = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int | None = None):
+    """Materialized inverted index: one ``(term, doc_id, tf, df)`` row
+    per posting, with ``min_df``/``max_df`` vocabulary pruning (cut
+    hapaxes below, stopwords above).  The scale path for REPEATED
+    retrieval over a frozen corpus — :func:`bm25_topk` re-scans text
+    per query set; writing this table (partitioned by term-hash
+    bucket) turns each later query into a pruned parquet read.
+
+    Scale shape — ONE term-hash bucket shuffle, zero joins:
+
+    1. each batch tokenizes its docs and folds per-(doc, term) tf in
+       one lexsort/``reduceat`` pass — a doc lives in exactly one
+       batch, so batch postings are globally distinct and exact;
+    2. postings shuffle on ``hash(term) % B`` (``B`` defaults
+       cluster-proportional via ``pools.default_hash_buckets``): a
+       term's postings all land in one bucket, so a sorted run's
+       LENGTH is its exact global df — computed per bucket in one
+       numpy pass, then the df band filter applies inline.  No
+       vocabulary-sized aggregate or join ever forms.
+
+    Tokenizer contract (shared with the oracle): lowercase, split on
+    ``\\s+``, drop empties."""
+    from ..functions.hashing import hash_string_array
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+    lo = int(min_df)
+    hi = int(max_df) if max_df is not None else None
+
+    def postings(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not flat.size:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        # per-(doc, term) tf: dense term codes + lexsort + run lengths
+        terms_u, codes = np.unique(flat, return_inverse=True)
+        o = np.lexsort((codes, parent))
+        c_s, p_s = codes[o], parent[o]
+        first = np.empty(c_s.size, dtype=bool)
+        first[0] = True
+        first[1:] = (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, c_s.size)).astype(np.int64)
+        term_out = terms_u[c_s[starts]]
+        hb = hash_string_array(pa.array(term_out, type=pa.string()))
+        return pa.table({
+            "term": pa.array(term_out, type=pa.string()),
+            id_col: pa.array(ids[p_s[starts]].astype(np.int64)),
+            "tf": pa.array(tf),
+            "bucket": pa.array(
+                (hb % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def df_filter(g: pa.Table) -> pa.Table:
+        terms = np.asarray(g["term"], dtype=object)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        o = np.lexsort((ids, terms))
+        t_s, i_s, f_s = terms[o], ids[o], tf[o]
+        first = np.empty(t_s.size, dtype=bool)
+        if t_s.size:
+            first[0] = True
+            first[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(first)
+        df = np.repeat(
+            np.diff(np.append(starts, t_s.size)),
+            np.diff(np.append(starts, t_s.size))) \
+            if starts.size else np.empty(0, dtype=np.int64)
+        keep = df >= lo
+        if hi is not None:
+            keep &= df <= hi
+        return pa.table({
+            "term": pa.array(t_s[keep], type=pa.string()),
+            id_col: pa.array(i_s[keep]),
+            "tf": pa.array(f_s[keep]),
+            "df": pa.array(df[keep].astype(np.int64)),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(df_filter, batch_format="pyarrow"))

@@ -1,0 +1,91 @@
+"""Per-entity running (prefix) aggregates over an ordered stream.
+
+The feature-engineering staple a training pipeline derives from an
+event log: for every event, the user's cumulative event count and
+cumulative value up to and including that event, ordered by
+``(ts, event_id)`` (the id tiebreak makes the prefix deterministic
+under equal timestamps).
+
+Cross-engine float policy (BASELINE.md): values enter the prefix sum
+as fixed-point **micros** (``floor(value · 1e6 + 0.5)`` int64), so
+the cumulative column is an integer — prefix-sum order can't produce
+engine-dependent float drift, and the oracle's
+``sum(micros) OVER (... ROWS UNBOUNDED PRECEDING)`` hashes exactly.
+
+Scale shape: ONE user-hash bucket shuffle co-locates whole users;
+each bucket computes grouped prefix sums for ALL its users in one
+vectorized pass (lexsort by (user, ts, id), global ``cumsum`` minus
+the per-user segment offset — Python runs once per bucket, never per
+user or per row).  Output is event-sized, produced streaming.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def running_user_stats(ds, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value",
+                       n_buckets: int | None = None):
+    """Per event: ``(event_id, user_id, ts, running_n,
+    running_value_micros)`` — the user's event count and fixed-point
+    value sum over all their events up to this one, ordered by
+    ``(ts, event_id)``."""
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            user_col: pa.array(users),
+            ts_col: batch[ts_col],
+            id_col: batch[id_col],
+            "v6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def prefix(g: pa.Table) -> pa.Table:
+        u = g[user_col].to_numpy().astype(np.int64)
+        tcol = g[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        ts = tcol.cast(pa.int64()).to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
+        v6 = g["v6"].to_numpy().astype(np.int64)
+        o = np.lexsort((ids, ts, u))
+        u_s, v_s = u[o], v6[o]
+        first = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(first)
+        cum = np.cumsum(v_s)
+        # per-user prefix: global cumsum minus the sum before the
+        # user's first row (0 for the first segment)
+        base = np.where(starts > 0, cum[starts - 1], 0) \
+            if starts.size else np.empty(0, dtype=np.int64)
+        run_v = cum - np.repeat(
+            base, np.diff(np.append(starts, u_s.size)))
+        idx = np.arange(u_s.size, dtype=np.int64)
+        run_n = idx - np.repeat(
+            starts, np.diff(np.append(starts, u_s.size))) + 1
+        return pa.table({
+            id_col: pa.array(ids[o]),
+            user_col: pa.array(u_s),
+            ts_col: tcol.take(pa.array(o)),
+            "running_n": pa.array(run_n),
+            "running_value_micros": pa.array(run_v),
+        })
+
+    return (ds.select_columns([user_col, ts_col, id_col, value_col])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(prefix, batch_format="pyarrow"))

@@ -236,3 +236,184 @@ def test_bm25_topk_edges(ray_session):
     import pytest
     with pytest.raises(ValueError):
         bm25_topk(ds, {})
+
+
+# ---------------------------------------------------------------- T87
+
+
+def test_inverted_index_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import build_inverted_index
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    tf = collections.Counter()
+    for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tf.update((tok, i) for tok in _toks(s))
+    df = collections.Counter(term for term, _ in tf)
+    want = {(term, i): (c, df[term]) for (term, i), c in tf.items()
+            if 3 <= df[term] <= 100}
+
+    got = build_inverted_index(rd.from_arrow(t).repartition(4),
+                               min_df=3, max_df=100).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.term, int(r.doc_id))] == (int(r.tf), int(r.df))
+
+    # bucket count never changes results
+    got2 = build_inverted_index(rd.from_arrow(t), min_df=3, max_df=100,
+                                n_buckets=8).to_pandas()
+    key = ["term", "doc_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        got2.sort_values(key).reset_index(drop=True))
+
+
+def test_inverted_index_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import build_inverted_index
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "a c"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "  "},
+    ])
+    got = build_inverted_index(ds, min_df=2).to_pandas() \
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    # only 'a' has df >= 2; tf counts within-doc repeats
+    assert got["term"].tolist() == ["a", "a"]
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["tf"].tolist() == [2, 1]
+    assert got["df"].tolist() == [2, 2]
+
+
+# ---------------------------------------------------------------- T88
+
+
+def _funnel_oracle(rows, steps):
+    per = collections.defaultdict(list)
+    for u, ts, et in rows:
+        if et in steps:
+            per[u].append((ts, et))
+    counts = [0] * len(steps)
+    for u, evs in per.items():
+        evs.sort()
+        cur = None
+        k = 0
+        for ts, et in evs:
+            if k < len(steps) and et == steps[k] and \
+                    (cur is None or ts > cur):
+                cur = ts
+                k += 1
+        # single-pass earliest-match greedy == subsequence existence
+        for j in range(k):
+            counts[j] += 1
+    return counts
+
+
+def test_funnel_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_counts
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    rows = list(zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+                    t["event_type"].to_pylist()))
+    steps = ("view", "click", "purchase")
+    want = _funnel_oracle(rows, steps)
+
+    got = funnel_counts(rd.from_arrow(
+        pq.read_table("/root/testdata/sf0.001/events.parquet"))
+        .repartition(4), steps).to_pandas().sort_values("step")
+    assert got["n_users"].tolist() == want
+    assert got["event_type"].tolist() == list(steps)
+    # funnel is monotone non-increasing
+    assert all(a >= b for a, b in zip(want, want[1:]))
+
+    # bucket count never changes results
+    got2 = funnel_counts(rd.from_arrow(
+        pq.read_table("/root/testdata/sf0.001/events.parquet")),
+        steps, n_buckets=4).to_pandas().sort_values("step")
+    assert got2["n_users"].tolist() == want
+
+
+def test_funnel_strict_ts_and_validation(ray_session):
+    import datetime
+
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_counts
+
+    t0 = datetime.datetime(2026, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    ds = rd.from_items([
+        # user 1: A and B at the SAME ts -> B cannot chain after A
+        {"user_id": 1, "ts": t0, "event_type": "A"},
+        {"user_id": 1, "ts": t0, "event_type": "B"},
+        # user 2: proper A < B
+        {"user_id": 2, "ts": t0, "event_type": "A"},
+        {"user_id": 2, "ts": t0 + sec, "event_type": "B"},
+        # user 3: B before A only
+        {"user_id": 3, "ts": t0, "event_type": "B"},
+        {"user_id": 3, "ts": t0 + sec, "event_type": "A"},
+    ])
+    got = funnel_counts(ds, ("A", "B")).to_pandas().sort_values("step")
+    assert got["n_users"].tolist() == [3, 1]
+
+    with pytest.raises(ValueError):
+        funnel_counts(ds, ())
+    with pytest.raises(ValueError):
+        funnel_counts(ds, ("A", "A"))
+
+
+# ---------------------------------------------------------------- T89
+
+
+def test_running_user_stats_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import running_user_stats
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    rows = sorted(zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+                      t["event_id"].to_pylist(),
+                      t["value"].to_pylist()))
+    want = {}
+    run_v = collections.Counter()
+    run_n = collections.Counter()
+    for u, ts, eid, v in rows:
+        run_v[u] += int(math.floor(v * 1e6 + 0.5))
+        run_n[u] += 1
+        want[eid] = (u, run_n[u], run_v[u])
+
+    got = running_user_stats(rd.from_arrow(t).repartition(5)) \
+        .to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        u, n, v = want[int(r.event_id)]
+        assert (int(r.user_id), int(r.running_n),
+                int(r.running_value_micros)) == (u, n, v)
+
+
+def test_running_user_stats_tie_order(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import running_user_stats
+
+    t0 = datetime.datetime(2026, 1, 1)
+    # same user, same ts: event_id breaks the tie deterministically
+    ds = rd.from_items([
+        {"event_id": 20, "user_id": 1, "ts": t0, "value": 2.0},
+        {"event_id": 10, "user_id": 1, "ts": t0, "value": 1.0},
+    ])
+    got = running_user_stats(ds).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["running_n"].tolist() == [1, 2]
+    assert got["running_value_micros"].tolist() == [1_000_000,
+                                                    3_000_000]
