@@ -2101,6 +2101,15 @@ def _q_inverted_index(sf_dir: str):
                                 min_df=5, max_df=400)
 
 
+def _q_cohort_retention(sf_dir: str):
+    """T90: weekly cohort retention (cohort = epoch-week of a user's
+    first event; count distinct cohort users active k weeks later) —
+    distinct (user, week) pairs per batch, one user-bucket shuffle,
+    cell-sized partials, tiny Sum."""
+    from fast_langdetect_ray.stages.timeseries import cohort_retention
+    return cohort_retention(_read(sf_dir, "events"))
+
+
 def _q_temperature_sample(sf_dir: str):
     """T84: temperature-flattened mixture sample (tau=0.7, total=250)
     over lang groups; deterministic hash-rank selection per group."""
@@ -2179,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "event_funnel": _q_funnel,
         "running_user_stats": _q_running_user_stats,
+        "cohort_retention": _q_cohort_retention,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3412,6 +3422,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "cohort_retention": """
+            WITH up AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS p
+              FROM events
+            ),
+            firstp AS (
+              SELECT user_id, min(p) AS fp FROM up GROUP BY user_id
+            )
+            SELECT f.fp AS cohort_period,
+                   u.p - f.fp AS period_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM up u JOIN firstp f USING (user_id)
+            GROUP BY 1, 2
         """,
         "running_user_stats": """
             SELECT event_id, user_id, ts,

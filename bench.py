@@ -107,6 +107,7 @@ HEADLINE = [
     "inverted_index",
     "event_funnel",
     "running_user_stats",
+    "cohort_retention",
 ]
 
 

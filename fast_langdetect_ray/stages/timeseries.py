@@ -89,3 +89,94 @@ def running_user_stats(ds, user_col: str = "user_id",
                          zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(prefix, batch_format="pyarrow"))
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     period_us: int = _WEEK_US,
+                     n_buckets: int | None = None):
+    """Cohort retention table: a user's cohort is the period (default
+    epoch week, ``floor(epoch_us / period_us)`` — pure integer
+    arithmetic, engine-neutral) of their FIRST event; each output row
+    counts that cohort's distinct users active ``period_offset``
+    periods later.  Output: ``(cohort_period, period_offset,
+    n_users)``; offset 0 rows count each full cohort.
+
+    Scale shape: per batch the event stream collapses to distinct
+    ``(user, period)`` pairs (lexsort dedup — events never leave the
+    batch), ONE user-hash bucket shuffle co-locates each user's ≤
+    #periods pairs, each bucket folds first-period + offsets in one
+    vectorized pass into ``(cohort, offset, partial_count)`` rows
+    (cells × buckets sized), and a tiny ``groupby.Sum`` finishes —
+    per-cell partials are exact because a user lives in one bucket."""
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+    pus = np.int64(period_us)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tcol = batch[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        # normalize the unit BEFORE integer division — a ns-unit
+        # source (e.g. pandas-born timestamps) would otherwise land
+        # every event in period ~0
+        p = tcol.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // pus
+        o = np.lexsort((p, users))
+        u_s, p_s = users[o], p[o]
+        first = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            first[0] = True
+            first[1:] = (u_s[1:] != u_s[:-1]) | (p_s[1:] != p_s[:-1])
+        u_d, p_d = u_s[first], p_s[first]
+        return pa.table({
+            "u": pa.array(u_d),
+            "p": pa.array(p_d),
+            "bucket": pa.array((u_d.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        p = g["p"].to_numpy().astype(np.int64)
+        o = np.lexsort((p, u))
+        u_s, p_s = u[o], p[o]
+        # cross-batch dedup of (user, period) pairs, then per-user
+        # first period via segment starts
+        keep = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            keep[0] = True
+            keep[1:] = (u_s[1:] != u_s[:-1]) | (p_s[1:] != p_s[:-1])
+        u_s, p_s = u_s[keep], p_s[keep]
+        first = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, u_s.size))
+        cohort = np.repeat(p_s[starts], seglen)
+        offset = p_s - cohort
+        cells, counts = np.unique(
+            np.stack([cohort, offset]), axis=1, return_counts=True) \
+            if cohort.size else (np.empty((2, 0), dtype=np.int64),
+                                 np.empty(0, dtype=np.int64))
+        return pa.table({
+            "cohort_period": pa.array(cells[0]),
+            "period_offset": pa.array(cells[1]),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return (ds.select_columns([user_col, ts_col])
+            .map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .groupby(["cohort_period", "period_offset"])
+            .aggregate(Sum("n", alias_name="n_users")))

@@ -417,3 +417,63 @@ def test_running_user_stats_tie_order(ray_session):
     assert got["running_n"].tolist() == [1, 2]
     assert got["running_value_micros"].tolist() == [1_000_000,
                                                     3_000_000]
+
+
+# ---------------------------------------------------------------- T90
+
+
+def test_cohort_retention_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import cohort_retention
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id", "ts"])
+    week = 7 * 86_400 * 1_000_000
+    per_user = collections.defaultdict(set)
+    for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist()):
+        p = int(ts.timestamp() * 1e6) // week
+        per_user[u].add(p)
+    want = collections.Counter()
+    for u, ps in per_user.items():
+        fp = min(ps)
+        for p in ps:
+            want[(fp, p - fp)] += 1
+
+    got = cohort_retention(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert {(int(r.cohort_period), int(r.period_offset)):
+            int(r.n_users) for r in got.itertuples()} == dict(want)
+    # offset-0 cells count each full cohort exactly once per user
+    z = got[got["period_offset"] == 0]
+    assert int(z["n_users"].sum()) == len(per_user)
+
+    # bucket count never changes results
+    got2 = cohort_retention(rd.from_arrow(t), n_buckets=4).to_pandas()
+    key = ["cohort_period", "period_offset"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        got2.sort_values(key).reset_index(drop=True))
+
+
+def test_cohort_retention_edges(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import cohort_retention
+
+    day = datetime.timedelta(days=1)
+    t0 = datetime.datetime(2026, 1, 8)  # epoch week boundary safety
+    ds = rd.from_items([
+        # user 1 active in its cohort week and 2 weeks later (twice)
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": t0 + 14 * day},
+        {"user_id": 1, "ts": t0 + 14 * day + day},
+        # user 2 active only once
+        {"user_id": 2, "ts": t0 + 7 * day},
+    ])
+    got = cohort_retention(ds).to_pandas()
+    cells = {(int(r.cohort_period), int(r.period_offset)):
+             int(r.n_users) for r in got.itertuples()}
+    offsets = {(c - min(k[0] for k in cells), o): n
+               for (c, o), n in cells.items()}
+    assert offsets == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
