@@ -2101,6 +2101,19 @@ def _q_inverted_index(sf_dir: str):
                                 min_df=5, max_df=400)
 
 
+def _q_bm25_from_index(sf_dir: str):
+    """T87b: BM25 top-10 scored FROM the materialized unpruned index
+    + doc-length side table (no text re-scan) — equals `bm25_topk`
+    exactly, via an independent code path (index join + associative
+    micros Sum instead of doc-local scoring)."""
+    from fast_langdetect_ray.stages.retrieval import (
+        bm25_topk_from_index, build_inverted_index, doc_lengths)
+    docs = _read(sf_dir, "documents")
+    idx = build_inverted_index(docs, min_df=1)
+    return bm25_topk_from_index(idx, doc_lengths(docs),
+                                _BM25_QUERIES, k=10)
+
+
 def _q_cohort_retention(sf_dir: str):
     """T90: weekly cohort retention (cohort = epoch-week of a user's
     first event; count distinct cohort users active k weeks later) —
@@ -2189,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_funnel,
         "running_user_stats": _q_running_user_stats,
         "cohort_retention": _q_cohort_retention,
+        "bm25_from_index": _q_bm25_from_index,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -2367,7 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         for i, h in enumerate(_SPDX_PLANTS))
     _k = "CAST(doc_id - (doc_id % 10) AS VARCHAR)"
     xc_tpl = " || ' ' || ".join(f"'{w}' || {_k}" for w in _XC_WORDS)
-    return {
+    sqls = {
         "hash_split_assign": """
             SELECT doc_id,
                    CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
@@ -3559,3 +3573,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10
         """,
     }
+    # T87b queries the UNPRUNED materialized index, which is
+    # definitionally equivalent to scanning text — same oracle.
+    sqls["bm25_from_index"] = sqls["bm25_topk"]
+    return sqls

@@ -108,6 +108,7 @@ HEADLINE = [
     "event_funnel",
     "running_user_stats",
     "cohort_retention",
+    "bm25_from_index",
 ]
 
 

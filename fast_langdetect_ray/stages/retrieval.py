@@ -253,3 +253,127 @@ def build_inverted_index(ds, min_df: int = 1, max_df: int | None = None,
                          zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(df_filter, batch_format="pyarrow"))
+
+
+def doc_lengths(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token count ``(doc_id, n_tokens)`` under the shared
+    tokenizer contract — the side table :func:`bm25_topk_from_index`
+    needs next to the postings (stateless, one pruned pass)."""
+    def lengths(batch: pa.Table) -> pa.Table:
+        flat, parent = _tokens(batch[text_col])
+        n = len(batch)
+        dl = np.bincount(parent, minlength=n).astype(np.int64) \
+            if flat.size else np.zeros(n, dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": pa.array(dl)})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(lengths, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def bm25_topk_from_index(postings, lengths,
+                         queries: Dict[int, Sequence[str]],
+                         k: int = 10, id_col: str = "doc_id",
+                         num_buckets: int | None = None):
+    """BM25 top-``k`` from a MATERIALIZED index — the repeated-query
+    scale path: :func:`bm25_topk` re-tokenizes the corpus per query
+    set, this scores from :func:`build_inverted_index` output (plus
+    the :func:`doc_lengths` side table) without touching text.
+
+    With an unpruned index (``min_df=1``, ``max_df=None``) the result
+    equals :func:`bm25_topk` exactly (same fixed-point micros
+    expression, same ``df`` — the index stores the exact global df);
+    a df-band-pruned index simply scores the surviving vocabulary.
+
+    Scale shape: corpus stats reduce to 2 numbers (one tiny aggregate
+    over ``lengths``); postings filter to the query vocabulary
+    (df-bounded rows); ONE doc-hash bucket join attaches ``n_tokens``;
+    per-(query, doc) int64 micros Sum (associative-exact, so posting
+    placement never matters); lossless per-batch top-k finishes."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.shufflejoin import hash_bucket_join
+
+    qterms = {int(q): tuple(dict.fromkeys(t.lower() for t in ts))
+              for q, ts in queries.items()}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    if not terms:
+        raise ValueError("bm25_topk_from_index: empty query set")
+
+    stats = lengths.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([len(b)], type=pa.int64()),
+            "tok": pa.array([int(np.asarray(b["n_tokens"]).sum())],
+                            type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("tok", alias_name="tok"))  # 2 numbers
+    n_docs = int(stats["n"])
+    avgdl = float(stats["tok"]) / float(n_docs)
+
+    term_set = pa.array(terms, type=pa.string())
+    filtered = postings.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=term_set)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    len_schema = pa.schema([pa.field(id_col, pa.int64()),
+                            pa.field("n_tokens", pa.int64())])
+    joined = hash_bucket_join(filtered, lengths, on=(id_col,),
+                              join_type="inner",
+                              num_buckets=num_buckets,
+                              right_schema=len_schema)
+    qref = ray.put(qterms)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qterms_s = ray.get(qref)
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        df = batch["df"].to_numpy().astype(np.float64)
+        dl = batch["n_tokens"].to_numpy().astype(np.float64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        tstr = np.asarray(batch["term"], dtype=object)
+        nd = float(n_docs)
+        idf = np.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+        micros = np.floor(
+            idf * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            * 1e6 + 0.5).astype(np.int64)
+        q_out, id_out, m_out = [], [], []
+        for q, ts in qterms_s.items():
+            sel = np.isin(tstr, list(ts))
+            if sel.any():
+                q_out.append(np.full(int(sel.sum()), q, dtype=np.int64))
+                id_out.append(ids[sel])
+                m_out.append(micros[sel])
+        if not q_out:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "m": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(q_out)),
+            id_col: pa.array(np.concatenate(id_out)),
+            "m": pa.array(np.concatenate(m_out)),
+        })
+
+    def topk_partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        return (b.sort_values(["score_micros", id_col],
+                              ascending=[False, True])
+                .groupby("query_id", sort=False).head(k))
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.sort_values(["score_micros", id_col],
+                              ascending=[False, True]).head(k))
+
+    return (joined
+            .map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["query_id", id_col])
+            .aggregate(Sum("m", alias_name="score_micros"))
+            .map_batches(topk_partial, batch_format="pandas")
+            .groupby("query_id")
+            .map_groups(topk, batch_format="pandas"))

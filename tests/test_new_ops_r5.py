@@ -1,7 +1,9 @@
 """Round-5 operators: T84 temperature-flattened mixture sampling
 (quota math + hash-rank oracle), T85 PMI bigram collocations
 (brute-force counter oracle), T86 BM25 top-k retrieval (pure-Python
-scorer oracle).  All checked on sf0.001 plus small synthetic edges."""
+scorer oracle), T87 inverted-index build, T88 ordered funnel
+analysis, T89 per-user running aggregates, T90 cohort retention.
+All checked on sf0.001 plus small synthetic edges."""
 
 import collections
 import hashlib
@@ -477,3 +479,65 @@ def test_cohort_retention_edges(ray_session):
     offsets = {(c - min(k[0] for k in cells), o): n
                for (c, o), n in cells.items()}
     assert offsets == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+# --------------------------------------------------------------- T87b
+
+
+def test_bm25_from_index_equals_scan(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import (
+        bm25_topk, bm25_topk_from_index, build_inverted_index,
+        doc_lengths)
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = rd.from_arrow(t).repartition(4)
+    queries = {0: ("hash", "join"), 1: ("customer", "scan")}
+
+    scan = bm25_topk(docs, queries, k=8).to_pandas() \
+        .sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    idx = build_inverted_index(docs, min_df=1)
+    from_idx = bm25_topk_from_index(idx, doc_lengths(docs), queries,
+                                    k=8).to_pandas() \
+        .sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert scan[["query_id", "doc_id", "score_micros"]].equals(
+        from_idx[["query_id", "doc_id", "score_micros"]])
+
+
+def test_bm25_from_index_pruned_band(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import (
+        bm25_topk_from_index, build_inverted_index, doc_lengths)
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "rare common common"},
+        {"doc_id": 2, "text": "common word"},
+        {"doc_id": 3, "text": "common word word"},
+    ])
+    # min_df=2 drops 'rare' from the vocabulary entirely
+    idx = build_inverted_index(docs, min_df=2)
+    got = bm25_topk_from_index(idx, doc_lengths(docs),
+                               {0: ("rare",), 1: ("word",)},
+                               k=5).to_pandas()
+    assert set(got["query_id"]) == {1}
+    assert set(got["doc_id"]) == {2, 3}
+    with pytest.raises(ValueError):
+        bm25_topk_from_index(idx, doc_lengths(docs), {})
+
+
+def test_doc_lengths(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import doc_lengths
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a b  c"},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": " "},
+    ])
+    got = doc_lengths(ds).to_pandas().sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [3, 0, 0]
