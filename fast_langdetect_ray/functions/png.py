@@ -153,6 +153,8 @@ def split_concatenated_pngs(payload: bytes) -> list:
             length = int.from_bytes(payload[pos2:pos2 + 4], "big")
             ctype = payload[pos2 + 4:pos2 + 8]
             pos2 += 12 + length          # len + type + data + crc
+            if pos2 > n:                 # chunk data overruns payload
+                raise ValueError("truncated PNG chunk")
             if ctype == b"IEND":
                 break
         frames.append(payload[start:pos2])

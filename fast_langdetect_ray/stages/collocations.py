@@ -32,17 +32,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _token_lists(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_null(col.type):  # all-None block arrives untyped
-        col = col.cast(pa.string())
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
-    # drop empty strings ('' only appears from leading/trailing ws)
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, "")
-    return flat.filter(keep), np.asarray(parent.filter(keep))
+# the ONE shared tokenizer implementation (retrieval.py owns it) —
+# the contract is also encoded in every SQL oracle twin
+from .retrieval import _arrow_tokens as _token_lists  # noqa: E402
 
 
 def pmi_bigrams(ds, k: int = 50, min_count: int = 5,

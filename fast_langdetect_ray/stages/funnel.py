@@ -118,6 +118,18 @@ def funnel_counts(ds, steps: Sequence[str],
                .groupby("step")
                .aggregate(Sum("n", alias_name="n_users")))
 
+    # a step with no matching events anywhere forms no group above —
+    # union a 0-count row per step so the output always has K rows
+    # (the documented contract and the SQL oracle's UNION ALL shape);
+    # the zero side is K tiny rows, the Sum re-merge is step-sized
+    import ray.data as rd
+    zeros = rd.from_arrow(pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "n_users": pa.array(np.zeros(len(steps), dtype=np.int64)),
+    }))
+    counted = (counted.union(zeros).groupby("step")
+               .aggregate(Sum("n_users", alias_name="n_users")))
+
     def attach_type(batch: pa.Table) -> pa.Table:
         st = batch["step"].to_numpy().astype(np.int64)
         return pa.table({

@@ -41,7 +41,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _tokens(col) -> tuple:
+def _arrow_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Shared tokenizer contract (lowercase, split ``\\s+``, drop
+    empties) as ``(flat token Array, parent-row indices)`` — the ONE
+    implementation behind every retrieval/collocation operator and
+    their SQL oracles."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_null(col.type):  # all-None block arrives untyped
@@ -50,8 +54,35 @@ def _tokens(col) -> tuple:
     flat = pc.list_flatten(lists)
     parent = pc.list_parent_indices(lists)
     keep = pc.not_equal(flat, "")
-    return (np.asarray(flat.filter(keep), dtype=object),
-            np.asarray(parent.filter(keep)))
+    return flat.filter(keep), np.asarray(parent.filter(keep))
+
+
+def _tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    flat, parent = _arrow_tokens(col)
+    return np.asarray(flat, dtype=object), parent
+
+
+def _make_topk(k: int, id_col: str):
+    """Batch-local and per-group top-``k`` closures (highest
+    score_micros, id ascending on ties) shared by both BM25 paths."""
+    def topk_partial(b):
+        return (b.sort_values(["score_micros", id_col],
+                              ascending=[False, True])
+                .groupby("query_id", sort=False).head(k))
+
+    def topk(g):
+        return (g.sort_values(["score_micros", id_col],
+                              ascending=[False, True]).head(k))
+
+    return topk_partial, topk
+
+
+def _validate_terms(terms, fn_name: str) -> None:
+    if not terms:
+        raise ValueError(f"{fn_name}: empty query set")
+    if any("\x00" in t for t in terms):
+        raise ValueError(f"{fn_name}: query terms must not contain "
+                         "\\x00 (reserved stats key)")
 
 
 def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
@@ -67,8 +98,7 @@ def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
     qterms = {int(q): tuple(dict.fromkeys(t.lower() for t in ts))
               for q, ts in queries.items()}
     terms = sorted({t for ts in qterms.values() for t in ts})
-    if not terms:
-        raise ValueError("bm25_topk: empty query set")
+    _validate_terms(terms, "bm25_topk")
     term_idx = {t: i for i, t in enumerate(terms)}
     n_docs = ds.count()
 
@@ -117,7 +147,10 @@ def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
             if hits.size:
                 tf[:, j] += np.bincount(hits, minlength=n)
         denom_dl = 1.2 * (0.25 + 0.75 * dl / avgdl)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        id_arr = batch[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        ids = id_arr.to_numpy(zero_copy_only=False)
         q_out, id_out, s_out = [], [], []
         for q, ts in qterms_s.items():
             cols = [tidx_s[t] for t in ts]
@@ -135,9 +168,12 @@ def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
             id_out.append(ids[matched])
             s_out.append(s)
         if not q_out:
+            # empty head must carry the SOURCE id dtype, not a
+            # hardcoded int64 — string/int32 id corpora otherwise
+            # produce mixed block schemas downstream
             return pa.table({
                 "query_id": pa.array([], type=pa.int64()),
-                id_col: pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=id_arr.type),
                 "score_micros": pa.array([], type=pa.int64()),
             })
         return pa.table({
@@ -146,15 +182,7 @@ def bm25_topk(ds, queries: Dict[int, Sequence[str]], k: int = 10,
             "score_micros": pa.array(np.concatenate(s_out)),
         })
 
-    def topk_partial(b: "pd.DataFrame") -> "pd.DataFrame":
-        return (b.sort_values(["score_micros", id_col],
-                              ascending=[False, True])
-                .groupby("query_id", sort=False).head(k))
-
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        return (g.sort_values(["score_micros", id_col],
-                              ascending=[False, True]).head(k))
-
+    topk_partial, topk = _make_topk(k, id_col)
     return (ds.select_columns([id_col, text_col])
             .map_batches(score_batch, batch_format="pyarrow",
                          zero_copy_batch=True)
@@ -302,9 +330,13 @@ def bm25_topk_from_index(postings, lengths,
     qterms = {int(q): tuple(dict.fromkeys(t.lower() for t in ts))
               for q, ts in queries.items()}
     terms = sorted({t for ts in qterms.values() for t in ts})
-    if not terms:
-        raise ValueError("bm25_topk_from_index: empty query set")
+    _validate_terms(terms, "bm25_topk_from_index")
 
+    # lengths is consumed TWICE (stats aggregate + join side);
+    # materialize so a lazy doc_lengths(ds) lineage doesn't
+    # re-tokenize the corpus on the second pass — the pinned table
+    # is 16 bytes/doc, the smallest corpus-cardinality artifact here
+    lengths = lengths.materialize()
     stats = lengths.map_batches(
         lambda b: pa.table({
             "n": pa.array([len(b)], type=pa.int64()),
@@ -360,15 +392,7 @@ def bm25_topk_from_index(postings, lengths,
             "m": pa.array(np.concatenate(m_out)),
         })
 
-    def topk_partial(b: "pd.DataFrame") -> "pd.DataFrame":
-        return (b.sort_values(["score_micros", id_col],
-                              ascending=[False, True])
-                .groupby("query_id", sort=False).head(k))
-
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        return (g.sort_values(["score_micros", id_col],
-                              ascending=[False, True]).head(k))
-
+    topk_partial, topk = _make_topk(k, id_col)
     return (joined
             .map_batches(score, batch_format="pyarrow",
                          zero_copy_batch=True)

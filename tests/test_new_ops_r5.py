@@ -541,3 +541,72 @@ def test_doc_lengths(ray_session):
     ])
     got = doc_lengths(ds).to_pandas().sort_values("doc_id")
     assert got["n_tokens"].tolist() == [3, 0, 0]
+
+
+# -------------------------------------------------- review-fix guards
+
+
+def test_funnel_no_matching_events_emits_zero_rows(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_counts
+
+    ds = rd.from_items([
+        {"user_id": 1, "ts": datetime.datetime(2026, 1, 1),
+         "event_type": "other"},
+    ])
+    got = funnel_counts(ds, ("view", "click")).to_pandas() \
+        .sort_values("step")
+    assert got["step"].tolist() == [1, 2]
+    assert got["n_users"].tolist() == [0, 0]
+    assert got["event_type"].tolist() == ["view", "click"]
+
+
+def test_bm25_rejects_reserved_nul_term(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import (
+        bm25_topk, bm25_topk_from_index, build_inverted_index,
+        doc_lengths)
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a"}])
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_topk(ds, {0: ("\x00len",)})
+    idx = build_inverted_index(ds)
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_topk_from_index(idx, doc_lengths(ds), {0: ("a\x00b",)})
+
+
+def test_bm25_string_ids_with_empty_batches(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.retrieval import bm25_topk
+
+    # many partitions -> some batches match nothing; the empty head
+    # must carry the STRING id dtype or the union breaks
+    ds = rd.from_items([
+        {"doc_id": f"d{i:03d}",
+         "text": "needle haystack" if i == 7 else "haystack only"}
+        for i in range(20)
+    ]).repartition(10)
+    got = bm25_topk(ds, {0: ("needle",)}, k=3).to_pandas()
+    assert got["doc_id"].tolist() == ["d007"]
+    assert (got["score_micros"] > 0).all()
+
+
+def test_split_concatenated_pngs_rejects_overrunning_iend():
+    import pytest
+
+    from fast_langdetect_ray.functions.png import (
+        encode_png, split_concatenated_pngs)
+
+    png = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert split_concatenated_pngs(png + png) == [png, png]
+    # corrupt the IEND length field (normally 0) to overrun the buffer
+    iend_at = png.rindex(b"IEND") - 4
+    bad = png[:iend_at] + (9999).to_bytes(4, "big") + png[iend_at + 4:]
+    with pytest.raises(ValueError, match="truncated"):
+        split_concatenated_pngs(bad)
