@@ -390,6 +390,43 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_events(args: argparse.Namespace) -> int:
+    """Event-stream analytics over a parquet log: ``funnel`` counts
+    users through ordered --steps, ``retention`` builds the weekly
+    cohort table, ``running`` appends per-user prefix aggregates."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        ds = _read_frags(args.input)
+        if args.mode == "funnel":
+            from .stages.funnel import funnel_counts
+            steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+            out = funnel_counts(ds, steps, user_col=args.user_col,
+                                ts_col=args.ts_col,
+                                type_col=args.type_col)
+        elif args.mode == "retention":
+            from .stages.timeseries import cohort_retention
+            out = cohort_retention(ds, user_col=args.user_col,
+                                   ts_col=args.ts_col,
+                                   period_us=args.period_hours
+                                   * 3_600_000_000)
+        else:
+            from .stages.timeseries import running_user_stats
+            out = running_user_stats(ds, user_col=args.user_col,
+                                     ts_col=args.ts_col,
+                                     id_col=args.event_id_col)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in Path(args.output).rglob("*.parquet"))
+        print(json.dumps({"mode": args.mode, "rows_out": rows,
+                          "output": str(args.output)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """BM25 keyword search over a parquet corpus: each ``--terms``
     occurrence is one query (comma-separated terms); writes the
@@ -750,6 +787,25 @@ def main(argv=None) -> int:
     rx.add_argument("--text-col", default="text")
     rx.add_argument("--num-cpus", type=int, default=8)
     rx.set_defaults(fn=cmd_redact)
+
+    ev = sub.add_parser("events",
+                        help="funnel / cohort-retention / running "
+                             "aggregates over an event log")
+    ev.add_argument("input", help="parquet file or directory of fragments")
+    ev.add_argument("output", help="output parquet directory")
+    ev.add_argument("--mode", default="funnel",
+                    choices=["funnel", "retention", "running"])
+    ev.add_argument("--steps", default="view,click,purchase",
+                    help="funnel: ordered comma-separated event types")
+    ev.add_argument("--period-hours", type=int, default=168,
+                    help="retention: cohort period length (default "
+                         "one week)")
+    ev.add_argument("--user-col", default="user_id")
+    ev.add_argument("--ts-col", default="ts")
+    ev.add_argument("--type-col", default="event_type")
+    ev.add_argument("--event-id-col", default="event_id")
+    ev.add_argument("--num-cpus", type=int, default=8)
+    ev.set_defaults(fn=cmd_events)
 
     se = sub.add_parser("search",
                         help="BM25 keyword top-k over the corpus")

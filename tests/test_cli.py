@@ -674,3 +674,55 @@ def test_cli_search_sample_temperature_collocations(tmp_path):
     ]).to_pandas()
     by = dict(zip(got3["bigram"], got3["bigram_count"]))
     assert by["beta gamma"] == 8 and by["gamma delta"] == 8
+
+
+def test_cli_events_funnel_retention_running(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2026, 1, 8)
+    hour = datetime.timedelta(hours=1)
+    t = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([t0, t0 + hour, t0 + 2 * hour,
+                        t0, t0 + hour], type=pa.timestamp("us")),
+        "event_type": ["view", "click", "purchase", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "funnel"
+    p = _run("events", str(src), str(out), "--mode", "funnel",
+             "--steps", "view,click,purchase", "--num-cpus", "4",
+             timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("step")
+    assert got["n_users"].tolist() == [2, 1, 1]
+
+    out2 = tmp_path / "ret"
+    p = _run("events", str(src), str(out2), "--mode", "retention",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    # both users' first week is the same single cohort cell
+    assert got2["period_offset"].tolist() == [0]
+    assert got2["n_users"].tolist() == [2]
+
+    out3 = tmp_path / "run"
+    p = _run("events", str(src), str(out3), "--mode", "running",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got3 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out3.rglob("*.parquet"))
+    ]).to_pandas().sort_values("event_id")
+    assert got3["running_n"].tolist() == [1, 2, 3, 1, 2]
+    assert got3["running_value_micros"].tolist() == [
+        1_000_000, 3_000_000, 6_000_000, 4_000_000, 9_000_000]
