@@ -610,3 +610,105 @@ def test_split_concatenated_pngs_rejects_overrunning_iend():
     bad = png[:iend_at] + (9999).to_bytes(4, "big") + png[iend_at + 4:]
     with pytest.raises(ValueError, match="truncated"):
         split_concatenated_pngs(bad)
+
+
+# ------------------------------------------------- hypothesis fuzz
+
+import datetime as _dt
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_T0 = _dt.datetime(2026, 1, 5)
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),      # user
+              st.integers(min_value=0, max_value=20),     # hour offset
+              st.sampled_from(["A", "B", "C", "x"])),     # type
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_EVENTS)
+def test_fuzz_funnel_vs_oracle(ray_session, events):
+    """Random streams incl. same-ts ties and off-funnel noise: the
+    distributed greedy chain equals the pure-Python subsequence
+    oracle at every step."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_counts
+
+    rows = [(u, _T0 + _dt.timedelta(hours=h), et)
+            for u, h, et in events]
+    steps = ("A", "B", "C")
+    want = _funnel_oracle(rows, steps)
+    ds = rd.from_items([
+        {"user_id": u, "ts": ts, "event_type": et}
+        for u, ts, et in rows]).repartition(3)
+    got = funnel_counts(ds, steps, n_buckets=2).to_pandas() \
+        .sort_values("step")
+    assert got["n_users"].tolist() == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=3),
+                          st.integers(min_value=0, max_value=10),
+                          st.floats(min_value=-5, max_value=5,
+                                    allow_nan=False)),
+                min_size=1, max_size=20))
+def test_fuzz_running_stats_vs_oracle(ray_session, events):
+    """Random (user, ts, value) streams incl. equal timestamps: the
+    distributed prefix sums equal the sequential (ts, event_id)-sorted
+    oracle exactly (fixed-point micros)."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import running_user_stats
+
+    rows = [(u, _T0 + _dt.timedelta(hours=h), i, v)
+            for i, (u, h, v) in enumerate(events)]
+    want = {}
+    run_v, run_n = collections.Counter(), collections.Counter()
+    for u, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        run_v[u] += int(math.floor(v * 1e6 + 0.5))
+        run_n[u] += 1
+        want[eid] = (run_n[u], run_v[u])
+
+    ds = rd.from_items([
+        {"user_id": u, "ts": ts, "event_id": i, "value": v}
+        for u, ts, i, v in rows]).repartition(3)
+    got = running_user_stats(ds, n_buckets=2).to_pandas()
+    assert {int(r.event_id): (int(r.running_n),
+                              int(r.running_value_micros))
+            for r in got.itertuples()} == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=4),
+                          st.integers(min_value=0, max_value=40)),
+                min_size=1, max_size=20))
+def test_fuzz_cohort_retention_vs_oracle(ray_session, events):
+    """Random (user, day) activity: distributed cohort cells equal the
+    pure-Python first-week/offset fold."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import cohort_retention
+
+    week = 7 * 86_400 * 1_000_000
+    rows = [(u, _T0 + _dt.timedelta(days=d)) for u, d in events]
+    per = collections.defaultdict(set)
+    for u, ts in rows:
+        per[u].add(int(ts.timestamp() * 1e6) // week)
+    want = collections.Counter()
+    for u, ps in per.items():
+        fp = min(ps)
+        for p in ps:
+            want[(fp, p - fp)] += 1
+
+    ds = rd.from_items([
+        {"user_id": u, "ts": ts} for u, ts in rows]).repartition(3)
+    got = cohort_retention(ds, n_buckets=2).to_pandas()
+    assert {(int(r.cohort_period), int(r.period_offset)):
+            int(r.n_users) for r in got.itertuples()} == dict(want)
