@@ -2072,6 +2072,16 @@ def _q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_read(sf_dir, "documents"), k=50, min_count=5)
 
 
+def _q_pmi_window(sf_dir: str):
+    """T85b: top-50 skip-gram co-occurrence pairs (window ±3 forward,
+    distances 1..3) by PMI — the word2vec-style windowed variant of
+    T85, same wordcount shape (pair emission is 3 shifted compares
+    per batch, never a per-doc quadratic join)."""
+    from fast_langdetect_ray.stages.collocations import pmi_bigrams
+    return pmi_bigrams(_read(sf_dir, "documents"), k=50, min_count=5,
+                       window=3)
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -2197,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_threshold_sweep": _q_rule_threshold_sweep,
         "bm25_topk": _q_bm25_topk,
         "pmi_bigrams": _q_pmi_bigrams,
+        "pmi_window": _q_pmi_window,
         "temperature_sample": _q_temperature_sample,
         "inverted_index": _q_inverted_index,
         "event_funnel": _q_funnel,
@@ -3500,6 +3511,48 @@ def oracle_sql() -> dict[str, str]:
             bi AS (SELECT z[1] || ' ' || z[2] AS g, z[1] AS lw,
                           z[2] AS rw
                    FROM bz WHERE z[2] IS NOT NULL),
+            bcnt AS (SELECT g, min(lw) AS lw, min(rw) AS rw,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM bi GROUP BY g),
+            nu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM ucnt),
+            nb AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM bcnt),
+            scored AS (
+              SELECT b.g AS bigram,
+                     b.c AS bigram_count,
+                     ul.c AS left_count,
+                     ur.c AS right_count,
+                     ln((CAST(b.c AS DOUBLE) * nu.v * nu.v)
+                        / (nb.v * ul.c * ur.c)) AS pmi
+              FROM bcnt b
+              JOIN ucnt ul ON ul.g = b.lw
+              JOIN ucnt ur ON ur.g = b.rw
+              CROSS JOIN nu CROSS JOIN nb
+              WHERE b.c >= 5
+            )
+            SELECT bigram, bigram_count, left_count, right_count, pmi
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY pmi DESC, bigram) AS rn FROM scored)
+            WHERE rn <= 50
+        """,
+        "pmi_window": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(l) AS g,
+                     generate_subscripts(l, 1) AS p
+              FROM toks
+            ),
+            uni AS (SELECT g FROM tok),
+            ucnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+                     FROM uni GROUP BY g),
+            bi AS (SELECT a.g || ' ' || b.g AS g, a.g AS lw, b.g AS rw
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id
+                    AND b.p - a.p BETWEEN 1 AND 3),
             bcnt AS (SELECT g, min(lw) AS lw, min(rw) AS rw,
                             CAST(count(*) AS BIGINT) AS c
                      FROM bi GROUP BY g),

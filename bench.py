@@ -109,6 +109,7 @@ HEADLINE = [
     "running_user_stats",
     "cohort_retention",
     "bm25_from_index",
+    "pmi_window",
 ]
 
 

@@ -39,14 +39,22 @@ from .retrieval import _arrow_tokens as _token_lists  # noqa: E402
 
 def pmi_bigrams(ds, k: int = 50, min_count: int = 5,
                 text_col: str = "text",
-                num_partitions: int | None = None):
-    """Top-``k`` adjacent bigrams by PMI (count ≥ ``min_count``),
-    ties broken by bigram text ascending.  Output: ``(bigram,
-    bigram_count, left_count, right_count, pmi)``."""
+                num_partitions: int | None = None,
+                window: int = 1):
+    """Top-``k`` token pairs by PMI (count ≥ ``min_count``), ties
+    broken by pair text ascending.  ``window=1`` (default) counts
+    ADJACENT bigrams — the phrase-mining signal; ``window=w`` counts
+    ordered skip-gram co-occurrences at distances ``1..w`` (the
+    word2vec-style window, each occurrence counted once per
+    distance).  Output: ``(bigram, bigram_count, left_count,
+    right_count, pmi)`` with ``p(xy)`` over window-pair occurrences."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
     from ..state.shufflejoin import hash_bucket_join
+
+    if window < 1:
+        raise ValueError("pmi_bigrams: window must be >= 1")
 
     def partials(batch: pa.Table) -> pa.Table:
         flat, parent = _token_lists(batch[text_col])
@@ -54,15 +62,19 @@ def pmi_bigrams(ds, k: int = 50, min_count: int = 5,
         uni = pa.table({"gram": flat}).group_by(
             ["gram"], use_threads=False).aggregate([("gram", "count")]) \
             .rename_columns(["gram", "cnt"])
-        # adjacent pairs within the same doc
-        if len(toks) > 1:
-            adj = parent[1:] == parent[:-1]
-            lefts = toks[:-1][adj]
-            rights = toks[1:][adj]
-            big = np.char.add(np.char.add(
-                lefts.astype(str), " "), rights.astype(str))
-        else:
-            big = np.empty(0, dtype=object)
+        # within-doc ordered pairs at distances 1..window
+        parts = []
+        for d in range(1, window + 1):
+            if len(toks) <= d:
+                break
+            adj = parent[d:] == parent[:-d]
+            lefts = toks[:-d][adj]
+            rights = toks[d:][adj]
+            if lefts.size:
+                parts.append(np.char.add(np.char.add(
+                    lefts.astype(str), " "), rights.astype(str)))
+        big = np.concatenate(parts) if parts else \
+            np.empty(0, dtype=object)
         bi = pa.table({"gram": pa.array(big, type=pa.string())}) \
             .group_by(["gram"], use_threads=False) \
             .aggregate([("gram", "count")]) \

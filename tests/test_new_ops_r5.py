@@ -712,3 +712,47 @@ def test_fuzz_cohort_retention_vs_oracle(ray_session, events):
     got = cohort_retention(ds, n_buckets=2).to_pandas()
     assert {(int(r.cohort_period), int(r.period_offset)):
             int(r.n_users) for r in got.itertuples()} == dict(want)
+
+
+# --------------------------------------------------------------- T85b
+
+
+def test_pmi_window_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.collocations import pmi_bigrams
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    w = 3
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for s in texts:
+        ts = _toks(s)
+        uni.update(ts)
+        for d in range(1, w + 1):
+            bi.update(f"{a} {b}" for a, b in zip(ts, ts[d:]))
+    nu, nb = float(sum(uni.values())), float(sum(bi.values()))
+    rows = []
+    for g, c in bi.items():
+        if c < 3:
+            continue
+        lw, rw = g.split(" ")
+        rows.append((g, c, uni[lw], uni[rw],
+                     math.log((c * nu * nu) / (nb * uni[lw] * uni[rw]))))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    want = rows[:25]
+
+    got = pmi_bigrams(rd.from_arrow(t).repartition(4), k=25,
+                      min_count=3, window=w).to_pandas()
+    assert len(got) == len(want)
+    for r, (g, c, lc, rc, pmi) in zip(got.itertuples(), want):
+        assert r.bigram == g
+        assert (int(r.bigram_count), int(r.left_count),
+                int(r.right_count)) == (c, lc, rc)
+        assert abs(r.pmi - pmi) < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError):
+        pmi_bigrams(rd.from_arrow(t), window=0)
