@@ -2094,6 +2094,16 @@ def _q_funnel(sf_dir: str):
     return funnel_counts(_read(sf_dir, "events"), _FUNNEL_STEPS)
 
 
+def _q_funnel_transitions(sf_dir: str):
+    """T88b: exact time-to-convert quantiles (p50/p90 whole seconds,
+    quantile_disc semantics) per funnel transition, over the greedy
+    matched times — (step, delta_sec, count) histogram partials, the
+    T26 value-domain exact-quantile pattern."""
+    from fast_langdetect_ray.stages.funnel import funnel_transition_stats
+    return funnel_transition_stats(_read(sf_dir, "events"),
+                                   _FUNNEL_STEPS)
+
+
 def _q_running_user_stats(sf_dir: str):
     """T89: per-event running (count, fixed-point value sum) per user
     ordered by (ts, event_id) — grouped prefix sums via one
@@ -2211,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "inverted_index": _q_inverted_index,
         "event_funnel": _q_funnel,
+        "funnel_transitions": _q_funnel_transitions,
         "running_user_stats": _q_running_user_stats,
         "cohort_retention": _q_cohort_retention,
         "bm25_from_index": _q_bm25_from_index,
@@ -3462,6 +3473,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM up u JOIN firstp f USING (user_id)
             GROUP BY 1, 2
+        """,
+        "funnel_transitions": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            ),
+            d2 AS (SELECT (epoch_us(s2.t) - epoch_us(s1.t)) // 1000000
+                       AS dsec
+                   FROM s2 JOIN s1 USING (user_id)),
+            d3 AS (SELECT (epoch_us(s3.t) - epoch_us(s2.t)) // 1000000
+                       AS dsec
+                   FROM s3 JOIN s2 USING (user_id))
+            SELECT CAST(2 AS BIGINT) AS step, 'click' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(quantile_disc(dsec, 0.5) AS BIGINT) AS p50_sec,
+                   CAST(quantile_disc(dsec, 0.9) AS BIGINT) AS p90_sec
+            FROM d2 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST(count(*) AS BIGINT),
+                   CAST(quantile_disc(dsec, 0.5) AS BIGINT),
+                   CAST(quantile_disc(dsec, 0.9) AS BIGINT)
+            FROM d3 HAVING count(*) > 0
         """,
         "running_user_stats": """
             SELECT event_id, user_id, ts,

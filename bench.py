@@ -110,6 +110,7 @@ HEADLINE = [
     "cohort_retention",
     "bm25_from_index",
     "pmi_window",
+    "funnel_transitions",
 ]
 
 

@@ -7,7 +7,9 @@ earliest-match is optimal for subsequence existence, so "user reached
 step k" is exactly "there exist events of types s₁…s_k at strictly
 increasing timestamps" — which is also what the SQL oracle's chained
 min-ts CTEs compute (each CTE takes the earliest event of the next
-type after the previous step's match).
+type after the previous step's match).  The same equivalence makes
+the matched TIMES canonical, so :func:`funnel_transition_stats`'s
+step-to-step durations are engine-independent too.
 
 Tie policy: chaining requires STRICTLY increasing ``ts`` — two steps
 can never be satisfied by events sharing a timestamp (deterministic
@@ -18,8 +20,9 @@ funnel's event types only, then ONE user-hash bucket shuffle
 co-locates whole users; each bucket runs the greedy chain for ALL its
 users in K vectorized passes (per step: lexsorted (user, ts) +
 ``searchsorted`` against the per-user frontier — Python runs K times
-per bucket, never per user) and emits one ≤K-row count partial; a
-tiny ``groupby(step).Sum`` merges the ≤ K×B partials.  Nothing
+per bucket, never per user) and emits bounded partials (≤K count
+rows, or value-domain-bounded (step, delta-second, count) histogram
+rows); tiny ``groupby`` aggregates merge the partials.  Nothing
 user-cardinality-sized ever reaches the driver.
 """
 
@@ -32,25 +35,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def funnel_counts(ds, steps: Sequence[str],
-                  user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type",
-                  n_buckets: int | None = None):
-    """Per funnel step, the number of users whose event stream
-    contains ``steps[0] … steps[k]`` at strictly increasing ``ts``.
-    Output: ``(step, event_type, n_users)`` — ``step`` is 1-based;
-    ``n_users`` is non-increasing in ``step``."""
-    from ray.data.aggregate import Sum
-
-    from ..state.pools import default_hash_buckets
-
+def _validate_steps(steps: Sequence[str], fn_name: str) -> list:
     steps = list(steps)
     if len(steps) != len(set(steps)):
-        raise ValueError("funnel_counts: steps must be distinct")
+        raise ValueError(f"{fn_name}: steps must be distinct")
     if not steps:
-        raise ValueError("funnel_counts: at least one step required")
-    nb = int(n_buckets or default_hash_buckets())
+        raise ValueError(f"{fn_name}: at least one step required")
+    return steps
 
+
+def _project_fn(steps, user_col, ts_col, type_col, nb):
+    """Batch projector: (user, ts-int64, step-idx, user-bucket) rows
+    for the funnel's event types only."""
     def project(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[type_col],
                         value_set=pa.array(steps, type=pa.string()))
@@ -61,7 +57,11 @@ def funnel_counts(ds, steps: Sequence[str],
             .cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = m[user_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        ts = m[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tcol = m[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        ts = tcol.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         return pa.table({
             "u": pa.array(users),
             "t": pa.array(ts),
@@ -70,40 +70,72 @@ def funnel_counts(ds, steps: Sequence[str],
                                 % np.uint64(nb)).astype(np.int64)),
         })
 
+    return project
+
+
+def _run_chain(g: pa.Table, n_steps: int):
+    """Greedy earliest-match chain for every user in one bucket.
+    Returns ``(counts, deltas)``: per-step completion counts, and for
+    each step k ≥ 1 the int64 µs durations ``match_k − match_{k-1}``
+    of the users who completed that transition."""
+    u = g["u"].to_numpy().astype(np.int64)
+    t = g["t"].to_numpy().astype(np.int64)
+    s = g["s"].to_numpy().astype(np.int64)
+    users_u, ucodes = np.unique(u, return_inverse=True)
+    n_users = users_u.size
+    # dense ts ranks so a (user, rank) composite key fits int64
+    # (strict > on actual ts ≡ strict > on ranks, both drawn from
+    # the same distinct sorted domain)
+    t_dom = np.unique(t)
+    rank = np.searchsorted(t_dom, t).astype(np.int64)
+    span = np.int64(t_dom.size + 1)
+    # frontier[c] = ts-RANK of user c's previous-step match
+    # (-1 = chain start; the next step needs rank > frontier)
+    frontier = np.full(n_users, -1, dtype=np.int64)
+    alive = np.ones(n_users, dtype=bool)
+    counts = np.zeros(n_steps, dtype=np.int64)
+    deltas = [np.empty(0, dtype=np.int64)] * n_steps
+    uidx = np.arange(n_users, dtype=np.int64)
+    for k in range(n_steps):
+        mk = s == k
+        ck, rk = ucodes[mk], rank[mk]
+        key = np.sort(ck.astype(np.int64) * span + rk)
+        ends = np.searchsorted(key, (uidx + 1) * span)
+        # earliest step-k event strictly after the frontier: one
+        # global searchsorted on the composite key — entries of a
+        # LATER user also compare greater, caught by pos < ends
+        pos = np.searchsorted(key, uidx * span + frontier,
+                              side="right")
+        ok = alive & (pos < ends)
+        new_rank = key[pos[ok]] - uidx[ok] * span
+        if k > 0:
+            deltas[k] = t_dom[new_rank] - t_dom[frontier[ok]]
+        frontier[ok] = new_rank
+        alive = ok
+        counts[k] = int(alive.sum())
+        if not alive.any():
+            break
+    return counts, deltas
+
+
+def funnel_counts(ds, steps: Sequence[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  n_buckets: int | None = None):
+    """Per funnel step, the number of users whose event stream
+    contains ``steps[0] … steps[k]`` at strictly increasing ``ts``.
+    Output: ``(step, event_type, n_users)`` — ``step`` is 1-based,
+    one row per step ALWAYS (0 when nothing matches); ``n_users`` is
+    non-increasing in ``step``."""
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    steps = _validate_steps(steps, "funnel_counts")
+    nb = int(n_buckets or default_hash_buckets())
+
     def chain(g: pa.Table) -> pa.Table:
-        u = g["u"].to_numpy().astype(np.int64)
-        t = g["t"].to_numpy().astype(np.int64)
-        s = g["s"].to_numpy().astype(np.int64)
-        users_u, ucodes = np.unique(u, return_inverse=True)
-        n_users = users_u.size
-        # dense ts ranks so a (user, rank) composite key fits int64
-        # (strict > on actual ts ≡ strict > on ranks, both drawn from
-        # the same distinct sorted domain)
-        t_dom = np.unique(t)
-        rank = np.searchsorted(t_dom, t).astype(np.int64)
-        span = np.int64(t_dom.size + 1)
-        # frontier[c] = ts-RANK of user c's previous-step match
-        # (-1 = chain start; the next step needs rank > frontier)
-        frontier = np.full(n_users, -1, dtype=np.int64)
-        alive = np.ones(n_users, dtype=bool)
-        counts = np.zeros(len(steps), dtype=np.int64)
-        uidx = np.arange(n_users, dtype=np.int64)
-        for k in range(len(steps)):
-            mk = s == k
-            ck, rk = ucodes[mk], rank[mk]
-            key = np.sort(ck.astype(np.int64) * span + rk)
-            ends = np.searchsorted(key, (uidx + 1) * span)
-            # earliest step-k event strictly after the frontier: one
-            # global searchsorted on the composite key — entries of a
-            # LATER user also compare greater, caught by pos < ends
-            pos = np.searchsorted(key, uidx * span + frontier,
-                                  side="right")
-            ok = alive & (pos < ends)
-            frontier[ok] = key[pos[ok]] - uidx[ok] * span
-            alive = ok
-            counts[k] = int(alive.sum())
-            if not alive.any():
-                break
+        counts, _ = _run_chain(g, len(steps))
         return pa.table({
             "step": pa.array(np.arange(1, len(steps) + 1,
                                        dtype=np.int64)),
@@ -111,7 +143,9 @@ def funnel_counts(ds, steps: Sequence[str],
         })
 
     counted = (ds.select_columns([user_col, ts_col, type_col])
-               .map_batches(project, batch_format="pyarrow",
+               .map_batches(_project_fn(steps, user_col, ts_col,
+                                        type_col, nb),
+                            batch_format="pyarrow",
                             zero_copy_batch=True)
                .groupby("bucket")
                .map_groups(chain, batch_format="pyarrow")
@@ -141,3 +175,88 @@ def funnel_counts(ds, steps: Sequence[str],
 
     return counted.map_batches(attach_type, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def funnel_transition_stats(ds, steps: Sequence[str],
+                            quantiles: Sequence[float] = (0.5, 0.9),
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            n_buckets: int | None = None):
+    """Time-to-convert distribution per funnel transition: for users
+    completing step ``k-1 → k`` (greedy matched times — canonical,
+    see module docstring), the EXACT whole-second duration quantiles
+    (``floor((t_k − t_{k-1}) / 1s)``, DuckDB ``quantile_disc``
+    semantics: smallest value with cumulative count ≥ ``⌈n·q⌉``).
+    Output: ``(step, event_type, n_users, p<q>_sec …)`` for each
+    step ≥ 2 with at least one completing user.
+
+    Scale shape: the chain pass emits value-domain-bounded
+    ``(step, delta_sec, count)`` histogram partials per bucket
+    (distinct observed whole-second durations, independent of user
+    count), a tiny Sum merges them, and the per-step quantile reduce
+    walks the ≤ distinct-seconds histogram — the T26 exact-quantile
+    pattern, never a sort of user-sized data."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    steps = _validate_steps(steps, "funnel_transition_stats")
+    if len(steps) < 2:
+        raise ValueError("funnel_transition_stats: need >= 2 steps")
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError("funnel_transition_stats: quantiles must be "
+                         "in (0, 1]")
+    nb = int(n_buckets or default_hash_buckets())
+
+    def chain(g: pa.Table) -> pa.Table:
+        _, deltas = _run_chain(g, len(steps))
+        st_out, d_out, c_out = [], [], []
+        for k in range(1, len(steps)):
+            if deltas[k].size:
+                vals, cnts = np.unique(deltas[k] // 1_000_000,
+                                       return_counts=True)
+                st_out.append(np.full(vals.size, k + 1,
+                                      dtype=np.int64))
+                d_out.append(vals)
+                c_out.append(cnts.astype(np.int64))
+        if not st_out:
+            return pa.table({
+                "step": pa.array([], type=pa.int64()),
+                "delta_sec": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "step": pa.array(np.concatenate(st_out)),
+            "delta_sec": pa.array(np.concatenate(d_out)),
+            "cnt": pa.array(np.concatenate(c_out)),
+        })
+
+    def reduce_step(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("delta_sec")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["delta_sec"].to_numpy()
+        n = int(cum[-1])
+        step = int(g["step"].iloc[0])
+        row = {"step": [step], "event_type": [steps[step - 1]],
+               "n_users": [n]}
+        for q in qs:
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            row[f"p{int(q * 100)}_sec"] = [
+                int(vals[int(np.searchsorted(cum, k))])]
+        return pd.DataFrame(row)
+
+    return (ds.select_columns([user_col, ts_col, type_col])
+            .map_batches(_project_fn(steps, user_col, ts_col,
+                                     type_col, nb),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(chain, batch_format="pyarrow")
+            .groupby(["step", "delta_sec"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby("step")
+            .map_groups(reduce_step, batch_format="pandas"))

@@ -756,3 +756,94 @@ def test_pmi_window_matches_brute_force(ray_session):
     import pytest
     with pytest.raises(ValueError):
         pmi_bigrams(rd.from_arrow(t), window=0)
+
+
+# --------------------------------------------------------------- T88b
+
+
+def _transition_oracle(rows, steps, qs=(0.5, 0.9)):
+    per = collections.defaultdict(list)
+    for u, ts, et in rows:
+        if et in steps:
+            per[u].append((ts, et))
+    deltas = collections.defaultdict(list)
+    for u, evs in per.items():
+        evs.sort()
+        cur, k = None, 0
+        for ts, et in evs:
+            if k < len(steps) and et == steps[k] and \
+                    (cur is None or ts > cur):
+                if k > 0:
+                    us = int((ts - cur).total_seconds() * 1e6)
+                    deltas[k + 1].append(us // 1_000_000)
+                cur = ts
+                k += 1
+    out = {}
+    for step, ds_ in sorted(deltas.items()):
+        ds_.sort()
+        n = len(ds_)
+        row = {"n_users": n, "event_type": steps[step - 1]}
+        for q in qs:
+            k = max(1, math.ceil(n * q - 1e-9))
+            row[f"p{int(q * 100)}_sec"] = ds_[k - 1]
+        out[step] = row
+    return out
+
+
+def test_funnel_transitions_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_transition_stats
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    rows = list(zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+                    t["event_type"].to_pylist()))
+    steps = ("view", "click", "purchase")
+    want = _transition_oracle(rows, steps)
+
+    got = funnel_transition_stats(rd.from_arrow(t).repartition(4),
+                                  steps).to_pandas() \
+        .sort_values("step")
+    assert got["step"].tolist() == sorted(want)
+    for r in got.itertuples():
+        w = want[int(r.step)]
+        assert (r.event_type, int(r.n_users)) == \
+            (w["event_type"], w["n_users"])
+        assert int(r.p50_sec) == w["p50_sec"]
+        assert int(r.p90_sec) == w["p90_sec"]
+
+    # bucket count never changes results
+    got2 = funnel_transition_stats(rd.from_arrow(t), steps,
+                                   n_buckets=4).to_pandas() \
+        .sort_values("step").reset_index(drop=True)
+    assert got2.equals(got.reset_index(drop=True))
+
+
+def test_funnel_transitions_edges(ray_session):
+    import datetime
+
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.funnel import funnel_transition_stats
+
+    t0 = datetime.datetime(2026, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    ds = rd.from_items([
+        # user 1 converts A->B in 90s
+        {"user_id": 1, "ts": t0, "event_type": "A"},
+        {"user_id": 1, "ts": t0 + 90 * sec, "event_type": "B"},
+        # user 2 converts A->B in 10s; nobody reaches C
+        {"user_id": 2, "ts": t0, "event_type": "A"},
+        {"user_id": 2, "ts": t0 + 10 * sec, "event_type": "B"},
+    ])
+    got = funnel_transition_stats(ds, ("A", "B", "C")).to_pandas()
+    # only the A->B transition exists (no C rows at all)
+    assert got["step"].tolist() == [2]
+    assert got["n_users"].tolist() == [2]
+    assert got["p50_sec"].tolist() == [10]
+    assert got["p90_sec"].tolist() == [90]
+    with pytest.raises(ValueError):
+        funnel_transition_stats(ds, ("A",))
+    with pytest.raises(ValueError):
+        funnel_transition_stats(ds, ("A", "B"), quantiles=(1.5,))
