@@ -2134,6 +2134,15 @@ def _q_bm25_from_index(sf_dir: str):
                                 _BM25_QUERIES, k=10)
 
 
+def _q_percentile_rank(sf_dir: str):
+    """T91: exact per-language percentile rank of doc length —
+    quality-signal normalization (CCNet-style per-stratum
+    percentiles): value-domain-bounded histogram broadcast once,
+    stateless searchsorted pass; no sort, no window."""
+    from fast_langdetect_ray.stages.normalize import percentile_rank
+    return percentile_rank(_read(sf_dir, "documents"))
+
+
 def _q_cohort_retention(sf_dir: str):
     """T90: weekly cohort retention (cohort = epoch-week of a user's
     first event; count distinct cohort users active k weeks later) —
@@ -2225,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_stats": _q_running_user_stats,
         "cohort_retention": _q_cohort_retention,
         "bm25_from_index": _q_bm25_from_index,
+        "percentile_rank": _q_percentile_rank,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3458,6 +3468,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "percentile_rank": """
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars) AS pct_rank
+            FROM documents
         """,
         "cohort_retention": """
             WITH up AS (

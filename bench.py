@@ -111,6 +111,7 @@ HEADLINE = [
     "bm25_from_index",
     "pmi_window",
     "funnel_transitions",
+    "percentile_rank",
 ]
 
 

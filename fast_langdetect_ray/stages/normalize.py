@@ -69,3 +69,76 @@ def nfc_normalize_docs(ds, text_col: str = "text"):
     return ds.map_batches(nfc_batch, batch_format="pyarrow",
                           zero_copy_batch=True,
                           fn_kwargs={"text_col": text_col})
+
+
+def percentile_rank(ds, value_col: str = "n_chars",
+                    group_col: str = "lang", id_col: str = "doc_id"):
+    """Exact per-group percentile rank of an integer-valued column —
+    the normalization step that turns a raw quality signal into a
+    comparable [0, 1] score per stratum before thresholding (CCNet
+    buckets by per-language perplexity percentile this way).
+    ``pct_rank = count(values < x) / (n_group - 1)`` (SQL
+    ``percent_rank()`` semantics; 0.0 for singleton groups), ties
+    share the rank of their first peer.  Output: ``(id, group,
+    value, pct_rank)``.
+
+    Scale shape (value-domain bounded, like T26's exact quantiles):
+    one pass reduces to per-(group, value) counts — bounded by the
+    value DOMAIN × groups, independent of corpus rows — which fold
+    into per-group sorted (value → count-below, n) lookup tables,
+    broadcast once via ``ray.put``; a second stateless pass
+    ``searchsorted``s each row against its group's table.  No sort,
+    no window, nothing row-cardinality-sized off the workers.
+
+    Float policy: the emitted double is ``below / (n - 1)`` — the
+    same two-operand division DuckDB's ``percent_rank`` evaluates,
+    so the hash matches bit-exactly."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: pc.cast(batch[value_col], pa.int64())})
+        return t.group_by([group_col, value_col],
+                          use_threads=False) \
+            .aggregate([(value_col, "count")]) \
+            .rename_columns([group_col, value_col, "cnt"])
+
+    hist = (ds.select_columns([group_col, value_col])
+            .map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, value_col])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # value-domain × groups bounded
+    tables = {}
+    for g, sub in hist.groupby(group_col):
+        sub = sub.sort_values(value_col)
+        vals = sub[value_col].to_numpy().astype(np.int64)
+        cnts = sub["cnt"].to_numpy().astype(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        tables[g] = (vals, below, int(cnts.sum()))
+    ref = ray.put(tables)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(ref)
+        groups = np.asarray(batch[group_col], dtype=object)
+        vals = pc.cast(batch[value_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = np.zeros(len(batch), dtype=np.float64)
+        # one vectorized searchsorted per group present in the batch
+        for g in np.unique(groups):
+            gv, gb, gn = tabs[g]
+            m = groups == g
+            if gn > 1:
+                below = gb[np.searchsorted(gv, vals[m])]
+                out[m] = below / (gn - 1)
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            value_col: pc.cast(batch[value_col], pa.int64()),
+            "pct_rank": pa.array(out),
+        })
+
+    return (ds.select_columns([id_col, group_col, value_col])
+            .map_batches(rank, batch_format="pyarrow",
+                         zero_copy_batch=True))

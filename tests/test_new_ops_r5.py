@@ -847,3 +847,48 @@ def test_funnel_transitions_edges(ray_session):
         funnel_transition_stats(ds, ("A",))
     with pytest.raises(ValueError):
         funnel_transition_stats(ds, ("A", "B"), quantiles=(1.5,))
+
+
+# ---------------------------------------------------------------- T91
+
+
+def test_percentile_rank_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import percentile_rank
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    by_lang = collections.defaultdict(list)
+    for g, v in zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()):
+        by_lang[g].append(v)
+    want = {}
+    for i, g, v in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        vs = by_lang[g]
+        want[i] = (sum(1 for x in vs if x < v) / (len(vs) - 1)
+                   if len(vs) > 1 else 0.0)
+
+    got = percentile_rank(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert r.pct_rank == want[int(r.doc_id)], r.doc_id
+    # bounds + per-group max is exactly 1.0 when the group has > 1
+    # distinct value
+    assert ((got["pct_rank"] >= 0) & (got["pct_rank"] <= 1)).all()
+
+
+def test_percentile_rank_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import percentile_rank
+
+    ds = rd.from_items([
+        {"doc_id": 1, "lang": "a", "n_chars": 5},   # singleton -> 0.0
+        {"doc_id": 2, "lang": "b", "n_chars": 1},
+        {"doc_id": 3, "lang": "b", "n_chars": 1},   # tie shares rank
+        {"doc_id": 4, "lang": "b", "n_chars": 9},
+    ])
+    got = percentile_rank(ds).to_pandas().sort_values("doc_id")
+    # group b: n=3, doc 4 has 2 values below -> 2/(3-1) = 1.0
+    assert got["pct_rank"].tolist() == [0.0, 0.0, 0.0, 1.0]
