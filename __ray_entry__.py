@@ -2134,6 +2134,14 @@ def _q_bm25_from_index(sf_dir: str):
                                 _BM25_QUERIES, k=10)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """T92: Efraimidis–Spirakis weighted sample (top-250 by
+    u^(1/n_chars), deterministic sha-derived uniforms shared with the
+    oracle) — lossless batch top-k, bounded single-task finish."""
+    from fast_langdetect_ray.stages.sampling import weighted_sample
+    return weighted_sample(_read(sf_dir, "documents"), k=250)
+
+
 def _q_percentile_rank(sf_dir: str):
     """T91: exact per-language percentile rank of doc length —
     quality-signal normalization (CCNet-style per-stratum
@@ -2235,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "bm25_from_index": _q_bm25_from_index,
         "percentile_rank": _q_percentile_rank,
+        "weighted_sample": _q_weighted_sample,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3468,6 +3477,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, sample_key
+            FROM (
+              SELECT doc_id, n_chars,
+                     pow(CAST(CAST('0x' || substr(
+                             sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) AS DOUBLE)
+                         / 1152921504606846976.0,
+                         1.0 / CAST(n_chars AS DOUBLE)) AS sample_key
+              FROM documents WHERE n_chars > 0
+            )
+            QUALIFY row_number() OVER (
+                ORDER BY sample_key DESC, doc_id) <= 250
         """,
         "percentile_rank": """
             SELECT doc_id, lang, n_chars,

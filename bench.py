@@ -112,6 +112,7 @@ HEADLINE = [
     "pmi_window",
     "funnel_transitions",
     "percentile_rank",
+    "weighted_sample",
 ]
 
 

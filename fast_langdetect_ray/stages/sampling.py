@@ -261,3 +261,60 @@ def balance_groups(ds, target: int, group_col: str = "lang",
 
     return ds.map_batches(expand, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def weighted_sample(ds, k: int, weight_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006): keep the ``k`` rows with the largest
+    ``u^(1/w)`` where ``w`` is the row's weight and ``u`` its
+    deterministic uniform — each row's inclusion probability is
+    proportional to its weight, and the draw is a pure function of
+    the row ids (re-runs/engines/partitionings agree), the property a
+    quality-weighted training-subset draw needs.
+
+    ``u = int(sha256(str(id))[:15 hex], 16) / 2^60`` — sha256 (not
+    splitmix) because the DuckDB twin must compute the IDENTICAL
+    uniform, and SQL has sha256: ``CAST('0x' || substr(sha256(id),
+    1, 15) AS BIGINT) / 2^60``.  The per-row hashlib call matches the
+    repo's add_sha256 precedent (C-speed per call; required whenever
+    the oracle shares the hash).  ``pow`` may differ from DuckDB's in
+    the LAST ULP (numpy vectorizes it); the driver's value hash
+    rounds to 9 significant digits, which absorbs that — the same
+    tolerance class as the ln-based oracle columns (PMI, TF-IDF).
+
+    Rows with weight ≤ 0 are excluded (both engines).  Scale shape:
+    the key is final per row, so each batch keeps its own top-k
+    (lossless) and the single-task finish sees ≤ ``k × n_batches``
+    rows.  Output: ``(id, weight, sample_key)``."""
+    import pandas as pd
+
+    def keys(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = w > 0
+        ids_all = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = ids_all[keep]
+        u_int = np.array(
+            [int(hashlib.sha256(str(i).encode()).hexdigest()[:15], 16)
+             for i in ids], dtype=np.int64) \
+            if ids.size else np.empty(0, dtype=np.int64)
+        u = u_int.astype(np.float64) / float(1 << 60)
+        key = np.power(u, 1.0 / w[keep])
+        return pa.table({
+            id_col: pa.array(ids),
+            weight_col: pa.array(
+                batch[weight_col].to_numpy(zero_copy_only=False)[keep]),
+            "sample_key": pa.array(key),
+        })
+
+    def topk(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b.sort_values(["sample_key", id_col],
+                             ascending=[False, True]).head(k)
+
+    return (ds.select_columns([id_col, weight_col])
+            .map_batches(keys, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(topk, batch_format="pandas"))

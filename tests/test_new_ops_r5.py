@@ -892,3 +892,57 @@ def test_percentile_rank_edges(ray_session):
     got = percentile_rank(ds).to_pandas().sort_values("doc_id")
     # group b: n=3, doc 4 has 2 values below -> 2/(3-1) = 1.0
     assert got["pct_rank"].tolist() == [0.0, 0.0, 0.0, 1.0]
+
+
+# ---------------------------------------------------------------- T92
+
+
+def test_weighted_sample_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import weighted_sample
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    rows = []
+    for i, w in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+        if w <= 0:
+            continue
+        u = int(hashlib.sha256(str(i).encode()).hexdigest()[:15],
+                16) / float(1 << 60)
+        rows.append((-(u ** (1.0 / float(w))), i, w))
+    rows.sort()
+    want = [(i, w, -key) for key, i, w in rows[:40]]
+
+    got = weighted_sample(rd.from_arrow(t).repartition(5), k=40) \
+        .to_pandas()
+    assert [(int(r.doc_id), int(r.n_chars))
+            for r in got.itertuples()] == [(i, w) for i, w, _ in want]
+    # numpy's vectorized pow may differ from CPython's ** in the last
+    # ulp — same tolerance class as the ln-based oracles
+    for r, (_, _, key) in zip(got.itertuples(), want):
+        assert abs(r.sample_key - key) < 1e-12
+
+    # partition-count independent
+    got2 = weighted_sample(rd.from_arrow(t).repartition(11), k=40) \
+        .to_pandas().reset_index(drop=True)
+    assert got2.equals(got.reset_index(drop=True))
+
+
+def test_weighted_sample_biases_toward_heavy_rows(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.sampling import weighted_sample
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50): heavy rows should
+    # dominate the sample; zero-weight rows never appear
+    t = pa.table({
+        "doc_id": list(range(401)),
+        "n_chars": [1] * 200 + [50] * 200 + [0],
+    })
+    got = weighted_sample(rd.from_arrow(t), k=100,
+                          weight_col="n_chars").to_pandas()
+    heavy = (got["n_chars"] == 50).sum()
+    assert heavy > 80          # w=50 ≫ w=1 under u^(1/w)
+    assert (got["n_chars"] > 0).all()
+    assert len(got) == 100
