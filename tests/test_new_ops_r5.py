@@ -1,9 +1,11 @@
-"""Round-5 operators: T84 temperature-flattened mixture sampling
-(quota math + hash-rank oracle), T85 PMI bigram collocations
-(brute-force counter oracle), T86 BM25 top-k retrieval (pure-Python
-scorer oracle), T87 inverted-index build, T88 ordered funnel
-analysis, T89 per-user running aggregates, T90 cohort retention.
-All checked on sf0.001 plus small synthetic edges."""
+"""Round-5 operators: T84 temperature-flattened mixture sampling,
+T85/T85b PMI collocations (adjacent + windowed), T86/T87b BM25
+(scan + from-index), T87 inverted-index build, T88/T88b ordered
+funnel (counts + transition quantiles), T89 per-user running
+aggregates, T90 cohort retention, T91 per-group percentile rank,
+T92 deterministic weighted sampling — each against a pure-Python
+brute-force oracle on sf0.001 plus synthetic edges, with hypothesis
+fuzz for the event operators and review-fix regression guards."""
 
 import collections
 import hashlib
