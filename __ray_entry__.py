@@ -2134,6 +2134,27 @@ def _q_bm25_from_index(sf_dir: str):
                                 _BM25_QUERIES, k=10)
 
 
+def _q_orders_rollup(sf_dir: str):
+    """T93: multi-granularity ROLLUP(year, priority) over orders in
+    ONE corpus pass — finest cells via partial aggs, coarser levels
+    re-aggregate the bounded cell table; NULLed key suffixes mark
+    subtotal rows (SQL convention)."""
+    from fast_langdetect_ray.stages.rollup import rollup_aggregate
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "o_year", pc.cast(pc.year(b["o_orderdate"]), pa.int64()))
+
+    ds = (_read(sf_dir, "orders")
+          .select_columns(["o_orderdate", "o_orderpriority",
+                           "o_totalprice"])
+          .map_batches(add_year, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return rollup_aggregate(ds, ["o_year", "o_orderpriority"],
+                            "o_totalprice", count_alias="n_orders",
+                            sum_alias="sum_price_micros")
+
+
 def _q_weighted_sample(sf_dir: str):
     """T92: Efraimidis–Spirakis weighted sample (top-250 by
     u^(1/n_chars), deterministic sha-derived uniforms shared with the
@@ -2244,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_from_index": _q_bm25_from_index,
         "percentile_rank": _q_percentile_rank,
         "weighted_sample": _q_weighted_sample,
+        "orders_rollup": _q_orders_rollup,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3477,6 +3499,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "orders_rollup": """
+            SELECT o_year, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_price_micros
+            FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                         o_orderpriority, o_totalprice
+                  FROM orders)
+            GROUP BY ROLLUP(o_year, o_orderpriority)
         """,
         "weighted_sample": """
             SELECT doc_id, n_chars, sample_key

@@ -113,6 +113,7 @@ HEADLINE = [
     "funnel_transitions",
     "percentile_rank",
     "weighted_sample",
+    "orders_rollup",
 ]
 
 

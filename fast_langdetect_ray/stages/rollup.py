@@ -1,0 +1,93 @@
+"""Multi-granularity (ROLLUP) aggregation in one input pass.
+
+``GROUP BY ROLLUP(a, b)`` reports (a, b) cells, (a) subtotals, and
+the grand total.  Re-scanning the corpus once per level is the naive
+plan; this operator scans ONCE: per-batch partials reduce to the
+finest-granularity CELL table (bounded by the key-combination count,
+independent of corpus rows), and every coarser level re-aggregates
+the cells — each a trivially small ``groupby`` over the cell table,
+exactly how a warehouse derives rollup levels.
+
+Rolled-up key columns are NULL on subtotal rows (the SQL convention;
+Arrow nulls → pandas NaN on both engines, so driver hashes align).
+Value sums are fixed-point micros (int64) per the repo float policy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def rollup_aggregate(ds, keys: Sequence[str], value_col: str,
+                     count_alias: str = "n_rows",
+                     sum_alias: str = "sum_micros"):
+    """ROLLUP over ``keys`` (left-to-right hierarchy): one corpus
+    pass to the finest cells, then cell-table re-aggregations per
+    level.  Output columns: ``*keys, count_alias, sum_alias`` with
+    NULLed-out key suffixes on subtotal rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_aggregate: at least one key required")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        t = batch.select(keys).append_column(
+            "m", pa.array(m)).append_column(
+            "c", pa.array(np.ones(len(batch), dtype=np.int64)))
+        return t.group_by(keys, use_threads=False).aggregate(
+            [("c", "sum"), ("m", "sum")]) \
+            .rename_columns(keys + [count_alias, sum_alias])
+
+    cells = (ds.select_columns(keys + [value_col])
+             .map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(keys)
+             .aggregate(Sum(count_alias, alias_name=count_alias),
+                        Sum(sum_alias, alias_name=sum_alias))
+             .materialize())  # cell-count bounded; feeds every level
+
+    schema = cells.schema().base_schema
+
+    def null_out(dropped: Sequence[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            for col in dropped:  # rolled-up keys: all-NULL columns
+                b = b.append_column(
+                    col, pa.nulls(len(b),
+                                  type=schema.field(col).type))
+            return b.select(keys + [count_alias, sum_alias])
+        return fn
+
+    levels = [cells]
+    for depth in range(len(keys) - 1, 0, -1):
+        kept, dropped = keys[:depth], keys[depth:]
+        lvl = (cells.groupby(kept)
+               .aggregate(Sum(count_alias, alias_name=count_alias),
+                          Sum(sum_alias, alias_name=sum_alias))
+               .map_batches(null_out(dropped), batch_format="pyarrow",
+                            zero_copy_batch=True))
+        levels.append(lvl)
+    total = cells.aggregate(Sum(count_alias, alias_name=count_alias),
+                            Sum(sum_alias, alias_name=sum_alias))
+    grand = pa.table({
+        **{k: pa.nulls(1, type=schema.field(k).type) for k in keys},
+        count_alias: pa.array([int(total[count_alias])],
+                              type=pa.int64()),
+        sum_alias: pa.array([int(total[sum_alias])], type=pa.int64()),
+    })
+    levels.append(rd.from_arrow(grand))
+
+    out = levels[0].map_batches(
+        lambda b: b.select(keys + [count_alias, sum_alias]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

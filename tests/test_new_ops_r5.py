@@ -948,3 +948,68 @@ def test_weighted_sample_biases_toward_heavy_rows(ray_session):
     assert heavy > 80          # w=50 ≫ w=1 under u^(1/w)
     assert (got["n_chars"] > 0).all()
     assert len(got) == 100
+
+
+# ---------------------------------------------------------------- T93
+
+
+def test_rollup_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.rollup import rollup_aggregate
+
+    t = pq.read_table(f"{SF_DIR}/orders.parquet",
+                      columns=["o_orderdate", "o_orderpriority",
+                               "o_totalprice"])
+    years = [d.year for d in t["o_orderdate"].to_pylist()]
+    prios = t["o_orderpriority"].to_pylist()
+    micros = [int(math.floor(p * 1e6 + 0.5))
+              for p in t["o_totalprice"].to_pylist()]
+    want = collections.Counter()
+    wsum = collections.Counter()
+    for y, p, m in zip(years, prios, micros):
+        for cell in ((y, p), (y, None), (None, None)):
+            want[cell] += 1
+            wsum[cell] += m
+
+    src = pa.table({
+        "o_year": pa.array(years, type=pa.int64()),
+        "o_orderpriority": t["o_orderpriority"],
+        "o_totalprice": t["o_totalprice"],
+    })
+    got = rollup_aggregate(rd.from_arrow(src).repartition(4),
+                           ["o_year", "o_orderpriority"],
+                           "o_totalprice").to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        y = None if pd_isna(r.o_year) else int(r.o_year)
+        p = None if r.o_orderpriority is None or \
+            (isinstance(r.o_orderpriority, float)) else r.o_orderpriority
+        assert (int(r.n_rows), int(r.sum_micros)) == \
+            (want[(y, p)], wsum[(y, p)]), (y, p)
+
+
+def pd_isna(v):
+    import pandas as pd
+    return pd.isna(v)
+
+
+def test_rollup_single_key_and_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.rollup import rollup_aggregate
+
+    ds = rd.from_items([
+        {"g": "a", "v": 1.5},
+        {"g": "a", "v": 2.5},
+        {"g": "b", "v": 10.0},
+    ])
+    got = rollup_aggregate(ds, ["g"], "v").to_pandas()
+    cells = {(None if pd_isna(r.g) else r.g):
+             (int(r.n_rows), int(r.sum_micros))
+             for r in got.itertuples()}
+    assert cells == {"a": (2, 4_000_000), "b": (1, 10_000_000),
+                     None: (3, 14_000_000)}
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, [], "v")
