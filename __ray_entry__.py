@@ -2134,6 +2134,14 @@ def _q_bm25_from_index(sf_dir: str):
                                 _BM25_QUERIES, k=10)
 
 
+def _q_event_transitions(sf_dir: str):
+    """T94: first-order next-event transition counts per user
+    (Markov-matrix prep) — one user-bucket shuffle, shifted-compare
+    pair counting per bucket, type²-sized partials."""
+    from fast_langdetect_ray.stages.timeseries import event_transitions
+    return event_transitions(_read(sf_dir, "events"))
+
+
 def _q_orders_rollup(sf_dir: str):
     """T93: multi-granularity ROLLUP(year, priority) over orders in
     ONE corpus pass — finest cells via partial aggs, coarser levels
@@ -2266,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": _q_percentile_rank,
         "weighted_sample": _q_weighted_sample,
         "orders_rollup": _q_orders_rollup,
+        "event_transitions": _q_event_transitions,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3499,6 +3508,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT event_type AS ft,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS tt
+              FROM events
+            )
+            SELECT ft AS from_type, tt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE tt IS NOT NULL
+            GROUP BY 1, 2
         """,
         "orders_rollup": """
             SELECT o_year, o_orderpriority,

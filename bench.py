@@ -114,6 +114,7 @@ HEADLINE = [
     "percentile_rank",
     "weighted_sample",
     "orders_rollup",
+    "event_transitions",
 ]
 
 

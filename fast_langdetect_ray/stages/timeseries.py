@@ -180,3 +180,70 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
             .map_groups(fold, batch_format="pyarrow")
             .groupby(["cohort_period", "period_offset"])
             .aggregate(Sum("n", alias_name="n_users")))
+
+
+def event_transitions(ds, user_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      n_buckets: int | None = None):
+    """First-order transition counts between CONSECUTIVE events of
+    each user, ordered by ``(ts, event_id)`` — the Markov-matrix
+    statistic behind next-event models and session-flow reports.
+    Output: ``(from_type, to_type, n)`` over all adjacent pairs.
+
+    Scale shape: ONE user-hash bucket shuffle co-locates whole users;
+    each bucket lexsorts once and counts same-user adjacent type
+    pairs with shifted compares + one ``np.unique`` over dense pair
+    codes (Python once per bucket); type²-sized partials → tiny Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tcol = batch[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        return pa.table({
+            "u": pa.array(users),
+            "t": tcol.cast(pa.timestamp("us")).cast(pa.int64()),
+            "i": batch[id_col],
+            "et": batch[type_col],
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy()
+        i = g["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types_u, codes = np.unique(
+            np.asarray(g["et"], dtype=object), return_inverse=True)
+        o = np.lexsort((i, t, u))
+        u_s, c_s = u[o], codes[o]
+        adj = u_s[1:] == u_s[:-1]
+        frm, to = c_s[:-1][adj], c_s[1:][adj]
+        pair, cnt = np.unique(frm * types_u.size + to,
+                              return_counts=True) \
+            if frm.size else (np.empty(0, dtype=np.int64),
+                              np.empty(0, dtype=np.int64))
+        return pa.table({
+            "from_type": pa.array(types_u[pair // types_u.size]
+                                  if pair.size else [],
+                                  type=pa.string()),
+            "to_type": pa.array(types_u[pair % types_u.size]
+                                if pair.size else [],
+                                type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (ds.select_columns([user_col, ts_col, id_col, type_col])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(count_pairs, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))

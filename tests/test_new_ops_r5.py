@@ -1013,3 +1013,53 @@ def test_rollup_single_key_and_validation(ray_session):
                      None: (3, 14_000_000)}
     with pytest.raises(ValueError):
         rollup_aggregate(ds, [], "v")
+
+
+# ---------------------------------------------------------------- T94
+
+
+def test_event_transitions_match_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_transitions
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    rows = sorted(zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()))
+    want = collections.Counter()
+    for (u1, _, _, a), (u2, _, _, b) in zip(rows, rows[1:]):
+        if u1 == u2:
+            want[(a, b)] += 1
+
+    got = event_transitions(rd.from_arrow(t).repartition(4)) \
+        .to_pandas()
+    assert {(r.from_type, r.to_type): int(r.n)
+            for r in got.itertuples()} == dict(want)
+    assert int(got["n"].sum()) == sum(want.values())
+
+    # bucket count never changes results
+    got2 = event_transitions(rd.from_arrow(t), n_buckets=4) \
+        .to_pandas()
+    assert {(r.from_type, r.to_type): int(r.n)
+            for r in got2.itertuples()} == dict(want)
+
+
+def test_event_transitions_tie_and_single(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_transitions
+
+    t0 = datetime.datetime(2026, 1, 1)
+    ds = rd.from_items([
+        # same ts: event_id orders the pair deterministically
+        {"event_id": 2, "user_id": 1, "ts": t0, "event_type": "B"},
+        {"event_id": 1, "user_id": 1, "ts": t0, "event_type": "A"},
+        # single-event user contributes nothing
+        {"event_id": 3, "user_id": 2, "ts": t0, "event_type": "C"},
+    ])
+    got = event_transitions(ds).to_pandas()
+    assert {(r.from_type, r.to_type): int(r.n)
+            for r in got.itertuples()} == {("A", "B"): 1}
