@@ -2134,6 +2134,15 @@ def _q_bm25_from_index(sf_dir: str):
                                 _BM25_QUERIES, k=10)
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """T95: token-set Jaccard between sources (mixing diagnostic) —
+    distinct (token-hash, source) postings, one token-bucket
+    shuffle, run-wise pair counting, sources²-bounded merge."""
+    from fast_langdetect_ray.stages.overlap_vocab import (
+        source_vocab_overlap)
+    return source_vocab_overlap(_read(sf_dir, "documents"))
+
+
 def _q_event_transitions(sf_dir: str):
     """T94: first-order next-event transition counts per user
     (Markov-matrix prep) — one user-bucket shuffle, shifted-compare
@@ -2275,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "orders_rollup": _q_orders_rollup,
         "event_transitions": _q_event_transitions,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3508,6 +3518,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "source_vocab_overlap": """
+            WITH st AS (
+              SELECT DISTINCT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS tok
+              FROM documents
+            ),
+            sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM st GROUP BY source),
+            pr AS (SELECT a.source AS sa, b.source AS sb,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM st a JOIN st b
+                     ON a.tok = b.tok AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   inter AS n_shared, ca.n AS n_a, cb.n AS n_b,
+                   CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)
+                       AS jaccard
+            FROM pr
+            JOIN sc ca ON ca.source = pr.sa
+            JOIN sc cb ON cb.source = pr.sb
         """,
         "event_transitions": """
             WITH o AS (

@@ -115,6 +115,7 @@ HEADLINE = [
     "weighted_sample",
     "orders_rollup",
     "event_transitions",
+    "source_vocab_overlap",
 ]
 
 

@@ -1,0 +1,154 @@
+"""Per-source vocabulary overlap: token-set Jaccard between strata.
+
+The mixing diagnostic a curator reads before weighting sources: how
+much of source A's vocabulary also appears in source B (near-1 →
+near-duplicate provenance; near-0 → genuinely complementary data).
+
+Scale shape — tokens move as 64-bit hashes, ONE bucket shuffle, no
+self-join: each batch emits distinct (token-hash, source) postings
+(lexsort dedup — a 10⁹-token batch leaves as its distinct-vocab
+projection); a token-hash bucket shuffle co-locates each token's ≤
+|sources| postings, so one sorted pass per bucket yields BOTH the
+per-source distinct-token partials and, per equal-hash run, the
+unordered source-pair co-occurrence counts (runs are ≤ |sources|
+long, pairs vectorized via the run offsets); the final merge is
+sources²-bounded (take_all is safe — source cardinality is a
+catalog, not a corpus, the same contract as source_dup_stats).
+
+Hash-vs-string equivalence: the oracle intersects STRING tokens;
+64-bit hashed and string token sets agree absent a collision (the
+gram_novelty / n-gram-Jaccard precedent).
+
+``jaccard = CAST(inter AS DOUBLE) / (n_a + n_b − inter)`` — one
+fixed-shape division, both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash_string_array
+from .retrieval import _arrow_tokens
+
+
+def source_vocab_overlap(ds, source_col: str = "source",
+                         text_col: str = "text",
+                         n_buckets: int | None = None):
+    """Unordered source pairs with ``(n_shared, n_a, n_b, jaccard)``
+    over distinct-token sets; pairs with zero shared tokens are
+    absent (SQL-natural).  Sources are ordered ``source_a <
+    source_b`` lexicographically."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+
+    def postings(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        srcs = np.asarray(batch[source_col], dtype=object)
+        th = hash_string_array(flat).view(np.int64)
+        src_u, codes = np.unique(srcs, return_inverse=True)
+        sc = codes[parent]
+        o = np.lexsort((th, sc))
+        th_s, sc_s = th[o], sc[o]
+        keep = np.empty(th_s.size, dtype=bool)
+        if th_s.size:
+            keep[0] = True
+            keep[1:] = (th_s[1:] != th_s[:-1]) | (sc_s[1:] != sc_s[:-1])
+        th_d, sc_d = th_s[keep], sc_s[keep]
+        return pa.table({
+            "th": pa.array(th_d),
+            source_col: pa.array(src_u[sc_d], type=pa.string()),
+            "bucket": pa.array(
+                (th_d.view(np.uint64) % np.uint64(nb))
+                .astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        th = g["th"].to_numpy()
+        srcs = np.asarray(g[source_col], dtype=object)
+        src_u, codes = np.unique(srcs, return_inverse=True)
+        o = np.lexsort((codes, th))
+        th_s, c_s = th[o], codes[o]
+        # cross-batch dedup of (token, source)
+        keep = np.empty(th_s.size, dtype=bool)
+        if th_s.size:
+            keep[0] = True
+            keep[1:] = (th_s[1:] != th_s[:-1]) | (c_s[1:] != c_s[:-1])
+        th_s, c_s = th_s[keep], c_s[keep]
+        # per-source distinct-token partials
+        per_src = np.bincount(c_s, minlength=src_u.size)
+        # per equal-token run (≤ |sources| long, sources sorted
+        # within): emit all unordered pairs via run offsets
+        first = np.empty(th_s.size, dtype=bool)
+        if th_s.size:
+            first[0] = True
+            first[1:] = th_s[1:] != th_s[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, th_s.size))
+        pa_i, pb_i = [], []
+        for ln in np.unique(lens[lens > 1]):
+            runs = starts[lens == ln]
+            i, j = np.triu_indices(int(ln), k=1)
+            a = c_s[(runs[:, None] + i[None, :]).ravel()]
+            b = c_s[(runs[:, None] + j[None, :]).ravel()]
+            pa_i.append(a)
+            pb_i.append(b)
+        if pa_i:
+            a = np.concatenate(pa_i)
+            b = np.concatenate(pb_i)
+            pair, cnt = np.unique(a * src_u.size + b,
+                                  return_counts=True)
+            pair_a = src_u[pair // src_u.size]
+            pair_b = src_u[pair % src_u.size]
+        else:
+            pair_a = pair_b = np.empty(0, dtype=object)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "source_a": pa.array(
+                np.concatenate([pair_a, src_u]), type=pa.string()),
+            "source_b": pa.array(
+                np.concatenate([pair_b,
+                                np.full(src_u.size, "", object)]),
+                type=pa.string()),
+            "n": pa.array(np.concatenate(
+                [cnt.astype(np.int64), per_src.astype(np.int64)])),
+        })
+
+    merged = (ds.select_columns([source_col, text_col])
+              .map_batches(postings, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pyarrow")
+              .groupby(["source_a", "source_b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())  # sources²-bounded catalog
+
+    sizes = {r["source_a"]: int(r["n"]) for r in merged
+             if r["source_b"] == ""}
+    rows = [(r["source_a"], r["source_b"], int(r["n"]))
+            for r in merged if r["source_b"] != ""]
+    rows.sort()
+    out = {
+        "source_a": [a for a, _, _ in rows],
+        "source_b": [b for _, b, _ in rows],
+        "n_shared": [n for _, _, n in rows],
+        "n_a": [sizes[a] for a, _, _ in rows],
+        "n_b": [sizes[b] for _, b, _ in rows],
+    }
+    inter = np.array(out["n_shared"], dtype=np.float64)
+    na = np.array(out["n_a"], dtype=np.int64)
+    nbv = np.array(out["n_b"], dtype=np.int64)
+    out["jaccard"] = list(inter / (na + nbv - inter.astype(np.int64)))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(out["source_a"], type=pa.string()),
+        "source_b": pa.array(out["source_b"], type=pa.string()),
+        "n_shared": pa.array(out["n_shared"], type=pa.int64()),
+        "n_a": pa.array(out["n_a"], type=pa.int64()),
+        "n_b": pa.array(out["n_b"], type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+    }))

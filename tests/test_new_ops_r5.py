@@ -1063,3 +1063,62 @@ def test_event_transitions_tie_and_single(ray_session):
     got = event_transitions(ds).to_pandas()
     assert {(r.from_type, r.to_type): int(r.n)
             for r in got.itertuples()} == {("A", "B"): 1}
+
+
+# ---------------------------------------------------------------- T95
+
+
+def test_source_vocab_overlap_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.overlap_vocab import (
+        source_vocab_overlap)
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "text"])
+    vocab = collections.defaultdict(set)
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        vocab[s].update(_toks(txt))
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (inter, len(vocab[a]), len(vocab[b]),
+                                inter / (len(vocab[a]) + len(vocab[b])
+                                         - inter))
+
+    got = source_vocab_overlap(rd.from_arrow(t).repartition(4)) \
+        .to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        inter, na, nb_, j = want[(r.source_a, r.source_b)]
+        assert (int(r.n_shared), int(r.n_a), int(r.n_b)) == \
+            (inter, na, nb_)
+        assert abs(r.jaccard - j) < 1e-12
+
+    # bucket count never changes results
+    got2 = source_vocab_overlap(rd.from_arrow(t), n_buckets=8) \
+        .to_pandas()
+    assert got2.equals(got)
+
+
+def test_source_vocab_overlap_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.overlap_vocab import (
+        source_vocab_overlap)
+
+    ds = rd.from_items([
+        {"source": "s1", "text": "a b c"},
+        {"source": "s2", "text": "b c d"},
+        {"source": "s3", "text": "zzz"},      # disjoint -> absent
+        {"source": "s1", "text": None},
+    ])
+    got = source_vocab_overlap(ds).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
