@@ -2207,6 +2207,145 @@ def _q_temperature_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang", "source"])
 
 
+def _q_embedding_outliers(sf_dir: str):
+    """T96: per-label centroid outlier distance — labels×dims int64
+    micros partials, one tiny Sum, centroid broadcast via ray.put,
+    stateless squared-distance pass; no embedding-sized shuffle."""
+    from fast_langdetect_ray.stages.outliers import embedding_outliers
+    return embedding_outliers(_read(sf_dir, "embeddings"))
+
+
+def _q_import_cooccurrence(sf_dir: str):
+    """T97: top co-imported module pairs, with the same planted
+    import/include/require headers as ``top_imports`` (doc_id % 6,
+    plus a second header line so pairs exist) mirrored in the
+    oracle."""
+    from fast_langdetect_ray.stages.code import import_cooccurrence
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(batch["text"].to_pylist(), dtype=object)
+        out = txt.copy()
+        m = ids % 6
+        for cls, fmt in (
+            (0, lambda i, t:
+                f"import mod{i % 13}\nimport mod{i % 5}\n{t}"),
+            (1, lambda i, t:
+                f"#include <lib{i % 7}.h>\nimport mod{i % 13}\n{t}"),
+            (2, lambda i, t:
+                f"const x = require('pkg{i % 5}')\n"
+                f"const y = require('pkg{i % 3}')\n{t}"),
+        ):
+            sel = m == cls
+            out[sel] = [fmt(i, t) for i, t in zip(ids[sel], txt[sel])]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return import_cooccurrence(ds, top_k=25)
+
+
+def _q_user_value_anomalies(sf_dir: str):
+    """T98: per-user z-score anomaly counts over event values — pure
+    integer z² test on fixed-point cents (hash-exact, no float
+    policy); one user-bucket shuffle, vectorized per-bucket fold."""
+    from fast_langdetect_ray.stages.timeseries import user_value_anomalies
+    return user_value_anomalies(_read(sf_dir, "events"))
+
+
+def _q_source_length_drift(sf_dir: str):
+    """T99: pairwise KS distance between per-source doc-length
+    distributions — (source, bucket) partials, tiny Sum, catalog-sized
+    driver fold; CDF division is bit-identical both engines."""
+    from fast_langdetect_ray.stages.drift import source_length_drift
+    return source_length_drift(_read(sf_dir, "documents"))
+
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """T100: TPC-H Q3-shaped shipping-priority report — revenue of
+    undelivered BUILDING-segment orders: customer(filter) ⋈ orders
+    (filter) on the bucket join, lineitem pre-aggregated to per-order
+    revenue cents BEFORE its join (the big side never crosses the
+    exchange as raw rows), top-10 by (revenue desc, o_orderdate,
+    l_orderkey)."""
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.shufflejoin import hash_bucket_join
+
+    cutoff = pa.scalar(datetime.fromisoformat(_Q3_CUTOFF),
+                       type=pa.timestamp("us"))
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["o_orderdate"], cutoff)
+        t = batch.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"],
+                                  pa.scalar("BUILDING")))
+        return pa.table({"c_custkey": t["c_custkey"]})
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["l_shipdate"], cutoff)
+        t = batch.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64())
+        pt = pa.table({"o_orderkey": t["l_orderkey"], "cents": cents})
+        return pt.group_by(["o_orderkey"], use_threads=False) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["o_orderkey", "cents"])
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_proj, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    cust = (_read(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_mktsegment"])
+            .map_batches(cust_proj, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    seg_orders = hash_bucket_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        join_type="inner",
+        right_schema=pa.schema([pa.field("c_custkey", pa.int64())])
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    revenue = (_read(sf_dir, "lineitem")
+               .select_columns(["l_orderkey", "l_shipdate",
+                                "l_extendedprice", "l_discount"])
+               .map_batches(line_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("o_orderkey")
+               .aggregate(Sum("cents", alias_name="cents")))
+    joined = hash_bucket_join(
+        revenue, seg_orders, on=("o_orderkey",), join_type="inner",
+        right_schema=pa.schema([
+            pa.field("o_orderkey", pa.int64()),
+            pa.field("o_orderdate", pa.timestamp("us"))]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"],
+            "revenue": pc.divide(pc.cast(batch["cents"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "o_orderdate": batch["o_orderdate"],
+        })
+
+    return (joined.map_batches(finish, batch_format="pyarrow")
+            .sort(["revenue", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False])
+            .limit(10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2285,6 +2424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "event_transitions": _q_event_transitions,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "embedding_outliers": _q_embedding_outliers,
+        "import_cooccurrence": _q_import_cooccurrence,
+        "user_value_anomalies": _q_user_value_anomalies,
+        "source_length_drift": _q_source_length_drift,
+        "shipping_priority": _q_shipping_priority,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3541,6 +3685,138 @@ def oracle_sql() -> dict[str, str]:
             FROM pr
             JOIN sc ca ON ca.source = pr.sa
             JOIN sc cb ON cb.source = pr.sb
+        """,
+        # T96: same fixed-point micros centroid and the same
+        # (val − s6/1e6/n)² double ops as the engine; the 64-term
+        # positive sum's association drift is inside the %.9g hash
+        "embedding_outliers": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            ),
+            m AS (
+              SELECT label, dim,
+                     sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS s6,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY label, dim
+            )
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   sum((e.val - CAST(m.s6 AS DOUBLE) / 1e6 / m.n)
+                       * (e.val - CAST(m.s6 AS DOUBLE) / 1e6 / m.n))
+                       AS dist2
+            FROM e JOIN m ON m.label = e.label AND m.dim = e.dim
+            GROUP BY e.vec_id, e.label
+        """,
+        # T97: same planted headers as the engine-side plant(); the
+        # per-doc 32-module lexicographic cap mirrors max_imports
+        "import_cooccurrence": f"""
+            WITH mut AS (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'import mod' ||
+                            CAST(doc_id % 13 AS VARCHAR) || chr(10) ||
+                            'import mod' ||
+                            CAST(doc_id % 5 AS VARCHAR) || chr(10) || text
+                       WHEN 1 THEN '#include <lib' ||
+                            CAST(doc_id % 7 AS VARCHAR) || '.h>' ||
+                            chr(10) || 'import mod' ||
+                            CAST(doc_id % 13 AS VARCHAR) || chr(10) || text
+                       WHEN 2 THEN 'const x = require(''pkg' ||
+                            CAST(doc_id % 5 AS VARCHAR) || ''')' ||
+                            chr(10) || 'const y = require(''pkg' ||
+                            CAST(doc_id % 3 AS VARCHAR) || ''')' ||
+                            chr(10) || text
+                       ELSE text END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+              FROM mut
+            ),
+            ext AS (SELECT doc_id, {imp_coalesce} AS module FROM lines),
+            dm AS (SELECT DISTINCT doc_id, module FROM ext
+                   WHERE module IS NOT NULL
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY module) <= 32),
+            prs AS (
+              SELECT a.module AS module_a, b.module AS module_b,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM dm a JOIN dm b
+                ON a.doc_id = b.doc_id AND a.module < b.module
+              GROUP BY 1, 2
+            )
+            SELECT module_a, module_b, n_docs FROM prs
+            ORDER BY n_docs DESC, module_a, module_b
+            LIMIT 25
+        """,
+        # T98: the z² test multiplied through by n² — pure integer
+        # comparison, hash-exact (DuckDB widens to HUGEINT; the engine
+        # documents the int64 envelope)
+        "user_value_anomalies": """
+            WITH c AS (
+              SELECT user_id,
+                     CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(v) AS s1, sum(v * v) AS s2
+              FROM c GROUP BY user_id
+            )
+            SELECT s.user_id, s.n AS n_events,
+                   CAST(count(*) FILTER (
+                       WHERE (s.n * c.v - s.s1) * (s.n * c.v - s.s1)
+                             > 4 * (s.n * s.s2 - s.s1 * s.s1))
+                        AS BIGINT) AS n_anomalies
+            FROM c JOIN s USING (user_id)
+            GROUP BY s.user_id, s.n
+        """,
+        # T99: empirical CDFs on the union bucket grid; cum/total is
+        # the identical division both engines, KS = max of identical
+        # doubles
+        "source_length_drift": """
+            WITH c AS (
+              SELECT source, n_chars // 50 AS b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+                     FROM c GROUP BY source),
+            grid AS (SELECT DISTINCT b FROM c),
+            cdf AS (
+              SELECT s.source, g.b, s.t,
+                     CAST(sum(coalesce(c.n, 0)) OVER (
+                         PARTITION BY s.source ORDER BY g.b)
+                         AS DOUBLE) / CAST(s.t AS DOUBLE) AS f
+              FROM srcs s CROSS JOIN grid g
+              LEFT JOIN c ON c.source = s.source AND c.b = g.b
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   max(abs(a.f - b.f)) AS ks_stat,
+                   any_value(a.t) AS n_a, any_value(b.t) AS n_b
+            FROM cdf a JOIN cdf b
+              ON a.b = b.b AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # T100: TPC-H Q3 shape; revenue accumulates fixed-point cents
+        "shipping_priority": f"""
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(
+                       l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+              AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "event_transitions": """
             WITH o AS (

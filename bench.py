@@ -116,6 +116,11 @@ HEADLINE = [
     "orders_rollup",
     "event_transitions",
     "source_vocab_overlap",
+    "embedding_outliers",
+    "import_cooccurrence",
+    "user_value_anomalies",
+    "source_length_drift",
+    "shipping_priority",
 ]
 
 

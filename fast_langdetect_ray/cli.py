@@ -346,7 +346,9 @@ def cmd_prune(args: argparse.Namespace) -> int:
 def cmd_analyze(args: argparse.Namespace) -> int:
     """Corpus analysis reports: n-gram novelty per doc (cross-doc
     memorization/boilerplate risk), per-file line statistics with the
-    StarCoder structural keep flag, or SPDX license/provenance scan."""
+    StarCoder structural keep flag, SPDX license/provenance scan,
+    repo overlap, threshold sweep, PMI collocations, import
+    co-occurrence pairs, or per-source KS length drift."""
     import ray
 
     _init_ray(args.num_cpus)
@@ -369,6 +371,25 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.collocations import pmi_bigrams
             out = pmi_bigrams(ds, k=args.k_top, min_count=args.min_count,
                               text_col=args.text_col)
+        elif args.mode == "imports":
+            from .stages.code import import_cooccurrence
+            out = import_cooccurrence(ds, text_col=args.text_col,
+                                      top_k=args.k_top)
+        elif args.mode == "drift":
+            from .stages.drift import source_length_drift
+            if "n_chars" not in ds.schema().names:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                tc = args.text_col
+
+                def add_len(b: pa.Table) -> pa.Table:
+                    return b.append_column("n_chars", pc.cast(
+                        pc.utf8_length(pc.fill_null(b[tc], "")),
+                        pa.int64()))
+
+                ds = ds.map_batches(add_len, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            out = source_length_drift(ds, source_col=args.repo_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -393,7 +414,8 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 def cmd_events(args: argparse.Namespace) -> int:
     """Event-stream analytics over a parquet log: ``funnel`` counts
     users through ordered --steps, ``retention`` builds the weekly
-    cohort table, ``running`` appends per-user prefix aggregates."""
+    cohort table, ``running`` appends per-user prefix aggregates,
+    ``anomalies`` counts per-user z-score outliers."""
     import ray
 
     _init_ray(args.num_cpus)
@@ -411,6 +433,9 @@ def cmd_events(args: argparse.Namespace) -> int:
                                    ts_col=args.ts_col,
                                    period_us=args.period_hours
                                    * 3_600_000_000)
+        elif args.mode == "anomalies":
+            from .stages.timeseries import user_value_anomalies
+            out = user_value_anomalies(ds, user_col=args.user_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -765,7 +790,8 @@ def main(argv=None) -> int:
     an.add_argument("output", help="output parquet directory")
     an.add_argument("--mode", default="novelty",
                     choices=["novelty", "lines", "license", "overlap",
-                             "sweep", "collocations"])
+                             "sweep", "collocations", "imports",
+                             "drift"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,
@@ -794,7 +820,8 @@ def main(argv=None) -> int:
     ev.add_argument("input", help="parquet file or directory of fragments")
     ev.add_argument("output", help="output parquet directory")
     ev.add_argument("--mode", default="funnel",
-                    choices=["funnel", "retention", "running"])
+                    choices=["funnel", "retention", "running",
+                             "anomalies"])
     ev.add_argument("--steps", default="view,click,purchase",
                     help="funnel: ordered comma-separated event types")
     ev.add_argument("--period-hours", type=int, default=168,

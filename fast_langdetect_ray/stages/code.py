@@ -321,3 +321,99 @@ def top_imports(ds, text_col: str = "text", top_k: int = 25):
             "n_files": pa.array([], type=pa.int64()),
         }))
     return ranked
+
+
+def import_cooccurrence(ds, text_col: str = "text", top_k: int = 25,
+                        max_imports: int = 32):
+    """T97: top co-imported module pairs — ``(module_a, module_b,
+    n_docs)`` counting files importing BOTH, sorted (n_docs desc,
+    module_a, module_b asc), pairs ordered ``module_a < module_b``.
+    The market-basket statistic behind dependency-graph mining and
+    "files that import X also import Y" curation reports.
+
+    Per batch: the same vectorized line-split + regex-extract pass as
+    :func:`top_imports`, per-doc DISTINCT modules via lexsort, a
+    per-doc cap of the first ``max_imports`` modules in lexicographic
+    order (quadratic-blowup guard, mirrored by the oracle's
+    ``row_number() OVER (PARTITION BY doc ORDER BY module)`` band),
+    then all within-doc pairs via run-offset ``triu`` indices — docs
+    live in one batch, so per-batch (pair, count) partials are exact
+    and a pair-keyed ``Sum`` finishes.  Final table is vocabulary²-
+    bounded and cut to ``top_k`` by a lossless sort+limit.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "module_a": pa.array([], type=pa.string()),
+            "module_b": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+        })
+        txt = pc.fill_null(batch[text_col], "")
+        lists = pc.split_pattern(txt, pattern="\n")
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mods = np.asarray(_first_line_import(
+            pc.list_flatten(lists)).to_pylist(), dtype=object)
+        hit = mods != ""
+        if not hit.any():
+            return empty
+        mods, parent = mods[hit], parent[hit]
+        # per-doc distinct modules, lexicographic within doc
+        order = np.lexsort((mods, parent))
+        m_s, p_s = mods[order], parent[order]
+        first = np.empty(m_s.size, dtype=bool)
+        first[0] = True
+        first[1:] = (m_s[1:] != m_s[:-1]) | (p_s[1:] != p_s[:-1])
+        m_s, p_s = m_s[first], p_s[first]
+        # cap: keep the first max_imports per doc (sorted by module)
+        doc_first = np.empty(p_s.size, dtype=bool)
+        doc_first[0] = True
+        doc_first[1:] = p_s[1:] != p_s[:-1]
+        starts = np.flatnonzero(doc_first)
+        seglen = np.diff(np.append(starts, p_s.size))
+        rank = np.arange(p_s.size, dtype=np.int64) - np.repeat(
+            starts, seglen)
+        keep = rank < max_imports
+        m_s, p_s = m_s[keep], p_s[keep]
+        doc_first = np.empty(p_s.size, dtype=bool)
+        if p_s.size:
+            doc_first[0] = True
+            doc_first[1:] = p_s[1:] != p_s[:-1]
+        starts = np.flatnonzero(doc_first)
+        seglen = np.diff(np.append(starts, p_s.size))
+        mod_u, codes = np.unique(m_s, return_inverse=True)
+        ai, bi = [], []
+        for ln in np.unique(seglen[seglen > 1]):
+            runs = starts[seglen == ln]
+            i, j = np.triu_indices(int(ln), k=1)
+            ai.append(codes[(runs[:, None] + i[None, :]).ravel()])
+            bi.append(codes[(runs[:, None] + j[None, :]).ravel()])
+        if not ai:
+            return empty
+        a = np.concatenate(ai)
+        b = np.concatenate(bi)
+        pair, cnt = np.unique(a * mod_u.size + b, return_counts=True)
+        return pa.table({
+            "module_a": pa.array(mod_u[pair // mod_u.size],
+                                 type=pa.string()),
+            "module_b": pa.array(mod_u[pair % mod_u.size],
+                                 type=pa.string()),
+            "n_docs": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["module_a", "module_b"])
+           .aggregate(Sum("n_docs", alias_name="n_docs")))
+    ranked = agg.sort(["n_docs", "module_a", "module_b"],
+                      descending=[True, False, False]) \
+        .limit(top_k).materialize()
+    if ranked.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "module_a": pa.array([], type=pa.string()),
+            "module_b": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }))
+    return ranked

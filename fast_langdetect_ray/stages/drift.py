@@ -1,0 +1,101 @@
+"""Distribution drift between corpus strata: per-source-pair
+Kolmogorov–Smirnov distance over a bucketed value column.
+
+The monitoring statistic a data pipeline computes when a new crawl /
+source is mixed in: how far apart are two sources' document-length
+(or score) distributions?  KS ≈ 0 → interchangeable strata; KS → 1 →
+a distribution shift worth a re-weighting decision.  (Same role as
+the snapshot-diff operator for row identity — this one compares
+DISTRIBUTIONS; see stages/snapshot.py:34.)
+
+Scale shape: each batch leaves as its ``(source, bucket, count)``
+projection (value-domain × sources bounded — corpus-row independent),
+ONE tiny ``groupby.Sum`` merges the partials, and the pairwise KS fold
+runs on the driver over a catalog-sized table (sources × buckets; the
+``take_all`` is bounded by the same contract as source_dup_stats).
+
+Cross-engine float policy: the empirical CDF is ``cum / total`` — one
+integer division pair per grid point, bit-identical in both engines —
+and KS is a max of abs-differences of those identical doubles, so the
+result hashes exactly (no tolerance needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def source_length_drift(ds, source_col: str = "source",
+                        value_col: str = "n_chars",
+                        bucket_width: int = 50):
+    """Unordered source pairs with ``(ks_stat, n_a, n_b)``: the KS
+    distance between the two sources' empirical CDFs over
+    ``value // bucket_width`` buckets.  Pairs ordered
+    ``source_a < source_b`` lexicographically."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    bw = np.int64(bucket_width)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch[source_col], dtype=object)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = v // bw
+        src_u, codes = np.unique(srcs, return_inverse=True)
+        # dense (source, bucket) cell counts within the batch
+        b_u, b_codes = np.unique(b, return_inverse=True)
+        cell = codes * b_u.size + b_codes
+        cell_u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            source_col: pa.array(src_u[cell_u // b_u.size],
+                                 type=pa.string()),
+            "b": pa.array(b_u[cell_u % b_u.size]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = (ds.select_columns([source_col, value_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([source_col, "b"])
+             .aggregate(Sum("n", alias_name="n"))
+             .take_all())  # sources × value-domain — catalog-sized
+
+    empty = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "ks_stat": pa.array([], type=pa.float64()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+    })
+    if not cells:
+        return rd.from_arrow(empty)
+    sources = sorted({r[source_col] for r in cells})
+    grid = np.array(sorted({int(r["b"]) for r in cells}),
+                    dtype=np.int64)
+    s_index = {s: i for i, s in enumerate(sources)}
+    counts = np.zeros((len(sources), grid.size), dtype=np.int64)
+    for r in cells:
+        counts[s_index[r[source_col]],
+               np.searchsorted(grid, int(r["b"]))] = int(r["n"])
+    totals = counts.sum(axis=1)
+    # empirical CDF on the union grid: cum / total, same division the
+    # oracle's window-sum expression evaluates
+    cdf = np.cumsum(counts, axis=1).astype(np.float64) \
+        / totals.astype(np.float64)[:, None]
+    rows_a, rows_b, ks, na, nb_ = [], [], [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            rows_a.append(sources[i])
+            rows_b.append(sources[j])
+            ks.append(float(np.max(np.abs(cdf[i] - cdf[j]))))
+            na.append(int(totals[i]))
+            nb_.append(int(totals[j]))
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(rows_a, type=pa.string()),
+        "source_b": pa.array(rows_b, type=pa.string()),
+        "ks_stat": pa.array(ks, type=pa.float64()),
+        "n_a": pa.array(na, type=pa.int64()),
+        "n_b": pa.array(nb_, type=pa.int64()),
+    }))

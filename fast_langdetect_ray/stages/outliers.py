@@ -1,0 +1,122 @@
+"""Per-label embedding centroid + outlier distance.
+
+The embedding-space quality check a curator runs before training on a
+labeled (or clustered) corpus: compute each label's centroid, then
+every vector's squared Euclidean distance to its own label's centroid
+— large distances flag mislabeled / outlier examples (the pruning
+signal behind SemDeDup-style curation and k-means-based filtering; see
+stages/similarity.py:403 for the clustering complement).
+
+Scale shape: batches leave as ``labels × dims``-sized integer partial
+sums (never raw vectors), ONE tiny ``groupby(["label","dim"]).Sum``
+reduces them, the centroid table (a catalog: labels × dims rows,
+corpus-row independent) is broadcast once via ``ray.put``, and a
+stateless second pass scores every vector — no shuffle of
+embedding-sized data, output streams row-for-row.
+
+Cross-engine float policy (BASELINE.md): centroid partial sums
+accumulate fixed-point **micros** (``floor(val·1e6 + 0.5)`` int64), so
+the cross-row sum is order-independent and exact in both engines; the
+centroid ``s6/1e6/n`` and the per-row ``(val − c)²`` terms are the
+same IEEE double ops on both sides, and the final 64-term
+positive-sum's last-ulp association drift is absorbed by the driver's
+9-significant-digit value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Fixed-dim (n, d) float64 matrix from a list<float> column."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if lens.size == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("embedding_outliers requires fixed-length vectors")
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(-1, d)
+
+
+def embedding_outliers(ds, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label"):
+    """Per vector: ``(vec_id, label, dist2)`` — squared Euclidean
+    distance to the vector's own label centroid (population mean)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _vectors(batch, vec_col)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if V.size == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "s6": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        v6 = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        lab_u, codes = np.unique(labels, return_inverse=True)
+        acc = np.zeros((lab_u.size, V.shape[1]), dtype=np.int64)
+        np.add.at(acc, codes, v6)
+        cnt = np.bincount(codes, minlength=lab_u.size).astype(np.int64)
+        d = V.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(lab_u, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    lab_u.size)),
+            "s6": pa.array(acc.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    cells = (ds.select_columns([vec_col, label_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["label", "dim"])
+             .aggregate(Sum("s6", alias_name="s6"),
+                        Sum("n", alias_name="n"))
+             .take_all())  # labels × dims — a catalog, not a corpus
+    if not cells:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            label_col: pa.array([], type=pa.int64()),
+            "dist2": pa.array([], type=pa.float64()),
+        }))
+    labs = sorted({int(r["label"]) for r in cells})
+    d = 1 + max(int(r["dim"]) for r in cells)
+    lab_index = {v: i for i, v in enumerate(labs)}
+    cent = np.zeros((len(labs), d), dtype=np.float64)
+    for r in cells:
+        # same op order as the oracle: (s6 AS DOUBLE) / 1e6 / n
+        cent[lab_index[int(r["label"])], int(r["dim"])] = \
+            float(r["s6"]) / 1e6 / int(r["n"])
+    cent_ref = ray.put((lab_index, cent))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lab_idx, C = ray.get(cent_ref)
+        V = _vectors(batch, vec_col)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rows = np.fromiter((lab_idx[int(v)] for v in labels),
+                           dtype=np.int64, count=labels.size)
+        diff = V - C[rows]
+        dist2 = np.sum(diff * diff, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            label_col: pa.array(labels),
+            "dist2": pa.array(dist2),
+        })
+
+    return (ds.select_columns([id_col, vec_col, label_col])
+            .map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True))

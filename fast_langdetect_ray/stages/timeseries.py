@@ -182,6 +182,89 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
             .aggregate(Sum("n", alias_name="n_users")))
 
 
+def user_value_anomalies(ds, user_col: str = "user_id",
+                         value_col: str = "value",
+                         tau2: int = 4,
+                         n_buckets: int | None = None):
+    """Per-user anomaly screen over the event stream: for each user,
+    how many of their events sit more than ``sqrt(tau2)`` population
+    standard deviations from the user's own mean value.  Output:
+    ``(user_id, n_events, n_anomalies)``.
+
+    Exactness: values enter as fixed-point **cents** int64, and the
+    z-test is evaluated in PURE INTEGER form —
+
+        ``(n·v − s1)² > tau2 · (n·s2 − s1²)``
+
+    (multiply ``(v − s1/n)² > tau2 · (s2/n − (s1/n)²)`` through by
+    ``n²``) — so both engines compare exact integers and the output is
+    hash-exact with no float policy needed.  ``var == 0`` or ``n == 1``
+    ⇒ rhs 0 and lhs 0 ⇒ no anomalies, both engines.
+
+    Overflow envelope (int64): needs ``(n·max_cents)² < 2⁶³`` and
+    ``n·Σv² < 2⁶³`` per user — holds for ~10⁵ events/user at values up
+    to ~10⁴; beyond that, shrink the fixed-point scale or split the
+    window (DuckDB widens to HUGEINT automatically; numpy does not).
+
+    Scale shape: ONE user-hash bucket shuffle co-locates whole users;
+    each bucket lexsorts once, folds ``(n, Σv, Σv²)`` per user with
+    ``np.add.reduceat``, and counts the integer condition per segment
+    — Python once per bucket, output user-sized, streaming."""
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+    t2 = np.int64(tau2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        return pa.table({
+            "u": pa.array(users),
+            "v": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        o = np.argsort(u, kind="stable")
+        u_s, v_s = u[o], v[o]
+        first = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(first)
+        seglen = np.diff(np.append(starts, u_s.size))
+        s1 = np.add.reduceat(v_s, starts) if starts.size \
+            else np.empty(0, dtype=np.int64)
+        s2 = np.add.reduceat(v_s * v_s, starts) if starts.size \
+            else np.empty(0, dtype=np.int64)
+        n = seglen.astype(np.int64)
+        # per-event integer z² test, segment stats broadcast by repeat
+        nn = np.repeat(n, seglen)
+        lhs = nn * v_s - np.repeat(s1, seglen)
+        rhs = t2 * (nn * np.repeat(s2, seglen)
+                    - np.repeat(s1 * s1, seglen))
+        anom = (lhs * lhs > rhs).astype(np.int64)
+        n_anom = np.add.reduceat(anom, starts) if starts.size \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u_s[first]),
+            "n_events": pa.array(n),
+            "n_anomalies": pa.array(n_anom.astype(np.int64)),
+        })
+
+    return (ds.select_columns([user_col, value_col])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 def event_transitions(ds, user_col: str = "user_id",
                       ts_col: str = "ts", id_col: str = "event_id",
                       type_col: str = "event_type",

@@ -726,3 +726,59 @@ def test_cli_events_funnel_retention_running(tmp_path):
     assert got3["running_n"].tolist() == [1, 2, 3, 1, 2]
     assert got3["running_value_micros"].tolist() == [
         1_000_000, 3_000_000, 6_000_000, 4_000_000, 9_000_000]
+
+
+def test_cli_analyze_imports_drift_and_events_anomalies(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "source": ["web", "web", "books"],
+        "text": ["import alpha\nimport beta\nbody",
+                 "import alpha\nimport beta",
+                 "no imports, much longer body " * 20],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "imports"
+    p = _run("analyze", str(src), str(out), "--mode", "imports",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert len(got) == 1
+    assert (got.loc[0, "module_a"], got.loc[0, "module_b"],
+            got.loc[0, "n_docs"]) == ("alpha", "beta", 2)
+
+    out2 = tmp_path / "drift"
+    p = _run("analyze", str(src), str(out2), "--mode", "drift",
+             "--repo-col", "source", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    # short web docs vs one long books doc: disjoint buckets, KS = 1
+    assert got2["ks_stat"].tolist() == [1.0]
+    assert (got2.loc[0, "source_a"], got2.loc[0, "source_b"]) == (
+        "books", "web")
+
+    ev = pa.table({
+        "event_id": pa.array(range(4), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": ["view"] * 4,
+        "value": [1.0, 1.0, 1.0, 9.0],
+    })
+    esrc = tmp_path / "events.parquet"
+    pq.write_table(ev, esrc)
+    out3 = tmp_path / "anom"
+    p = _run("events", str(esrc), str(out3), "--mode", "anomalies",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got3 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out3.rglob("*.parquet"))
+    ]).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert got3["n_events"].tolist() == [3, 1]
+    assert got3["n_anomalies"].tolist() == [0, 0]

@@ -1,0 +1,274 @@
+"""Round-5 second-session operators: T96 embedding centroid outliers,
+T97 import co-occurrence pairs, T98 per-user integer z-score anomaly
+counts, T99 per-source-pair KS length drift, T100 TPC-H-Q3-shaped
+shipping priority — each against a pure-Python/numpy brute-force
+oracle on sf0.001 plus synthetic edges and partition invariance."""
+
+import collections
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- T96
+
+
+def test_embedding_outliers_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.outliers import embedding_outliers
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+
+    # brute force with the SAME fixed-point centroid definition
+    v6 = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    want = {}
+    for lab in np.unique(labels):
+        sel = labels == lab
+        c = v6[sel].sum(axis=0).astype(np.float64) / 1e6 / sel.sum()
+        d2 = ((V[sel] - c) ** 2).sum(axis=1)
+        want.update(dict(zip(ids[sel], d2)))
+
+    got = embedding_outliers(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    assert len(got) == len(ids)
+    for _, r in got.iterrows():
+        assert abs(r["dist2"] - want[r["vec_id"]]) <= 1e-9 * max(
+            1.0, want[r["vec_id"]])
+
+    # partition invariance (block layout must not change centroids)
+    got2 = embedding_outliers(rd.from_arrow(t)).to_pandas()
+    a = got.sort_values("vec_id").reset_index(drop=True)
+    b = got2.sort_values("vec_id").reset_index(drop=True)
+    assert np.allclose(a["dist2"], b["dist2"], rtol=0, atol=0)
+
+
+def test_embedding_outliers_single_label_and_identical(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.outliers import embedding_outliers
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]] * 3,
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 7], type=pa.int32()),
+    })
+    got = embedding_outliers(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 3
+    assert (got["dist2"].abs() < 1e-12).all()
+
+
+# ---------------------------------------------------------------- T97
+
+_PATS = [
+    re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    re.compile(r"^\s*#include\s*[<\"]([^>\"]+)[>\"]"),
+    re.compile(r"(?:require\(|from\s+)['\"]([^'\"]+)['\"]"),
+]
+
+
+def _doc_mods(text, cap=32):
+    mods = set()
+    for line in text.split("\n"):
+        for p in _PATS:
+            m = p.search(line)
+            if m:
+                mods.add(m.group(1))
+                break
+    return sorted(mods)[:cap]
+
+
+def test_import_cooccurrence_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.code import import_cooccurrence
+
+    docs = [
+        "import alpha\nimport beta\nx = 1",
+        "import alpha\nimport beta\nimport gamma",
+        "#include <alpha>\nimport beta",
+        "from alpha import x\nconst y = require('beta')",
+        "no imports here",
+        "import solo",
+    ]
+    counts = collections.Counter()
+    for d in docs:
+        mods = _doc_mods(d)
+        for i in range(len(mods)):
+            for j in range(i + 1, len(mods)):
+                counts[(mods[i], mods[j])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    t = pa.table({"text": pa.array(docs, type=pa.string())})
+    got = import_cooccurrence(
+        rd.from_arrow(t).repartition(3), top_k=25).to_pandas()
+    got_rows = [((r["module_a"], r["module_b"]), r["n_docs"])
+                for _, r in got.iterrows()]
+    assert got_rows == want
+    # (alpha, beta) co-occur in 4 docs
+    assert got_rows[0] == (("alpha", "beta"), 4)
+
+
+def test_import_cooccurrence_cap_and_empty(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.code import import_cooccurrence
+
+    # cap: a doc with 5 imports capped at 3 keeps the 3 smallest
+    doc = "\n".join(f"import m{i}" for i in [4, 0, 3, 1, 2])
+    t = pa.table({"text": pa.array([doc], type=pa.string())})
+    got = import_cooccurrence(rd.from_arrow(t), top_k=25,
+                              max_imports=3).to_pandas()
+    pairs = {(r["module_a"], r["module_b"]) for _, r in got.iterrows()}
+    assert pairs == {("m0", "m1"), ("m0", "m2"), ("m1", "m2")}
+
+    empty = import_cooccurrence(rd.from_arrow(pa.table({
+        "text": pa.array(["nothing", "to see"], type=pa.string())
+    })))
+    assert empty.count() == 0
+    # 0-row to_pandas drops columns (BASELINE.md pitfall): assert the
+    # Dataset schema instead
+    assert empty.schema().names == ["module_a", "module_b", "n_docs"]
+
+
+# ---------------------------------------------------------------- T98
+
+
+def test_user_value_anomalies_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import user_value_anomalies
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["user_id", "value"])
+    users = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+    vals = np.asarray(t["value"].to_pylist(), dtype=np.float64)
+    v = np.floor(np.nan_to_num(vals) * 100 + 0.5).astype(np.int64)
+
+    want = {}
+    for u in np.unique(users):
+        sel = users == u
+        vv = v[sel]
+        n = np.int64(vv.size)
+        s1, s2 = vv.sum(), (vv * vv).sum()
+        lhs = (n * vv - s1).astype(np.int64)
+        want[int(u)] = (int(n),
+                        int(((lhs * lhs) > 4 * (n * s2 - s1 * s1)).sum()))
+
+    got = user_value_anomalies(
+        rd.from_arrow(t).repartition(7)).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert (r["n_events"], r["n_anomalies"]) == want[int(r["user_id"])]
+
+
+def test_user_value_anomalies_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import user_value_anomalies
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2, 2, 3, 3], type=pa.int64()),
+        # user 1: single event; user 2: constant; user 3: one outlier
+        "value": pa.array([5.0, 2.0, 2.0, 2.0, 1.0, 1.0],
+                          type=pa.float64()),
+    })
+    got = user_value_anomalies(rd.from_arrow(t)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert got.loc[1, "n_anomalies"] == 0   # n=1 → var undefined → 0
+    assert got.loc[2, "n_anomalies"] == 0   # zero variance → 0
+    assert got.loc[3, "n_anomalies"] == 0   # two points: |z| == 1 < 2
+    assert list(got["n_events"]) == [1, 3, 2]
+
+
+# ---------------------------------------------------------------- T99
+
+
+def test_source_length_drift_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.drift import source_length_drift
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "n_chars"])
+    srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+    v = np.asarray(t["n_chars"].to_pylist(), dtype=np.int64) // 50
+    grid = np.unique(v)
+    su = sorted(set(srcs))
+    cdfs, tot = {}, {}
+    for s in su:
+        c = np.array([(v[srcs == s] == b).sum() for b in grid],
+                     dtype=np.int64)
+        tot[s] = int(c.sum())
+        cdfs[s] = np.cumsum(c) / c.sum()
+
+    got = source_length_drift(
+        rd.from_arrow(t).repartition(6)).to_pandas()
+    assert len(got) == len(su) * (len(su) - 1) // 2
+    for _, r in got.iterrows():
+        ks = float(np.max(np.abs(cdfs[r["source_a"]]
+                                 - cdfs[r["source_b"]])))
+        assert abs(r["ks_stat"] - ks) < 1e-12
+        assert (r["n_a"], r["n_b"]) == (tot[r["source_a"]],
+                                        tot[r["source_b"]])
+        assert r["source_a"] < r["source_b"]
+
+
+def test_source_length_drift_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.drift import source_length_drift
+
+    # single source → no pairs, typed empty
+    one = source_length_drift(rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a"], type=pa.string()),
+        "n_chars": pa.array([10, 999], type=pa.int64()),
+    })))
+    assert one.count() == 0
+    assert "ks_stat" in one.schema().names  # 0-row to_pandas pitfall
+
+    # disjoint supports → KS == 1
+    two = source_length_drift(rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "b", "b"], type=pa.string()),
+        "n_chars": pa.array([0, 10, 5000, 6000], type=pa.int64()),
+    }))).to_pandas()
+    assert len(two) == 1
+    assert two.loc[0, "ks_stat"] == 1.0
+
+
+# --------------------------------------------------------------- T100
+
+
+def test_shipping_priority_matches_pandas(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["shipping_priority"](SF_DIR).to_pandas()
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    cutoff = np.datetime64(em._Q3_CUTOFF)
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                        "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cutoff)
+               & orders["o_custkey"].isin(keys)]
+    l = li[li["l_shipdate"] > cutoff].copy()
+    l["cents"] = np.floor(
+        l["l_extendedprice"] * (1 - l["l_discount"]) * 100 + 0.5
+    ).astype(np.int64)
+    rev = l.groupby("l_orderkey")["cents"].sum()
+    m = o.merge(rev.rename("cents"), left_on="o_orderkey",
+                right_index=True)
+    m["revenue"] = m["cents"].astype(np.float64) / 100
+    m = m.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                      ascending=[False, True, True]).head(10)
+    assert list(got["l_orderkey"]) == list(m["o_orderkey"])
+    assert np.allclose(got["revenue"], m["revenue"], rtol=0, atol=0)
