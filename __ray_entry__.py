@@ -2346,6 +2346,56 @@ def _q_shipping_priority(sf_dir: str):
             .limit(10))
 
 
+def _q_lang_source_assoc(sf_dir: str):
+    """T101: lang × source contingency cells + PMI — one partial-count
+    pass, category-bounded fold; ln-tolerance class float policy."""
+    from fast_langdetect_ray.stages.assoc import lang_source_assoc
+    return lang_source_assoc(_read(sf_dir, "documents"))
+
+
+def _q_value_hour_corr(sf_dir: str):
+    """T102: per-event-type Pearson corr(hour-of-day, value) from
+    one-pass integer moment partials; integer-first expression shared
+    with the oracle."""
+    from fast_langdetect_ray.stages.timeseries import value_hour_correlation
+    return value_hour_correlation(_read(sf_dir, "events"))
+
+
+def _q_orders_month_share(sf_dir: str):
+    """T103: order-priority composition per month — (month, priority,
+    n_orders, share-of-month); month-bounded partial counts, tiny Sum,
+    per-month share fold; the share division is identical both
+    engines."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "month": pc.floor_temporal(batch["o_orderdate"],
+                                       unit="month"),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+        return t.group_by(["month", "o_orderpriority"],
+                          use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["month", "o_orderpriority", "n"])
+
+    def shares(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g["n_orders"].sum())
+        g = g.sort_values("o_orderpriority").reset_index(drop=True)
+        g["share"] = g["n_orders"].astype("float64") / float(tot)
+        return g
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_orderdate", "o_orderpriority"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["month", "o_orderpriority"])
+            .aggregate(Sum("n", alias_name="n_orders"))
+            .groupby("month")
+            .map_groups(shares, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2429,6 +2479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_anomalies": _q_user_value_anomalies,
         "source_length_drift": _q_source_length_drift,
         "shipping_priority": _q_shipping_priority,
+        "lang_source_assoc": _q_lang_source_assoc,
+        "value_hour_corr": _q_value_hour_corr,
+        "orders_month_share": _q_orders_month_share,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3817,6 +3870,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        # T101: per-cell PMI from exact integer counts; ln-tolerance
+        # class (the pmi_bigrams precedent)
+        "lang_source_assoc": """
+            WITH c AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+                  FROM c GROUP BY 1),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                  FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+            SELECT c.lang, c.source, c.n,
+                   ln(CAST(c.n AS DOUBLE) * t.nt
+                      / (CAST(l.nl AS DOUBLE) * s.ns)) AS pmi
+            FROM c
+            JOIN l USING (lang) JOIN s USING (source)
+            CROSS JOIN t
+        """,
+        # T102: integer-first Pearson moments; only sqrt/divide
+        # last-ulp drift remains (9-sig-digit hash class)
+        "value_hour_corr": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(extract(hour FROM ts) AS BIGINT) AS x,
+                     CAST(floor(coalesce(value, 0.0) * 100 + 0.5)
+                          AS BIGINT) AS y
+              FROM events
+            ),
+            m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sx2,
+                     CAST(sum(y * y) AS BIGINT) AS sy2
+              FROM e GROUP BY event_type
+            )
+            SELECT event_type, n AS n_events,
+                   CASE WHEN (n * sx2 - sx * sx) > 0
+                         AND (n * sy2 - sy * sy) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * sy2 - sy * sy
+                                            AS DOUBLE)))
+                        ELSE NULL END AS corr
+            FROM m
+        """,
+        # T103: composition-over-time share; cum/total-style division
+        # identical both engines
+        "orders_month_share": """
+            WITH c AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT month, o_orderpriority, n_orders,
+                   CAST(n_orders AS DOUBLE)
+                   / CAST(sum(n_orders) OVER (PARTITION BY month)
+                          AS DOUBLE) AS share
+            FROM c
         """,
         "event_transitions": """
             WITH o AS (

@@ -121,6 +121,9 @@ HEADLINE = [
     "user_value_anomalies",
     "source_length_drift",
     "shipping_priority",
+    "lang_source_assoc",
+    "value_hour_corr",
+    "orders_month_share",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Categorical association diagnostics over corpus strata.
+
+``lang_source_assoc`` — the contingency table + pointwise mutual
+information between two categorical columns (default: language ×
+source).  The mixing diagnostic behind "is this source dominated by
+one language?" decisions: PMI > 0 marks over-represented cells,
+PMI < 0 under-represented ones (Church–Hanks PMI, the same statistic
+stages/collocations.py applies to token bigrams, here applied to
+corpus metadata).
+
+Scale shape: ONE pass of (lang, source, count) partials per batch —
+cells are category-domain bounded, corpus-row independent — a tiny
+``groupby.Sum``, then a catalog-sized driver fold computes margins
+and per-cell PMI (the ``take_all`` is bounded by the same contract as
+source_dup_stats).
+
+Cross-engine float policy: PMI is ONE fixed-shape expression over
+exact integers — ``ln(CAST(n AS DOUBLE) · N / (CAST(nl AS DOUBLE) ·
+ns))`` — the ln-tolerance class (pmi_bigrams precedent): both engines
+evaluate the same doubles, libm last-ulp drift is absorbed by the
+driver's 9-significant-digit hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def lang_source_assoc(ds, a_col: str = "lang", b_col: str = "source"):
+    """Contingency cells ``(lang, source, n, pmi)`` with
+    ``pmi = ln(n·N / (n_a·n_b))``; one row per observed cell."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({a_col: batch[a_col], b_col: batch[b_col]})
+        return t.group_by([a_col, b_col], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([a_col, b_col, "n"])
+
+    cells = (ds.select_columns([a_col, b_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([a_col, b_col])
+             .aggregate(Sum("n", alias_name="n"))
+             .take_all())  # category-domain bounded — a catalog
+    if not cells:
+        return rd.from_arrow(pa.table({
+            a_col: pa.array([], type=pa.string()),
+            b_col: pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64()),
+        }))
+    cells.sort(key=lambda r: (r[a_col], r[b_col]))
+    a = np.asarray([r[a_col] for r in cells], dtype=object)
+    b = np.asarray([r[b_col] for r in cells], dtype=object)
+    n = np.asarray([int(r["n"]) for r in cells], dtype=np.int64)
+    nt = np.int64(n.sum())
+    a_u, a_codes = np.unique(a, return_inverse=True)
+    b_u, b_codes = np.unique(b, return_inverse=True)
+    na = np.bincount(a_codes, weights=n.astype(np.float64),
+                     minlength=a_u.size).astype(np.int64)
+    nb_ = np.bincount(b_codes, weights=n.astype(np.float64),
+                      minlength=b_u.size).astype(np.int64)
+    # same expression shape as the oracle:
+    #   ln(CAST(n AS DOUBLE) * nt / (CAST(na AS DOUBLE) * nb))
+    pmi = np.log(n.astype(np.float64) * np.float64(nt)
+                 / (na[a_codes].astype(np.float64)
+                    * nb_[b_codes].astype(np.float64)))
+    return rd.from_arrow(pa.table({
+        a_col: pa.array(a, type=pa.string()),
+        b_col: pa.array(b, type=pa.string()),
+        "n": pa.array(n),
+        "pmi": pa.array(pmi),
+    }))

@@ -265,6 +265,95 @@ def user_value_anomalies(ds, user_col: str = "user_id",
             .map_groups(fold, batch_format="pyarrow"))
 
 
+def value_hour_correlation(ds, type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           value_col: str = "value"):
+    """Per-event-type Pearson correlation between hour-of-day and
+    event value — the one-pass distributed moment statistic (does
+    "purchase" value peak in the evening?).  Output:
+    ``(event_type, n_events, corr)``; ``corr`` NULL when either
+    variance is zero (or n == 1).
+
+    Exactness: x = hour (0–23 integer), y = fixed-point cents int64;
+    the six moments ``(n, Σx, Σy, Σxy, Σx², Σy²)`` are integer partial
+    sums (order-independent, exact both engines), and
+
+        ``corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄))``
+
+    is evaluated integer-first (numerator/denominators as int64, THEN
+    cast to double) in the same shape as the oracle, so only sqrt/
+    divide last-ulp drift remains — inside the driver's 9-sig-digit
+    hash.  Int64 envelope: needs ``n·Σy² < 2⁶³`` per group (~10⁵
+    events/group at values up to ~10³); DuckDB widens to HUGEINT
+    automatically, numpy does not — shrink the fixed-point scale for
+    bigger groups.
+
+    Scale shape: per-batch moment partials (groups × 6 ints — corpus-
+    row independent) → tiny ``groupby.Sum`` → one fixed-shape finish.
+    No shuffle of event-sized data."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tcol = batch[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        x = pc.hour(tcol.cast(pa.timestamp("us"))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = np.floor(np.where(np.isnan(v), 0.0, v) * 100.0 + 0.5) \
+            .astype(np.int64)
+        types_u, codes = np.unique(
+            np.asarray(batch[type_col], dtype=object),
+            return_inverse=True)
+        def seg(vals):
+            return np.bincount(codes, weights=vals.astype(np.float64),
+                               minlength=types_u.size).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(types_u, type=pa.string()),
+            "n": pa.array(np.bincount(
+                codes, minlength=types_u.size).astype(np.int64)),
+            "sx": pa.array(seg(x)),
+            "sy": pa.array(seg(y)),
+            "sxy": pa.array(seg(x * y)),
+            "sx2": pa.array(seg(x * x)),
+            "sy2": pa.array(seg(y * y)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        sx = batch["sx"].to_numpy().astype(np.int64)
+        sy = batch["sy"].to_numpy().astype(np.int64)
+        sxy = batch["sxy"].to_numpy().astype(np.int64)
+        sx2 = batch["sx2"].to_numpy().astype(np.int64)
+        sy2 = batch["sy2"].to_numpy().astype(np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        dx = (n * sx2 - sx * sx).astype(np.float64)
+        dy = (n * sy2 - sy * sy).astype(np.float64)
+        denom = np.sqrt(dx) * np.sqrt(dy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom > 0.0, num / denom, np.nan)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": pa.array(n),
+            "corr": pa.array(corr, type=pa.float64()),
+        })
+
+    return (ds.select_columns([type_col, ts_col, value_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxy", alias_name="sxy"),
+                       Sum("sx2", alias_name="sx2"),
+                       Sum("sy2", alias_name="sy2"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def event_transitions(ds, user_col: str = "user_id",
                       ts_col: str = "ts", id_col: str = "event_id",
                       type_col: str = "event_type",

@@ -272,3 +272,124 @@ def test_shipping_priority_matches_pandas(ray_session):
                       ascending=[False, True, True]).head(10)
     assert list(got["l_orderkey"]) == list(m["o_orderkey"])
     assert np.allclose(got["revenue"], m["revenue"], rtol=0, atol=0)
+
+
+# --------------------------------------------------------------- T101
+
+
+def test_lang_source_assoc_matches_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.assoc import lang_source_assoc
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["lang", "source"])
+    langs = t["lang"].to_pylist()
+    srcs = t["source"].to_pylist()
+    n_cell = collections.Counter(zip(langs, srcs))
+    n_l = collections.Counter(langs)
+    n_s = collections.Counter(srcs)
+    nt = len(langs)
+
+    got = lang_source_assoc(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    assert len(got) == len(n_cell)
+    for _, r in got.iterrows():
+        key = (r["lang"], r["source"])
+        assert r["n"] == n_cell[key]
+        want = math.log(n_cell[key] * nt
+                        / (n_l[r["lang"]] * n_s[r["source"]]))
+        assert abs(r["pmi"] - want) < 1e-12
+    # cells sorted by (lang, source); over-represented cells positive
+    keys = list(zip(got["lang"], got["source"]))
+    assert keys == sorted(keys)
+
+
+def test_lang_source_assoc_pure_association(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.assoc import lang_source_assoc
+
+    # perfectly associated: each lang appears with exactly one source
+    t = pa.table({
+        "lang": pa.array(["en"] * 2 + ["de"] * 2, type=pa.string()),
+        "source": pa.array(["a"] * 2 + ["b"] * 2, type=pa.string()),
+    })
+    got = lang_source_assoc(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 2
+    assert np.allclose(got["pmi"], np.log(2.0))
+
+
+# --------------------------------------------------------------- T102
+
+
+def test_value_hour_correlation_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import value_hour_correlation
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    hrs = np.asarray([d.hour for d in t["ts"].to_pylist()],
+                     dtype=np.int64)
+    y = np.floor(np.asarray(t["value"].to_pylist(),
+                            dtype=np.float64) * 100 + 0.5) \
+        .astype(np.int64)
+
+    got = value_hour_correlation(
+        rd.from_arrow(t).repartition(6)).to_pandas() \
+        .set_index("event_type")
+    for ty in np.unique(et):
+        sel = et == ty
+        x, yy = hrs[sel].astype(np.float64), y[sel].astype(np.float64)
+        want = np.corrcoef(x, yy)[0, 1]
+        assert got.loc[ty, "n_events"] == sel.sum()
+        assert abs(got.loc[ty, "corr"] - want) < 1e-9
+
+
+def test_value_hour_correlation_zero_variance(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import value_hour_correlation
+
+    t0 = datetime.datetime(2026, 1, 1, 9, 30)
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b"], type=pa.string()),
+        # type a: same hour both events → zero x variance → NULL
+        "ts": pa.array([t0, t0, t0], type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+    })
+    got = value_hour_correlation(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_type")
+    assert np.isnan(got.loc["a", "corr"])
+    assert np.isnan(got.loc["b", "corr"])  # n == 1
+
+
+# --------------------------------------------------------------- T103
+
+
+def test_orders_month_share_matches_pandas(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["orders_month_share"](SF_DIR).to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    orders["month"] = orders["o_orderdate"].dt.to_period("M") \
+        .dt.to_timestamp()
+    cnt = orders.groupby(["month", "o_orderpriority"]).size() \
+        .rename("n").reset_index()
+    tot = cnt.groupby("month")["n"].transform("sum")
+    cnt["share"] = cnt["n"] / tot
+
+    assert len(got) == len(cnt)
+    m = got.merge(cnt, on=["month", "o_orderpriority"])
+    assert len(m) == len(cnt)
+    assert (m["n_orders"] == m["n"]).all()
+    assert np.allclose(m["share_x"], m["share_y"], rtol=0, atol=1e-15)
+    # shares sum to 1 per month
+    s = got.groupby("month")["share"].sum()
+    assert np.allclose(s, 1.0)
