@@ -2396,6 +2396,146 @@ def _q_orders_month_share(sf_dir: str):
             .map_groups(shares, batch_format="pandas"))
 
 
+_RFM_ASOF = "2001-12-31"
+
+
+def _q_customer_rfm(sf_dir: str):
+    """T104: per-customer RFM profile (recency / frequency / monetary)
+    — the segmentation input every warehouse derives from an order
+    log.  One pass of per-batch (custkey, count, cents, max-date)
+    partials → tiny per-customer Sum/Sum/Max; recency in whole days
+    from a fixed as-of date in pure integer µs arithmetic (engine-
+    neutral); money accumulates fixed-point cents."""
+    from ray.data.aggregate import Max, Sum
+
+    # naive timestamps: np.datetime64 yields the same integer as the
+    # oracle's epoch_us(TIMESTAMP '...')
+    asof_us = int(np.datetime64(_RFM_ASOF, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        t = pa.table({
+            "c_custkey": batch["o_custkey"],
+            "cents": cents,
+            "last_us": batch["o_orderdate"].cast(pa.int64()),
+        })
+        return t.group_by(["c_custkey"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum"), ("last_us", "max")]
+        ).rename_columns(["c_custkey", "n_orders", "cents", "last_us"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy().astype(np.int64)
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "n_orders": batch["n_orders"],
+            "total_price": pc.divide(
+                pc.cast(batch["cents"], pa.float64()),
+                pa.scalar(100.0)),
+            "last_order": pa.array(last).cast(pa.timestamp("us")),
+            "recency_days": pa.array(
+                (np.int64(asof_us) - last) // np.int64(86_400_000_000)),
+        })
+
+    return (_read(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_totalprice", "o_orderdate"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("c_custkey")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("cents", alias_name="cents"),
+                       Max("last_us", alias_name="last_us"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+_GAP_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _q_event_gap_quantiles(sf_dir: str):
+    """T105: per-event-type EXACT quantiles of the inter-event gap
+    (whole seconds between a user's consecutive events, attributed to
+    the LATER event's type) — session-design input (where to put the
+    inactivity timeout).  ONE user-bucket shuffle computes gaps
+    vectorized per bucket; gaps collapse to (type, gap_s, count)
+    value-domain partials and the per-type reduce walks the histogram
+    (T26 semantics: smallest value with cum ≥ n·q, ≡ quantile_disc)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tcol = batch["ts"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        return pa.table({
+            "u": pa.array(users),
+            "t": tcol.cast(pa.timestamp("us")).cast(pa.int64()),
+            "i": batch["event_id"],
+            "et": batch["event_type"],
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        i = g["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["et"], dtype=object)
+        o = np.lexsort((i, t, u))
+        u_s, t_s, e_s = u[o], t[o], et[o]
+        adj = u_s[1:] == u_s[:-1]
+        gap_s = (t_s[1:] - t_s[:-1]) // np.int64(1_000_000)
+        gap_s, types = gap_s[adj], e_s[1:][adj]
+        ty_u, codes = np.unique(types, return_inverse=True) \
+            if types.size else (np.empty(0, dtype=object),
+                                np.empty(0, dtype=np.int64))
+        cell = codes * (gap_s.max() + 1 if gap_s.size else 1) + gap_s
+        cell_u, cnt = np.unique(cell, return_counts=True) \
+            if gap_s.size else (np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.int64))
+        width = gap_s.max() + 1 if gap_s.size else 1
+        return pa.table({
+            "event_type": pa.array(ty_u[cell_u // width]
+                                   if cell_u.size else [],
+                                   type=pa.string()),
+            "gap_s": pa.array((cell_u % width).astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("gap_s")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["gap_s"].to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": [g["event_type"].iloc[0]],
+               "n_gaps": [n]}
+        for q in _GAP_QUANTILES:
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            idx = int(np.searchsorted(cum, k))
+            row[f"p{int(q * 100)}"] = [int(vals[idx])]
+        return pd.DataFrame(row)
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id", "ts", "event_id", "event_type"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(gaps, batch_format="pyarrow")
+            .groupby(["event_type", "gap_s"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby("event_type")
+            .map_groups(quantiles, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2482,6 +2622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_assoc": _q_lang_source_assoc,
         "value_hour_corr": _q_value_hour_corr,
         "orders_month_share": _q_orders_month_share,
+        "customer_rfm": _q_customer_rfm,
+        "event_gap_quantiles": _q_event_gap_quantiles,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -3933,6 +4075,39 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(sum(n_orders) OVER (PARTITION BY month)
                           AS DOUBLE) AS share
             FROM c
+        """,
+        # T104: RFM profile; recency in pure integer µs arithmetic,
+        # money in fixed-point cents
+        "customer_rfm": f"""
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 100
+                       AS total_price,
+                   max(o_orderdate) AS last_order,
+                   (epoch_us(TIMESTAMP '{_RFM_ASOF}')
+                    - epoch_us(max(o_orderdate))) // 86400000000
+                       AS recency_days
+            FROM orders GROUP BY o_custkey
+        """,
+        # T105: exact histogram-walk quantiles ≡ quantile_disc (the
+        # T26 equivalence); gap attributed to the later event's type,
+        # (ts, event_id) ordering deterministic both engines
+        "event_gap_quantiles": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id))) // 1000000 AS gap_s
+              FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                   quantile_disc(gap_s, 0.25) AS p25,
+                   quantile_disc(gap_s, 0.50) AS p50,
+                   quantile_disc(gap_s, 0.75) AS p75,
+                   quantile_disc(gap_s, 0.95) AS p95
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY event_type
         """,
         "event_transitions": """
             WITH o AS (

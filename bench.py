@@ -124,6 +124,8 @@ HEADLINE = [
     "lang_source_assoc",
     "value_hour_corr",
     "orders_month_share",
+    "customer_rfm",
+    "event_gap_quantiles",
 ]
 
 

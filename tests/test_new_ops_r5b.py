@@ -393,3 +393,93 @@ def test_orders_month_share_matches_pandas(ray_session):
     # shares sum to 1 per month
     s = got.groupby("month")["share"].sum()
     assert np.allclose(s, 1.0)
+
+
+# --------------------------------------------------------------- T104
+
+
+def test_customer_rfm_matches_pandas(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["customer_rfm"](SF_DIR).to_pandas() \
+        .set_index("c_custkey").sort_index()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    asof = np.datetime64(em._RFM_ASOF, "us")
+    g = orders.groupby("o_custkey")
+    cents = np.floor(orders["o_totalprice"] * 100 + 0.5) \
+        .astype(np.int64).groupby(orders["o_custkey"]).sum()
+    want_n = g.size()
+    want_last = g["o_orderdate"].max()
+    assert len(got) == len(want_n)
+    assert (got["n_orders"] == want_n).all()
+    assert np.allclose(got["total_price"],
+                       cents.astype(np.float64) / 100, rtol=0, atol=0)
+    assert (got["last_order"] == want_last).all()
+    rec = ((asof - want_last.to_numpy().astype("datetime64[us]"))
+           .astype(np.int64) // 86_400_000_000)
+    assert (got["recency_days"].to_numpy() == rec).all()
+
+
+# --------------------------------------------------------------- T105
+
+
+def test_event_gap_quantiles_matches_brute_force(ray_session):
+    import math
+
+    import __ray_entry__ as em
+
+    got = em.queries()["event_gap_quantiles"](SF_DIR).to_pandas() \
+        .set_index("event_type")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    gaps = collections.defaultdict(list)
+    prev = {}
+    for _, r in ev.iterrows():
+        u = r["user_id"]
+        if u in prev:
+            gap_us = (r["ts"] - prev[u]).value // 1_000  # ns → µs
+            gaps[r["event_type"]].append(int(gap_us // 1_000_000))
+        prev[u] = r["ts"]
+
+    def qdisc(vals, q):
+        vals = sorted(vals)
+        k = max(1, int(math.ceil(len(vals) * q - 1e-9)))
+        return vals[k - 1]
+
+    assert len(got) == len(gaps)
+    for ty, vs in gaps.items():
+        assert got.loc[ty, "n_gaps"] == len(vs)
+        for q, col in [(0.25, "p25"), (0.5, "p50"),
+                       (0.75, "p75"), (0.95, "p95")]:
+            assert got.loc[ty, col] == qdisc(vs, q), (ty, col)
+
+
+def test_event_gap_quantiles_tie_order(ray_session):
+    """Equal timestamps: the (ts, event_id) tiebreak must make the
+    gap attribution deterministic in both engines."""
+    import datetime
+
+    import ray.data as rd
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    import __ray_entry__ as em
+    import pyarrow.parquet as pq2
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    tbl = pa.table({
+        "event_id": pa.array([2, 1, 3], type=pa.int64()),
+        "ts": pa.array([t0, t0, t0 + datetime.timedelta(seconds=30)],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([9, 9, 9], type=pa.int64()),
+        "event_type": pa.array(["b", "a", "c"], type=pa.string()),
+        "value": pa.array([0.0, 0.0, 0.0], type=pa.float64()),
+        "props": pa.array(["", "", ""], type=pa.string()),
+    })
+    pq2.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = em.queries()["event_gap_quantiles"](d).to_pandas() \
+        .set_index("event_type").sort_index()
+    # order by (ts, id): a(1) → b(2) gap 0 → c(3) gap 30
+    assert list(got.index) == ["b", "c"]
+    assert got.loc["b", "p50"] == 0
+    assert got.loc["c", "p50"] == 30
