@@ -2333,12 +2333,21 @@ def _q_shipping_priority(sf_dir: str):
             pa.field("o_orderdate", pa.timestamp("us"))]))
 
     def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "l_orderkey": batch["o_orderkey"],
             "revenue": pc.divide(pc.cast(batch["cents"], pa.float64()),
                                  pa.scalar(100.0)),
             "o_orderdate": batch["o_orderdate"],
         })
+        # lossless per-batch top-10 prefilter: the global sort below
+        # then sees ≤ 10 × n_batches rows, never the full join result
+        if t.num_rows > 10:
+            idx = pc.select_k_unstable(
+                t, k=10, sort_keys=[("revenue", "descending"),
+                                    ("o_orderdate", "ascending"),
+                                    ("l_orderkey", "ascending")])
+            t = t.take(idx)
+        return t
 
     return (joined.map_batches(finish, batch_format="pyarrow")
             .sort(["revenue", "o_orderdate", "l_orderkey"],

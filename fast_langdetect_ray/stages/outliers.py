@@ -92,23 +92,24 @@ def embedding_outliers(ds, id_col: str = "vec_id",
             label_col: pa.array([], type=pa.int64()),
             "dist2": pa.array([], type=pa.float64()),
         }))
-    labs = sorted({int(r["label"]) for r in cells})
+    labs = np.array(sorted({int(r["label"]) for r in cells}),
+                    dtype=np.int64)
     d = 1 + max(int(r["dim"]) for r in cells)
-    lab_index = {v: i for i, v in enumerate(labs)}
-    cent = np.zeros((len(labs), d), dtype=np.float64)
+    lab_index = {int(v): i for i, v in enumerate(labs)}
+    cent = np.zeros((labs.size, d), dtype=np.float64)
     for r in cells:
         # same op order as the oracle: (s6 AS DOUBLE) / 1e6 / n
         cent[lab_index[int(r["label"])], int(r["dim"])] = \
             float(r["s6"]) / 1e6 / int(r["n"])
-    cent_ref = ray.put((lab_index, cent))
+    cent_ref = ray.put((labs, cent))
 
     def score(batch: pa.Table) -> pa.Table:
-        lab_idx, C = ray.get(cent_ref)
+        labs_b, C = ray.get(cent_ref)
         V = _vectors(batch, vec_col)
         labels = batch[label_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        rows = np.fromiter((lab_idx[int(v)] for v in labels),
-                           dtype=np.int64, count=labels.size)
+        # vectorized label → centroid-row lookup (labs_b is sorted)
+        rows = np.searchsorted(labs_b, labels)
         diff = V - C[rows]
         dist2 = np.sum(diff * diff, axis=1)
         return pa.table({
