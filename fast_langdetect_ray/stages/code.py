@@ -264,6 +264,31 @@ def _first_line_import(lines: pa.Array) -> pa.Array:
     return out
 
 
+def _distinct_doc_imports(txt_col) -> tuple:
+    """Shared extraction for T81/T97: vectorized line-split +
+    regex-extract over a text column, deduped to distinct
+    (doc, module) pairs, returned DOC-MAJOR (sorted by doc, then
+    module lexicographically within each doc).  Doc identity is
+    positional within the batch."""
+    txt = pc.fill_null(txt_col, "")
+    lists = pc.split_pattern(txt, pattern="\n")
+    parent = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    mods = np.asarray(_first_line_import(
+        pc.list_flatten(lists)).to_pylist(), dtype=object)
+    hit = mods != ""
+    if not hit.any():
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object))
+    mods, parent = mods[hit], parent[hit]
+    order = np.lexsort((mods, parent))
+    m_s, p_s = mods[order], parent[order]
+    first = np.empty(m_s.size, dtype=bool)
+    first[0] = True
+    first[1:] = (m_s[1:] != m_s[:-1]) | (p_s[1:] != p_s[:-1])
+    return p_s[first], m_s[first]
+
+
 def top_imports(ds, text_col: str = "text", top_k: int = 25):
     """T81: corpus-wide top imported modules — ``(module, n_files)``
     sorted (n_files desc, module asc), where ``n_files`` counts files
@@ -280,25 +305,10 @@ def top_imports(ds, text_col: str = "text", top_k: int = 25):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        txt = pc.fill_null(batch[text_col], "")
-        lists = pc.split_pattern(txt, pattern="\n")
-        parent = pc.list_parent_indices(lists).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        mod = _first_line_import(pc.list_flatten(lists))
-        mods = np.asarray(mod.to_pylist(), dtype=object)
-        hit = mods != ""
-        if not hit.any():
-            return pa.table({
-                "module": pa.array([], type=pa.string()),
-                "n_files": pa.array([], type=pa.int64()),
-            })
-        mods, parent = mods[hit], parent[hit]
-        order = np.lexsort((parent, mods))
-        m_s, p_s = mods[order], parent[order]
-        first = np.empty(m_s.size, dtype=bool)
-        first[0] = True
-        first[1:] = (m_s[1:] != m_s[:-1]) | (p_s[1:] != p_s[:-1])
-        um, uc = np.unique(m_s[first], return_counts=True)
+        _, m_d = _distinct_doc_imports(batch[text_col])
+        um, uc = np.unique(m_d, return_counts=True) if m_d.size \
+            else (np.empty(0, dtype=object),
+                  np.empty(0, dtype=np.int64))
         return pa.table({
             "module": pa.array(um, type=pa.string()),
             "n_files": pa.array(uc.astype(np.int64)),
@@ -349,23 +359,9 @@ def import_cooccurrence(ds, text_col: str = "text", top_k: int = 25,
             "module_b": pa.array([], type=pa.string()),
             "n_docs": pa.array([], type=pa.int64()),
         })
-        txt = pc.fill_null(batch[text_col], "")
-        lists = pc.split_pattern(txt, pattern="\n")
-        parent = pc.list_parent_indices(lists).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        mods = np.asarray(_first_line_import(
-            pc.list_flatten(lists)).to_pylist(), dtype=object)
-        hit = mods != ""
-        if not hit.any():
+        p_s, m_s = _distinct_doc_imports(batch[text_col])
+        if not m_s.size:
             return empty
-        mods, parent = mods[hit], parent[hit]
-        # per-doc distinct modules, lexicographic within doc
-        order = np.lexsort((mods, parent))
-        m_s, p_s = mods[order], parent[order]
-        first = np.empty(m_s.size, dtype=bool)
-        first[0] = True
-        first[1:] = (m_s[1:] != m_s[:-1]) | (p_s[1:] != p_s[:-1])
-        m_s, p_s = m_s[first], p_s[first]
         # cap: keep the first max_imports per doc (sorted by module)
         doc_first = np.empty(p_s.size, dtype=bool)
         doc_first[0] = True

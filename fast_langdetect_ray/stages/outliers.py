@@ -106,6 +106,12 @@ def embedding_outliers(ds, id_col: str = "vec_id",
     def score(batch: pa.Table) -> pa.Table:
         labs_b, C = ray.get(cent_ref)
         V = _vectors(batch, vec_col)
+        if V.size == 0:  # zero-row block: (0,0) can't broadcast (0,d)
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                label_col: pa.array([], type=pa.int64()),
+                "dist2": pa.array([], type=pa.float64()),
+            })
         labels = batch[label_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         # vectorized label → centroid-row lookup (labs_b is sorted)

@@ -307,9 +307,14 @@ def value_hour_correlation(ds, type_col: str = "event_type",
         types_u, codes = np.unique(
             np.asarray(batch[type_col], dtype=object),
             return_inverse=True)
+
         def seg(vals):
-            return np.bincount(codes, weights=vals.astype(np.float64),
-                               minlength=types_u.size).astype(np.int64)
+            # int64 accumulation (np.add.at), NOT bincount weights —
+            # float64 weights would round above 2^53 and break the
+            # documented integer-exact 2^63 envelope
+            acc = np.zeros(types_u.size, dtype=np.int64)
+            np.add.at(acc, codes, vals.astype(np.int64))
+            return acc
         return pa.table({
             "event_type": pa.array(types_u, type=pa.string()),
             "n": pa.array(np.bincount(

@@ -1,8 +1,11 @@
 """Round-5 second-session operators: T96 embedding centroid outliers,
 T97 import co-occurrence pairs, T98 per-user integer z-score anomaly
 counts, T99 per-source-pair KS length drift, T100 TPC-H-Q3-shaped
-shipping priority — each against a pure-Python/numpy brute-force
-oracle on sf0.001 plus synthetic edges and partition invariance."""
+shipping priority, T101 lang×source PMI association, T102 grouped
+hour×value Pearson correlation, T103 order-priority share-of-month,
+T104 customer RFM profile, T105 inter-event gap quantiles — each
+against a pure-Python/numpy brute-force oracle on sf0.001 plus
+synthetic edges and partition invariance."""
 
 import collections
 import re
@@ -176,17 +179,28 @@ def test_user_value_anomalies_edges(ray_session):
     from fast_langdetect_ray.stages.timeseries import user_value_anomalies
 
     t = pa.table({
-        "user_id": pa.array([1, 2, 2, 2, 3, 3], type=pa.int64()),
-        # user 1: single event; user 2: constant; user 3: one outlier
-        "value": pa.array([5.0, 2.0, 2.0, 2.0, 1.0, 1.0],
+        "user_id": pa.array([1, 2, 2, 2, 3, 3,
+                             4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 5],
+                            type=pa.int64()),
+        # user 1: single event; user 2: constant; user 3: two DISTINCT
+        # points (the |z| == 1 strict-inequality boundary: lhs² =
+        # (a−b)² vs rhs = 4·(a−b)² must compare STRICTLY); user 4: a
+        # spike among 5 constants (z² = n−1 = 5 > 4 → anomaly); user
+        # 5: a spike among 4 constants — z² = n−1 = 4 == τ² exactly,
+        # the equality boundary where strict '>' must NOT fire
+        "value": pa.array([5.0, 2.0, 2.0, 2.0, 1.0, 9.0,
+                           1.0, 1.0, 1.0, 1.0, 1.0, 99.0,
+                           1.0, 1.0, 1.0, 1.0, 99.0],
                           type=pa.float64()),
     })
     got = user_value_anomalies(rd.from_arrow(t)).to_pandas() \
         .set_index("user_id").sort_index()
     assert got.loc[1, "n_anomalies"] == 0   # n=1 → var undefined → 0
     assert got.loc[2, "n_anomalies"] == 0   # zero variance → 0
-    assert got.loc[3, "n_anomalies"] == 0   # two points: |z| == 1 < 2
-    assert list(got["n_events"]) == [1, 3, 2]
+    assert got.loc[3, "n_anomalies"] == 0   # distinct pair: |z| == 1 < 2
+    assert got.loc[4, "n_anomalies"] == 1   # z² = 5 > 4 fires
+    assert got.loc[5, "n_anomalies"] == 0   # z² == 4 boundary: no fire
+    assert list(got["n_events"]) == [1, 3, 2, 6, 5]
 
 
 # ---------------------------------------------------------------- T99
