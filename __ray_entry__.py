@@ -2533,16 +2533,29 @@ def _q_event_gap_quantiles(sf_dir: str):
             row[f"p{int(q * 100)}"] = [int(vals[idx])]
         return pd.DataFrame(row)
 
-    return (_read(sf_dir, "events")
-            .select_columns(["user_id", "ts", "event_id", "event_type"])
-            .map_batches(project, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(gaps, batch_format="pyarrow")
-            .groupby(["event_type", "gap_s"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .groupby("event_type")
-            .map_groups(quantiles, batch_format="pandas"))
+    out = (_read(sf_dir, "events")
+           .select_columns(["user_id", "ts", "event_id", "event_type"])
+           .map_batches(project, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket")
+           .map_groups(gaps, batch_format="pyarrow")
+           .groupby(["event_type", "gap_s"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .groupby("event_type")
+           .map_groups(quantiles, batch_format="pandas"))
+    # a gap-free stream (every user has one event) leaves Ray's
+    # Aggregate schema-less: substitute the typed empty (the
+    # top_imports precedent); materialize is event-type-bounded
+    out = out.materialize()
+    if out.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_gaps": pa.array([], type=pa.int64()),
+            **{f"p{int(q * 100)}": pa.array([], type=pa.int64())
+               for q in _GAP_QUANTILES},
+        }))
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -497,3 +497,148 @@ def test_event_gap_quantiles_tie_order(ray_session):
     assert list(got.index) == ["b", "c"]
     assert got.loc["b", "p50"] == 0
     assert got.loc["c", "p50"] == 30
+
+
+# ------------------------------------------------- hypothesis fuzz
+
+import datetime as _dt
+import math
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_T0 = _dt.datetime(2026, 1, 5)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=4),
+                          st.floats(min_value=-50, max_value=50,
+                                    allow_nan=False)),
+                min_size=1, max_size=25))
+def test_fuzz_user_value_anomalies_vs_oracle(ray_session, events):
+    """Random (user, value) streams: the distributed integer z² test
+    equals the sequential pure-Python fold exactly."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import user_value_anomalies
+
+    per = collections.defaultdict(list)
+    for u, v in events:
+        per[u].append(int(math.floor(v * 100 + 0.5)))
+    want = {}
+    for u, vs in per.items():
+        n, s1 = len(vs), sum(vs)
+        s2 = sum(x * x for x in vs)
+        k = sum(1 for x in vs
+                if (n * x - s1) ** 2 > 4 * (n * s2 - s1 * s1))
+        want[u] = (n, k)
+
+    ds = rd.from_items([
+        {"user_id": u, "value": float(v)} for u, v in events
+    ]).repartition(3)
+    got = user_value_anomalies(ds, n_buckets=2).to_pandas()
+    assert {int(r.user_id): (int(r.n_events), int(r.n_anomalies))
+            for r in got.itertuples()} == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=3),
+                          st.integers(min_value=0, max_value=7200),
+                          st.sampled_from(["A", "B"])),
+                min_size=2, max_size=25))
+def test_fuzz_event_gap_quantiles_vs_oracle(ray_session, tmp_path,
+                                            events):
+    """Random (user, second-offset, type) streams incl. equal
+    timestamps: the distributed histogram-walk quantiles equal the
+    sequential quantile_disc oracle for every level."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    import __ray_entry__ as em
+
+    rows = [(i, u, _T0 + _dt.timedelta(seconds=s), et)
+            for i, (u, s, et) in enumerate(events)]
+    gaps = collections.defaultdict(list)
+    prev = {}
+    for i, u, ts, et in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if u in prev:
+            gaps[et].append(int((ts - prev[u]).total_seconds()))
+        prev[u] = ts
+
+    def qdisc(vals, q):
+        vals = sorted(vals)
+        k = max(1, int(math.ceil(len(vals) * q - 1e-9)))
+        return vals[k - 1]
+
+    d = str(tmp_path / "fuzzev")
+    os.makedirs(d, exist_ok=True)
+    pq2.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    ds = em.queries()["event_gap_quantiles"](d)
+    if not gaps:  # gap-free stream: typed empty (0-row to_pandas
+        # drops columns, so assert on the Dataset schema)
+        assert ds.count() == 0
+        assert "event_type" in ds.schema().names
+        return
+    got = ds.to_pandas().set_index("event_type")
+    assert len(got) == len(gaps)
+    for ty, vs in gaps.items():
+        assert got.loc[ty, "n_gaps"] == len(vs)
+        for q, col in [(0.25, "p25"), (0.5, "p50"),
+                       (0.75, "p75"), (0.95, "p95")]:
+            assert got.loc[ty, col] == qdisc(vs, q)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=23),
+                          st.floats(min_value=-100, max_value=100,
+                                    allow_nan=False),
+                          st.sampled_from(["A", "B"])),
+                min_size=1, max_size=25))
+def test_fuzz_value_hour_correlation_vs_oracle(ray_session, events):
+    """Random (hour, value, type) rows: the distributed integer-moment
+    corr equals the sequential integer-first evaluation bit-for-bit,
+    including the zero-variance NULL cases."""
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import value_hour_correlation
+
+    per = collections.defaultdict(list)
+    for h, v, ty in events:
+        per[ty].append((h, int(math.floor(v * 100 + 0.5))))
+    want = {}
+    for ty, xs in per.items():
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sx2 = sum(x * x for x, _ in xs)
+        sy2 = sum(y * y for _, y in xs)
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if dx > 0 and dy > 0:
+            want[ty] = (n, float(n * sxy - sx * sy)
+                        / (math.sqrt(float(dx)) * math.sqrt(float(dy))))
+        else:
+            want[ty] = (n, None)
+
+    ds = rd.from_items([
+        {"event_type": ty,
+         "ts": _T0.replace(hour=h),
+         "value": float(v)} for h, v, ty in events]).repartition(3)
+    got = value_hour_correlation(ds).to_pandas() \
+        .set_index("event_type")
+    assert len(got) == len(want)
+    for ty, (n, c) in want.items():
+        assert got.loc[ty, "n_events"] == n
+        if c is None:
+            assert np.isnan(got.loc[ty, "corr"])
+        else:
+            assert got.loc[ty, "corr"] == c
