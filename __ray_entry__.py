@@ -2558,6 +2558,15 @@ def _q_event_gap_quantiles(sf_dir: str):
     return out
 
 
+def _q_source_token_drift(sf_dir: str):
+    """T106: per-source-pair total-variation distance over the global
+    top-200 token distribution (+ OTHER bucket) — content drift, the
+    complement of T99's length KS; every |p−q| term is one exact
+    division pair, no cancellation."""
+    from fast_langdetect_ray.stages.drift import source_token_drift
+    return source_token_drift(_read(sf_dir, "documents"), top_k=200)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2646,6 +2655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_month_share": _q_orders_month_share,
         "customer_rfm": _q_customer_rfm,
         "event_gap_quantiles": _q_event_gap_quantiles,
+        "source_token_drift": _q_source_token_drift,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4097,6 +4107,45 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(sum(n_orders) OVER (PARTITION BY month)
                           AS DOUBLE) AS share
             FROM c
+        """,
+        # T106: TV distance over the top-200 token distribution; every
+        # |p−q| term is an exact division pair, the (K+1)-term
+        # positive sum is inside the %.9g hash
+        "source_token_drift": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2),
+            tot AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt
+                    FROM c GROUP BY t),
+            topk AS (SELECT t FROM tot ORDER BY nt DESC, t LIMIT 200),
+            srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                     FROM c GROUP BY source),
+            kn AS (SELECT c.source, CAST(sum(c.n) AS BIGINT) AS k_n
+                   FROM c JOIN topk USING (t) GROUP BY c.source),
+            dist AS (
+              SELECT s.source, k.t,
+                     CAST(coalesce(c.n, 0) AS DOUBLE)
+                     / CAST(s.ns AS DOUBLE) AS p
+              FROM srcs s CROSS JOIN topk k
+              LEFT JOIN c ON c.source = s.source AND c.t = k.t
+              UNION ALL
+              SELECT s.source, '' AS t,
+                     CAST(s.ns - coalesce(kn.k_n, 0) AS DOUBLE)
+                     / CAST(s.ns AS DOUBLE) AS p
+              FROM srcs s
+              LEFT JOIN kn ON kn.source = s.source
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   0.5 * sum(abs(a.p - b.p)) AS tv_dist
+            FROM dist a JOIN dist b
+              ON a.t = b.t AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

@@ -126,6 +126,7 @@ HEADLINE = [
     "orders_month_share",
     "customer_rfm",
     "event_gap_quantiles",
+    "source_token_drift",
 ]
 
 

@@ -390,6 +390,11 @@ def cmd_analyze(args: argparse.Namespace) -> int:
                 ds = ds.map_batches(add_len, batch_format="pyarrow",
                                     zero_copy_batch=True)
             out = source_length_drift(ds, source_col=args.repo_col)
+        elif args.mode == "token-drift":
+            from .stages.drift import source_token_drift
+            out = source_token_drift(ds, source_col=args.repo_col,
+                                     text_col=args.text_col,
+                                     top_k=args.k_top)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -791,7 +796,7 @@ def main(argv=None) -> int:
     an.add_argument("--mode", default="novelty",
                     choices=["novelty", "lines", "license", "overlap",
                              "sweep", "collocations", "imports",
-                             "drift"])
+                             "drift", "token-drift"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,

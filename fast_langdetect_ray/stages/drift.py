@@ -26,6 +26,124 @@ import numpy as np
 import pyarrow as pa
 
 
+def source_token_drift(ds, source_col: str = "source",
+                       text_col: str = "text", top_k: int = 200):
+    """CONTENT-distribution drift between strata: per-source-pair
+    total-variation distance ``0.5·Σ|p_a(t) − p_b(t)|`` over the
+    global top-``top_k`` token distribution plus an OTHER bucket (all
+    remaining mass).  The complement of :func:`source_length_drift`
+    (which compares lengths): TV → 0 means two sources read the same,
+    TV → 1 means disjoint vocabulary usage.
+
+    Why TV and not KL/JSD: every |p − q| term is nonnegative, so the
+    (top_k+1)-term sum has no cancellation — each term is one exact
+    division pair both engines and the positive sum's association
+    drift sits at ~K·ε, far inside the driver's 9-sig-digit hash; a
+    log-based divergence near 0 would amplify term cancellation past
+    it.
+
+    Scale shape: one tokenize pass emits per-batch distinct
+    (source, token, count) partials; ONE vocabulary-sized
+    ``groupby.Sum`` (the T10b/T35 contract — the global vocabulary
+    crosses the wire once, materialized once for its three
+    consumers); the top-K cut is a lossless sort+limit of the
+    token-total rollup; per-source totals and top-K cells are
+    sources- and sources×K-bounded ``take_all``s; the pairwise TV
+    fold is a catalog-sized driver computation.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        srcs = np.asarray(batch[source_col], dtype=object)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        src_u, codes = np.unique(srcs, return_inverse=True)
+        sc = codes[parent]
+        order = np.lexsort((toks, sc))
+        t_s, c_s = toks[order], sc[order]
+        first = np.empty(t_s.size, dtype=bool)
+        if t_s.size:
+            first[0] = True
+            first[1:] = (t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, t_s.size))
+        return pa.table({
+            source_col: pa.array(src_u[c_s[starts]] if starts.size
+                                 else [], type=pa.string()),
+            "token": pa.array(t_s[starts] if starts.size else [],
+                              type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = (ds.select_columns([source_col, text_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([source_col, "token"])
+             .aggregate(Sum("n", alias_name="n"))
+             .materialize())  # vocabulary-sized; reused three times
+
+    empty = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "tv_dist": pa.array([], type=pa.float64()),
+    })
+    if cells.count() == 0:
+        return rd.from_arrow(empty)
+
+    # global top-K tokens: token-total rollup → lossless sort+limit
+    topk_rows = (cells.groupby("token")
+                 .aggregate(Sum("n", alias_name="nt"))
+                 .sort(["nt", "token"], descending=[True, False])
+                 .limit(top_k).take_all())
+    topk = [r["token"] for r in topk_rows]
+    top_set = set(topk)
+    # per-source totals (sources-bounded)
+    stot = {r[source_col]: int(r["n"])
+            for r in (cells.groupby(source_col)
+                      .aggregate(Sum("n", alias_name="n")).take_all())}
+
+    def in_topk(batch: pa.Table) -> pa.Table:
+        toks = np.asarray(batch["token"], dtype=object)
+        keep = np.fromiter((t in top_set for t in toks), dtype=bool,
+                           count=toks.size)
+        return batch.filter(pa.array(keep))
+
+    cell_rows = cells.map_batches(
+        in_topk, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()  # sources × K bounded
+
+    sources = sorted(stot)
+    s_index = {s: i for i, s in enumerate(sources)}
+    t_index = {t: i for i, t in enumerate(topk)}
+    counts = np.zeros((len(sources), len(topk)), dtype=np.int64)
+    for r in cell_rows:
+        counts[s_index[r[source_col]], t_index[r["token"]]] = int(r["n"])
+    totals = np.array([stot[s] for s in sources], dtype=np.int64)
+    # p over top-K plus the OTHER bucket: exact int/int divisions,
+    # the same CAST(n AS DOUBLE)/CAST(ns AS DOUBLE) shape the oracle
+    # evaluates
+    p = counts.astype(np.float64) / totals.astype(np.float64)[:, None]
+    other = (totals - counts.sum(axis=1)).astype(np.float64) \
+        / totals.astype(np.float64)
+    P = np.concatenate([p, other[:, None]], axis=1)
+    rows_a, rows_b, tv = [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            rows_a.append(sources[i])
+            rows_b.append(sources[j])
+            tv.append(0.5 * float(np.sum(np.abs(P[i] - P[j]))))
+    if not rows_a:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(rows_a, type=pa.string()),
+        "source_b": pa.array(rows_b, type=pa.string()),
+        "tv_dist": pa.array(tv, type=pa.float64()),
+    }))
+
+
 def source_length_drift(ds, source_col: str = "source",
                         value_col: str = "n_chars",
                         bucket_width: int = 50):

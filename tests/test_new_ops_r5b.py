@@ -642,3 +642,79 @@ def test_fuzz_value_hour_correlation_vs_oracle(ray_session, events):
             assert np.isnan(got.loc[ty, "corr"])
         else:
             assert got.loc[ty, "corr"] == c
+
+
+# --------------------------------------------------------------- T106
+
+
+def test_source_token_drift_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.drift import source_token_drift
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "text"])
+    srcs = t["source"].to_pylist()
+    texts = t["text"].to_pylist()
+    K = 50
+    per = collections.defaultdict(collections.Counter)
+    glob = collections.Counter()
+    for s, x in zip(srcs, texts):
+        toks = [w for w in (x or "").lower().split() if w]
+        per[s].update(toks)
+        glob.update(toks)
+    topk = [t_ for t_, _ in sorted(
+        glob.items(), key=lambda kv: (-kv[1], kv[0]))[:K]]
+    sources = sorted(per)
+    want = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            na, nb = sum(per[a].values()), sum(per[b].values())
+            pa_ = [per[a][t_] / na for t_ in topk]
+            pb_ = [per[b][t_] / nb for t_ in topk]
+            pa_.append((na - sum(per[a][t_] for t_ in topk)) / na)
+            pb_.append((nb - sum(per[b][t_] for t_ in topk)) / nb)
+            want[(a, b)] = 0.5 * sum(abs(x - y)
+                                     for x, y in zip(pa_, pb_))
+
+    got = source_token_drift(rd.from_arrow(t).repartition(5),
+                             top_k=K).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        w = want[(r["source_a"], r["source_b"])]
+        assert abs(r["tv_dist"] - w) < 1e-12
+    # partition invariance
+    got2 = source_token_drift(rd.from_arrow(t), top_k=K).to_pandas()
+    a = got.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    b = got2.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    assert np.allclose(a["tv_dist"], b["tv_dist"], rtol=0, atol=0)
+
+
+def test_source_token_drift_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.drift import source_token_drift
+
+    # disjoint vocabularies → TV = 1 (all mass inside top-K)
+    t = pa.table({
+        "source": pa.array(["a", "b"], type=pa.string()),
+        "text": pa.array(["x x x", "y y"], type=pa.string()),
+    })
+    got = source_token_drift(rd.from_arrow(t), top_k=10).to_pandas()
+    assert got["tv_dist"].tolist() == [1.0]
+
+    # identical content → TV = 0
+    t2 = pa.table({
+        "source": pa.array(["a", "b"], type=pa.string()),
+        "text": pa.array(["w v u", "w v u"], type=pa.string()),
+    })
+    got2 = source_token_drift(rd.from_arrow(t2), top_k=10).to_pandas()
+    assert got2["tv_dist"].tolist() == [0.0]
+
+    # single source → typed empty, no pairs
+    one = source_token_drift(rd.from_arrow(pa.table({
+        "source": pa.array(["a"], type=pa.string()),
+        "text": pa.array(["hello world"], type=pa.string()),
+    })))
+    assert one.count() == 0
+    assert "tv_dist" in one.schema().names
