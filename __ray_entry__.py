@@ -2567,6 +2567,43 @@ def _q_source_token_drift(sf_dir: str):
     return source_token_drift(_read(sf_dir, "documents"), top_k=200)
 
 
+def _q_window_top_types(sf_dir: str, k: int = 3):
+    """T107: per-hour top-k event types by count, with rank — the
+    windowed heavy-hitter report behind "what dominated this hour"
+    dashboards.  (window, type) partial counts per batch → tiny Sum →
+    per-window top-k fold (windows × types bounded, corpus-row
+    independent); ties broken (n desc, type asc) — deterministic both
+    engines."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+            "event_type": batch["event_type"],
+        })
+        return t.group_by(["window_start", "event_type"],
+                          use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["window_start", "event_type", "n"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_events", "event_type"],
+                          ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (_read(sf_dir, "events")
+            .select_columns(["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["window_start", "event_type"])
+            .aggregate(Sum("n", alias_name="n_events"))
+            .groupby("window_start")
+            .map_groups(topk, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2656,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": _q_customer_rfm,
         "event_gap_quantiles": _q_event_gap_quantiles,
         "source_token_drift": _q_source_token_drift,
+        "window_top_types": _q_window_top_types,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4146,6 +4184,22 @@ def oracle_sql() -> dict[str, str]:
             FROM dist a JOIN dist b
               ON a.t = b.t AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        # T107: windowed heavy hitters; (n desc, type asc) tiebreak
+        # deterministic both engines, counts integer-exact
+        "window_top_types": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     event_type, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type)
+                       AS BIGINT) AS rnk
+            FROM c
+            QUALIFY rnk <= 3
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

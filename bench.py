@@ -127,6 +127,7 @@ HEADLINE = [
     "customer_rfm",
     "event_gap_quantiles",
     "source_token_drift",
+    "window_top_types",
 ]
 
 

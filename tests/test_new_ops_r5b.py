@@ -718,3 +718,30 @@ def test_source_token_drift_edges(ray_session):
     })))
     assert one.count() == 0
     assert "tv_dist" in one.schema().names
+
+
+# --------------------------------------------------------------- T107
+
+
+def test_window_top_types_matches_brute_force(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["window_top_types"](SF_DIR).to_pandas()
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["w"] = ev["ts"].dt.floor("h")
+    want_rows = []
+    for w, g in ev.groupby("w"):
+        cnt = g.groupby("event_type").size().reset_index(name="n")
+        cnt = cnt.sort_values(["n", "event_type"],
+                              ascending=[False, True]).head(3)
+        for rnk, (_, r) in enumerate(cnt.iterrows(), 1):
+            want_rows.append((w, r["event_type"], int(r["n"]), rnk))
+    got_rows = [(r["window_start"], r["event_type"],
+                 int(r["n_events"]), int(r["rnk"]))
+                for _, r in got.sort_values(
+                    ["window_start", "rnk"]).iterrows()]
+    assert got_rows == sorted(want_rows, key=lambda x: (x[0], x[3]))
+    # ranks are 1..k within every window
+    per_w = got.groupby("window_start")["rnk"].apply(list)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_w)
