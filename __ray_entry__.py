@@ -2604,6 +2604,32 @@ def _q_window_top_types(sf_dir: str, k: int = 3):
             .map_groups(topk, batch_format="pandas"))
 
 
+def _q_source_drift_report(sf_dir: str):
+    """T108: composite source-pair drift report — length-KS (T99),
+    content-TV (T106), and vocabulary-Jaccard (T95) joined into one
+    health table per source pair.  Each input is a catalog-sized
+    operator output (sources² rows), so the composition is a driver
+    merge of three tiny frames; the oracle composes the three SQL
+    twins as CTEs and joins them the same way."""
+    import pandas as pd
+
+    from fast_langdetect_ray.stages.drift import (source_length_drift,
+                                                  source_token_drift)
+    from fast_langdetect_ray.stages.overlap_vocab import source_vocab_overlap
+
+    docs = _read(sf_dir, "documents")
+    ks = source_length_drift(docs).to_pandas()
+    tv = source_token_drift(docs, top_k=200).to_pandas()
+    vj = source_vocab_overlap(docs).to_pandas()
+    out = ks.merge(tv, on=["source_a", "source_b"], how="inner") \
+        .merge(vj[["source_a", "source_b", "jaccard"]]
+               .rename(columns={"jaccard": "vocab_jaccard"}),
+               on=["source_a", "source_b"], how="inner")
+    return out[["source_a", "source_b", "ks_stat", "n_a", "n_b",
+                "tv_dist", "vocab_jaccard"]] \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2694,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": _q_event_gap_quantiles,
         "source_token_drift": _q_source_token_drift,
         "window_top_types": _q_window_top_types,
+        "source_drift_report": _q_source_drift_report,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4494,4 +4521,20 @@ def oracle_sql() -> dict[str, str]:
     # T87b queries the UNPRUNED materialized index, which is
     # definitionally equivalent to scanning text — same oracle.
     sqls["bm25_from_index"] = sqls["bm25_topk"]
+    # T108: composite source-pair drift report — the three per-pair
+    # diagnostics' oracles composed as CTE subqueries and joined the
+    # same way the engine merges its three operator outputs.
+    sqls["source_drift_report"] = f"""
+        WITH ks AS ({sqls["source_length_drift"]}),
+             tv AS ({sqls["source_token_drift"]}),
+             vj AS ({sqls["source_vocab_overlap"]})
+        SELECT ks.source_a, ks.source_b, ks.ks_stat,
+               ks.n_a, ks.n_b, tv.tv_dist,
+               vj.jaccard AS vocab_jaccard
+        FROM ks
+        JOIN tv ON tv.source_a = ks.source_a
+               AND tv.source_b = ks.source_b
+        JOIN vj ON vj.source_a = ks.source_a
+               AND vj.source_b = ks.source_b
+    """
     return sqls

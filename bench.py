@@ -128,6 +128,7 @@ HEADLINE = [
     "event_gap_quantiles",
     "source_token_drift",
     "window_top_types",
+    "source_drift_report",
 ]
 
 

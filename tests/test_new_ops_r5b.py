@@ -745,3 +745,33 @@ def test_window_top_types_matches_brute_force(ray_session):
     # ranks are 1..k within every window
     per_w = got.groupby("window_start")["rnk"].apply(list)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_w)
+
+
+# --------------------------------------------------------------- T108
+
+
+def test_source_drift_report_consistent_with_parts(ray_session):
+    import ray.data as rd
+
+    import __ray_entry__ as em
+    from fast_langdetect_ray.stages.drift import (source_length_drift,
+                                                  source_token_drift)
+    from fast_langdetect_ray.stages.overlap_vocab import \
+        source_vocab_overlap
+
+    got = em.queries()["source_drift_report"](SF_DIR)
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ks = source_length_drift(docs).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    tv = source_token_drift(docs, top_k=200).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    vj = source_vocab_overlap(docs).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    assert len(got) == len(ks)
+    for _, r in got.iterrows():
+        key = (r["source_a"], r["source_b"])
+        assert r["ks_stat"] == ks.loc[key, "ks_stat"]
+        assert r["tv_dist"] == tv.loc[key, "tv_dist"]
+        assert r["vocab_jaccard"] == vj.loc[key, "jaccard"]
+        assert (r["n_a"], r["n_b"]) == (ks.loc[key, "n_a"],
+                                        ks.loc[key, "n_b"])
