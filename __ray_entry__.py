@@ -2630,6 +2630,15 @@ def _q_source_drift_report(sf_dir: str):
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+def _q_knn_label_agreement(sf_dir: str):
+    """T109: 1-NN label agreement per label — exact integer-dot
+    similarity (fixed-point micros, float64-exact), smallest-id
+    tiebreak; brute-force all-pairs baseline with one broadcast
+    matmul per batch (IVF/LSH are the scale path)."""
+    from fast_langdetect_ray.stages.outliers import knn_label_agreement
+    return knn_label_agreement(_read(sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2721,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_drift": _q_source_token_drift,
         "window_top_types": _q_window_top_types,
         "source_drift_report": _q_source_drift_report,
+        "knn_label_agreement": _q_knn_label_agreement,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4227,6 +4237,32 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS rnk
             FROM c
             QUALIFY rnk <= 3
+        """,
+        # T109: 1-NN label agreement; the integer micros dot product
+        # is float64-exact (≤ ~2^46), so max/argmin neighbor choice
+        # is deterministic in both engines
+        "knn_label_agreement": """
+            WITH m AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> floor(CAST(x AS DOUBLE) * 1e6 + 0.5))
+                         AS v6
+              FROM embeddings
+            ),
+            d AS (SELECT a.vec_id AS av, a.label AS al,
+                         b.vec_id AS bv, b.label AS bl,
+                         list_dot_product(a.v6, b.v6) AS dot
+                  FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+            mx AS (SELECT av, max(dot) AS md FROM d GROUP BY av),
+            nn AS (SELECT d.av, any_value(d.al) AS al,
+                          arg_min(d.bl, d.bv) AS nb
+                   FROM d JOIN mx ON mx.av = d.av AND d.dot = mx.md
+                   GROUP BY d.av)
+            SELECT CAST(al AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(count(*) FILTER (WHERE nb = al) AS BIGINT)
+                       AS n_agree
+            FROM nn GROUP BY al
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

@@ -129,6 +129,7 @@ HEADLINE = [
     "source_token_drift",
     "window_top_types",
     "source_drift_report",
+    "knn_label_agreement",
 ]
 
 

@@ -45,6 +45,85 @@ def _vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
     return flat.astype(np.float64).reshape(-1, d)
 
 
+def knn_label_agreement(ds, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label"):
+    """Label-quality diagnostic: for every vector, find its nearest
+    OTHER vector and check whether the labels agree.  Output per
+    label: ``(label, n_vectors, n_agree)`` — a low agreement rate
+    flags noisy labels / clusters that don't separate (the k-NN label
+    consistency check used to audit classification datasets).
+
+    Exactness: similarity is the **integer dot product of fixed-point
+    micros** (``floor(v·1e6+0.5)``).  Per-pair dots stay ≤ ~2⁴⁶ for
+    unit-scale 64-dim vectors, so float64 matmul evaluates them
+    EXACTLY — argmax ties are decided by the smallest neighbor id in
+    both engines, making the neighbor choice deterministic and the
+    output hash-exact (no cosine-kernel formulation drift).
+
+    Scale shape: the brute-force all-pairs baseline (the T8 contract)
+    — the projected (id, v6, label) matrix is broadcast ONCE via
+    ``ray.put`` and every batch computes one BLAS matmul against it;
+    the output collapses to labels-sized partials.  For corpora whose
+    vector table exceeds a worker heap, the IVF/LSH operators
+    (similarity.py) are the scale path, same as ANN top-k."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    rows = ds.select_columns([id_col, vec_col, label_col]).take_all()
+    if not rows:
+        return rd.from_arrow(pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "n_vectors": pa.array([], type=pa.int64()),
+            "n_agree": pa.array([], type=pa.int64()),
+        }))
+    rows.sort(key=lambda r: int(r[id_col]))  # argmax tie → smallest id
+    all_ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    all_labels = np.array([int(r[label_col]) for r in rows],
+                          dtype=np.int64)
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    M6 = np.floor(M * 1e6 + 0.5)  # float64 holding exact integers
+    mat_ref = ray.put((all_ids, all_labels, M6))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_b, labs_b, A = ray.get(mat_ref)
+        V = _vectors(batch, vec_col)
+        if V.size == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "agree": pa.array([], type=pa.int64()),
+            })
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        V6 = np.floor(V * 1e6 + 0.5)
+        D = V6 @ A.T  # exact integer dots in float64
+        # exclude self: the row's own position in the sorted corpus
+        pos = np.searchsorted(ids_b, ids)
+        D[np.arange(ids.size), pos] = -np.inf
+        nb = np.argmax(D, axis=1)  # first max = smallest neighbor id
+        agree = (labs_b[nb] == labels).astype(np.int64)
+        lab_u, codes = np.unique(labels, return_inverse=True)
+        return pa.table({
+            "label": pa.array(lab_u),
+            "n": pa.array(np.bincount(
+                codes, minlength=lab_u.size).astype(np.int64)),
+            "agree": pa.array(np.bincount(
+                codes, weights=agree.astype(np.float64),
+                minlength=lab_u.size).astype(np.int64)),
+        })
+
+    return (ds.select_columns([id_col, vec_col, label_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("label")
+            .aggregate(Sum("n", alias_name="n_vectors"),
+                       Sum("agree", alias_name="n_agree")))
+
+
 def embedding_outliers(ds, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        label_col: str = "label"):

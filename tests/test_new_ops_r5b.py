@@ -775,3 +775,54 @@ def test_source_drift_report_consistent_with_parts(ray_session):
         assert r["vocab_jaccard"] == vj.loc[key, "jaccard"]
         assert (r["n_a"], r["n_b"]) == (ks.loc[key, "n_a"],
                                         ks.loc[key, "n_b"])
+
+
+# --------------------------------------------------------------- T109
+
+
+def test_knn_label_agreement_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.outliers import knn_label_agreement
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    o = np.argsort(ids)
+    V, ids, labels = V[o], ids[o], labels[o]
+    V6 = np.floor(V * 1e6 + 0.5)
+    D = V6 @ V6.T
+    np.fill_diagonal(D, -np.inf)
+    nb = np.argmax(D, axis=1)  # ids ascending → first max = min id
+    agree = labels[nb] == labels
+    want = {int(lab): (int((labels == lab).sum()),
+                       int(agree[labels == lab].sum()))
+            for lab in np.unique(labels)}
+
+    got = knn_label_agreement(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    assert {int(r.label): (int(r.n_vectors), int(r.n_agree))
+            for r in got.itertuples()} == want
+
+
+def test_knn_label_agreement_tie_and_duplicate_vectors(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.outliers import knn_label_agreement
+
+    # vecs 1 and 2 identical (labels differ); vec 3 far away.  1's NN
+    # is 2 and vice versa (self excluded); 3's NN ties between 1 and
+    # 2 on dot — smallest id (1) must win, agreeing with label 0.
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [1.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], type=pa.int32()),
+    })
+    got = knn_label_agreement(rd.from_arrow(t)).to_pandas() \
+        .set_index("label").sort_index()
+    # label 0: vec1 (NN=2, label 1, disagree), vec3 (NN=1, agree)
+    assert (got.loc[0, "n_vectors"], got.loc[0, "n_agree"]) == (2, 1)
+    # label 1: vec2 (NN=1, label 0, disagree)
+    assert (got.loc[1, "n_vectors"], got.loc[1, "n_agree"]) == (1, 0)
