@@ -2639,6 +2639,47 @@ def _q_knn_label_agreement(sf_dir: str):
     return knn_label_agreement(_read(sf_dir, "embeddings"))
 
 
+def _q_user_activity_histogram(sf_dir: str):
+    """T110: engagement-distribution histogram — how many users have
+    exactly k events.  ONE user-bucket shuffle (whole users per
+    bucket), per-bucket histogram partials (value-domain bounded:
+    distinct activity levels), tiny Sum; the same shape as the
+    dup-cluster histogram, over the event stream."""
+    import numpy as np_
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np_.int64)
+        return pa.table({
+            "u": pa.array(users),
+            "bucket": pa.array((users.view(np_.uint64)
+                                % np_.uint64(nb)).astype(np_.int64)),
+        })
+
+    def hist(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np_.int64)
+        _, counts = np_.unique(u, return_counts=True)
+        size_u, n_users = np_.unique(counts, return_counts=True)
+        return pa.table({
+            "n_events": pa.array(size_u.astype(np_.int64)),
+            "n": pa.array(n_users.astype(np_.int64)),
+        })
+
+    return (_read(sf_dir, "events")
+            .select_columns(["user_id"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(hist, batch_format="pyarrow")
+            .groupby("n_events")
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2731,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top_types": _q_window_top_types,
         "source_drift_report": _q_source_drift_report,
         "knn_label_agreement": _q_knn_label_agreement,
+        "user_activity_histogram": _q_user_activity_histogram,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4263,6 +4305,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE nb = al) AS BIGINT)
                        AS n_agree
             FROM nn GROUP BY al
+        """,
+        # T110: engagement histogram — pure integer counts
+        "user_activity_histogram": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+                       FROM events GROUP BY user_id)
+            SELECT k AS n_events, CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY k
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

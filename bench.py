@@ -130,6 +130,7 @@ HEADLINE = [
     "window_top_types",
     "source_drift_report",
     "knn_label_agreement",
+    "user_activity_histogram",
 ]
 
 

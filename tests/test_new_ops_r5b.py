@@ -826,3 +826,20 @@ def test_knn_label_agreement_tie_and_duplicate_vectors(ray_session):
     assert (got.loc[0, "n_vectors"], got.loc[0, "n_agree"]) == (2, 1)
     # label 1: vec2 (NN=1, label 0, disagree)
     assert (got.loc[1, "n_vectors"], got.loc[1, "n_agree"]) == (1, 0)
+
+
+# --------------------------------------------------------------- T110
+
+
+def test_user_activity_histogram_matches_brute_force(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["user_activity_histogram"](SF_DIR).to_pandas()
+    users = pq.read_table(f"{SF_DIR}/events.parquet",
+                          columns=["user_id"])["user_id"].to_pylist()
+    per = collections.Counter(users)
+    want = collections.Counter(per.values())
+    assert {int(r.n_events): int(r.n_users)
+            for r in got.itertuples()} == dict(want)
+    # conservation: sum(k * n_users) == total events
+    assert int((got["n_events"] * got["n_users"]).sum()) == len(users)
