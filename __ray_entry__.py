@@ -2680,6 +2680,46 @@ def _q_user_activity_histogram(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_users")))
 
 
+def _q_char_entropy(sf_dir: str):
+    """T111: per-doc character Shannon entropy — the gibberish /
+    encoding-noise quality signal; embarrassingly parallel (no
+    shuffle), batch-local histogram via lexsort run-length."""
+    from fast_langdetect_ray.stages.diversity import char_entropy
+    return char_entropy(_read(sf_dir, "documents"))
+
+
+def _q_unigram_doc_nll(sf_dir: str):
+    """T112: CCNet-style document surprisal under the corpus's own
+    unigram LM — vocabulary-sized groupby broadcast ONCE via ray.put,
+    then one stateless scoring pass."""
+    from fast_langdetect_ray.stages.diversity import unigram_doc_nll
+    return unigram_doc_nll(_read(sf_dir, "documents"))
+
+
+def _q_token_herfindahl(sf_dir: str):
+    """T113: per-source token concentration (Herfindahl) — integer
+    sums end-to-end, ONE final division pair; template/boilerplate
+    smell metric."""
+    from fast_langdetect_ray.stages.diversity import token_herfindahl
+    return token_herfindahl(_read(sf_dir, "documents"))
+
+
+def _q_value_gini(sf_dir: str):
+    """T114: per-event-type Gini over per-user value totals — the
+    contributor-skew audit; fixed-point cents, rank-sum identity,
+    hash-exact."""
+    from fast_langdetect_ray.stages.diversity import value_gini
+    return value_gini(_read(sf_dir, "events"))
+
+
+def _q_audience_overlap(sf_dir: str):
+    """T115: audience Jaccard between event types — distributed
+    distinct + ONE user-bucket shuffle with the shared vectorized
+    run-pair kernel."""
+    from fast_langdetect_ray.stages.diversity import audience_overlap
+    return audience_overlap(_read(sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2773,6 +2813,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift_report": _q_source_drift_report,
         "knn_label_agreement": _q_knn_label_agreement,
         "user_activity_histogram": _q_user_activity_histogram,
+        "char_entropy": _q_char_entropy,
+        "unigram_doc_nll": _q_unigram_doc_nll,
+        "token_herfindahl": _q_token_herfindahl,
+        "value_gini": _q_value_gini,
+        "audience_overlap": _q_audience_overlap,
         # rows-only (model / sketch / approximate ops)
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
@@ -4312,6 +4357,121 @@ def oracle_sql() -> dict[str, str]:
                        FROM events GROUP BY user_id)
             SELECT k AS n_events, CAST(count(*) AS BIGINT) AS n_users
             FROM c GROUP BY k
+        """,
+        # T111: per-doc char entropy; H = log2(T) − Σ c·log2(c)/T has
+        # only nonnegative float terms (no cancellation) and DuckDB
+        # log2 is bit-identical to np.log2, so the sum sits ~K·ε
+        # inside the 9-sig-digit hash; string_split(text,'') iterates
+        # codepoints exactly like the engine's utf-32 view
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+                    FROM ch GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t,
+                           sum(CAST(n AS DOUBLE)
+                               * log2(CAST(n AS DOUBLE))) AS s
+                    FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.t, 0) AS n_cp,
+                   CASE WHEN a.t > 0
+                        THEN log2(CAST(a.t AS DOUBLE))
+                             - a.s / CAST(a.t AS DOUBLE)
+                   END AS entropy
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # T112: unigram-LM doc surprisal; same nonnegative-term
+        # log2 argument (n_t ≥ 1 ⇒ log2 n_t ≥ 0), shared tokenizer
+        # contract with the engine
+        "unigram_doc_nll": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                    FROM tok GROUP BY t),
+            tots AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+            per AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS k,
+                           sum(log2(CAST(cnt.n AS DOUBLE))) AS s
+                    FROM tok JOIN cnt USING (t) GROUP BY tok.doc_id)
+            SELECT d.doc_id, coalesce(per.k, 0) AS n_tokens,
+                   CASE WHEN per.k > 0
+                        THEN log2(CAST(tots.total AS DOUBLE))
+                             - per.s / CAST(per.k AS DOUBLE)
+                   END AS nll
+            FROM documents d LEFT JOIN per USING (doc_id)
+            CROSS JOIN tots
+        """,
+        # T113: Herfindahl token concentration; pure integer sums,
+        # ONE final division pair — hash-exact
+        "token_herfindahl": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(n * n) AS DOUBLE)
+                   / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                       AS hhi
+            FROM c GROUP BY source
+        """,
+        # T114: Gini over per-user value totals; fixed-point cents,
+        # rank-sum identity (tie order cannot change Σ i·x), two
+        # division pairs — hash-exact
+        "value_gini": """
+            WITH u AS (
+              SELECT event_type, user_id,
+                     CAST(sum(CAST(floor(coalesce(value, 0.0) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, x,
+                         CAST(row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY x, user_id) AS BIGINT) AS i
+                  FROM u)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(x) AS BIGINT) AS total_cents,
+                   CASE WHEN sum(x) > 0 THEN
+                     CAST(2 * sum(i * x) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(x) AS DOUBLE))
+                     - CAST(count(*) + 1 AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                   END AS gini
+            FROM r GROUP BY event_type
+        """,
+        # T115: audience Jaccard; integer set counts, ONE division —
+        # pairs with zero common users absent by construction in both
+        # engines
+        "audience_overlap": """
+            WITH d AS (SELECT DISTINCT event_type, user_id
+                       FROM events),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM d GROUP BY 1),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM d a JOIN d b
+                     ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT pr.ta AS type_a, pr.tb AS type_b,
+                   x.n AS n_a, y.n AS n_b, pr.c AS n_common,
+                   CAST(pr.c AS DOUBLE)
+                   / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
+            FROM pr JOIN tot x ON x.event_type = pr.ta
+            JOIN tot y ON y.event_type = pr.tb
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

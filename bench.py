@@ -131,6 +131,11 @@ HEADLINE = [
     "source_drift_report",
     "knn_label_agreement",
     "user_activity_histogram",
+    "char_entropy",
+    "unigram_doc_nll",
+    "token_herfindahl",
+    "value_gini",
+    "audience_overlap",
 ]
 
 

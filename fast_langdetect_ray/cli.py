@@ -348,7 +348,9 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     memorization/boilerplate risk), per-file line statistics with the
     StarCoder structural keep flag, SPDX license/provenance scan,
     repo overlap, threshold sweep, PMI collocations, import
-    co-occurrence pairs, or per-source KS length drift."""
+    co-occurrence pairs, per-source KS length / token-content drift,
+    per-doc character entropy, corpus-unigram-LM surprisal, or
+    per-source token concentration (Herfindahl)."""
     import ray
 
     _init_ray(args.num_cpus)
@@ -395,6 +397,18 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             out = source_token_drift(ds, source_col=args.repo_col,
                                      text_col=args.text_col,
                                      top_k=args.k_top)
+        elif args.mode == "entropy":
+            from .stages.diversity import char_entropy
+            out = char_entropy(ds, id_col=args.id_col,
+                               text_col=args.text_col)
+        elif args.mode == "surprisal":
+            from .stages.diversity import unigram_doc_nll
+            out = unigram_doc_nll(ds, id_col=args.id_col,
+                                  text_col=args.text_col)
+        elif args.mode == "concentration":
+            from .stages.diversity import token_herfindahl
+            out = token_herfindahl(ds, group_col=args.repo_col,
+                                   text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -420,7 +434,9 @@ def cmd_events(args: argparse.Namespace) -> int:
     """Event-stream analytics over a parquet log: ``funnel`` counts
     users through ordered --steps, ``retention`` builds the weekly
     cohort table, ``running`` appends per-user prefix aggregates,
-    ``anomalies`` counts per-user z-score outliers."""
+    ``anomalies`` counts per-user z-score outliers, ``gini`` scores
+    contributor skew per type, ``overlap`` the audience Jaccard
+    between types."""
     import ray
 
     _init_ray(args.num_cpus)
@@ -441,6 +457,14 @@ def cmd_events(args: argparse.Namespace) -> int:
         elif args.mode == "anomalies":
             from .stages.timeseries import user_value_anomalies
             out = user_value_anomalies(ds, user_col=args.user_col)
+        elif args.mode == "gini":
+            from .stages.diversity import value_gini
+            out = value_gini(ds, group_col=args.type_col,
+                             user_col=args.user_col)
+        elif args.mode == "overlap":
+            from .stages.diversity import audience_overlap
+            out = audience_overlap(ds, group_col=args.type_col,
+                                   user_col=args.user_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -796,7 +820,8 @@ def main(argv=None) -> int:
     an.add_argument("--mode", default="novelty",
                     choices=["novelty", "lines", "license", "overlap",
                              "sweep", "collocations", "imports",
-                             "drift", "token-drift"])
+                             "drift", "token-drift", "entropy",
+                             "surprisal", "concentration"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,
@@ -826,7 +851,7 @@ def main(argv=None) -> int:
     ev.add_argument("output", help="output parquet directory")
     ev.add_argument("--mode", default="funnel",
                     choices=["funnel", "retention", "running",
-                             "anomalies"])
+                             "anomalies", "gini", "overlap"])
     ev.add_argument("--steps", default="view,click,purchase",
                     help="funnel: ordered comma-separated event types")
     ev.add_argument("--period-hours", type=int, default=168,

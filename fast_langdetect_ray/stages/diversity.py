@@ -1,0 +1,420 @@
+"""Diversity / concentration scoring over corpus and event streams:
+per-document character entropy, corpus-unigram-LM document surprisal,
+per-stratum token concentration (Herfindahl), per-group Gini over
+contributor totals, and audience overlap between event types.
+
+These are the "is this data any good / who contributes it" audit
+statistics of a training-data pipeline: character entropy flags
+gibberish and binary-ish text the heuristic rules miss (reference has
+no corpus ops at all — brief-relative, like stages/textstats.py);
+unigram negative-log-likelihood is the CCNet-style document score
+("how surprising is this doc under the corpus itself"); Herfindahl
+measures whether a source's token mass is concentrated in a few
+tokens (template/boilerplate smell); Gini measures contributor skew
+(a few users generating most event value → the skew a salted shuffle
+must plan for); audience overlap is the Jaccard between event types'
+user sets.
+
+Cross-engine float policy (BASELINE.md): every count is an exact
+int64; entropy/NLL use the identity ``H = log2(T) − Σ c·log2(c)/T``
+whose terms are nonnegative (c ≥ 1 ⇒ c·log2 c ≥ 0), so the float
+sum has no cancellation and its association drift sits at ~K·ε, far
+inside the driver's 9-sig-digit hash (same argument as
+drift.source_token_drift); DuckDB's ``log2`` is bit-identical to
+``np.log2`` (verified empirically).  Herfindahl / Gini / Jaccard are
+pure integer sums with ONE final division pair, hash-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _codepoints(col) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint32 codepoints of a string column plus parent-row
+    indices — ONE ``"".join`` (C speed) + one ``frombuffer``, no
+    per-character Python.  Matches both Python ``for ch in s`` and
+    DuckDB ``string_split(text, '')`` (verified: both iterate
+    codepoints, not graphemes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    col = pc.fill_null(col, "")
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    joined = "".join(col.to_pylist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    parent = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    return cps, parent
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """T111: per-document character Shannon entropy (bits/char) over
+    the text's codepoints — the gibberish / encoding-noise signal a
+    quality filter thresholds on (near-0 = one repeated char, ~4.2 =
+    English prose, ~7+ = random bytes).  NULL text scores like empty:
+    ``n_cp = 0``, ``entropy = NULL``.
+
+    Scale shape: embarrassingly parallel — each batch computes its
+    own rows' entropies from a batch-local (row, codepoint) histogram
+    (lexsort run-length, the drift.py partial pattern); no shuffle at
+    all.  Output columns: ``(id_col, n_cp, entropy)``.
+    """
+    def score(batch: pa.Table) -> pa.Table:
+        cps, parent = _codepoints(batch[text_col])
+        n_rows = batch.num_rows
+        lens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        if cps.size:
+            order = np.lexsort((cps, parent))
+            c_s, p_s = cps[order], parent[order]
+            first = np.empty(c_s.size, dtype=bool)
+            first[0] = True
+            first[1:] = (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.append(starts, c_s.size)).astype(np.float64)
+            # Σ c·log2(c) per row: nonnegative terms, summed in
+            # (row, codepoint) order — deterministic engine-side
+            terms = cnt * np.log2(cnt)
+            s = np.bincount(p_s[starts], weights=terms,
+                            minlength=n_rows)
+        else:
+            s = np.zeros(n_rows, dtype=np.float64)
+        t = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.where(lens > 0, np.log2(t) - s / t, np.nan)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_cp": pa.array(lens),
+            "entropy": pa.array(
+                np.where(lens > 0, ent, 0.0),
+                type=pa.float64(),
+                mask=lens == 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_doc_nll(ds, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """T112: CCNet-style document surprisal under the corpus's own
+    unigram token LM — per doc the mean negative log2-probability
+    ``log2(N) − Σ log2(n_t)/k`` over its tokens (shared tokenizer
+    contract: lowercase, split ``\\s+``, drop empties).  High = rare
+    vocabulary (or noise); low = stock phrasing.  Token-less docs get
+    ``n_tokens = 0``, ``nll = NULL``.
+
+    Scale shape: the T10b/T35 vocabulary contract — per-batch
+    distinct (token, count) partials, ONE vocabulary-sized
+    ``groupby.Sum``, the vocabulary broadcast ONCE via ``ray.put``
+    (never re-shipped per batch), then one stateless scoring pass.
+    Output: ``(id_col, n_tokens, nll)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _arrow_tokens(batch[text_col])
+        toks = np.asarray(flat, dtype=object)
+        t_u, cnt = np.unique(toks, return_counts=True)
+        return pa.table({
+            "token": pa.array(t_u, type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    vocab_rows = (ds.select_columns([text_col])
+                  .map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("token")
+                  .aggregate(Sum("n", alias_name="n"))
+                  .take_all())  # vocabulary-sized (T10b/T35 contract)
+    log_n = {r["token"]: float(np.log2(float(r["n"])))
+             for r in vocab_rows}
+    total = sum(int(r["n"]) for r in vocab_rows)
+    log_total = float(np.log2(float(total))) if total else 0.0
+    ref = ray.put(log_n)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        flat, parent = _arrow_tokens(batch[text_col])
+        toks = np.asarray(flat, dtype=object)
+        n_rows = batch.num_rows
+        k = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        if toks.size:
+            terms = np.fromiter((table[t] for t in toks),
+                                dtype=np.float64, count=toks.size)
+            s = np.bincount(parent, weights=terms, minlength=n_rows)
+        else:
+            s = np.zeros(n_rows, dtype=np.float64)
+        kf = k.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nll = np.where(k > 0, log_total - s / kf, 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(k),
+            "nll": pa.array(nll, type=pa.float64(), mask=k == 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_herfindahl(ds, group_col: str = "source",
+                     text_col: str = "text"):
+    """T113: per-stratum token concentration — the Herfindahl index
+    ``Σ n_t² / N²`` over the stratum's token counts, with the token
+    and distinct-token totals.  HHI → 1/vocab for balanced prose;
+    spikes toward 1 when one token (template boilerplate) dominates.
+
+    Scale shape: per-batch distinct (group, token, count) partials →
+    ONE vocabulary-sized ``groupby.Sum`` → a stateless projection to
+    ``(group, n, n², 1)`` partials → one catalog-sized ``groupby.Sum``
+    over groups.  Integer sums end-to-end; ONE final division pair.
+    Output: ``(group_col, n_tokens, n_distinct, hhi)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        toks = np.asarray(flat, dtype=object)
+        grps = np.asarray(batch[group_col], dtype=object)
+        g_u, codes = np.unique(grps, return_inverse=True)
+        gc = codes[parent]
+        order = np.lexsort((toks, gc))
+        t_s, g_s = toks[order], gc[order]
+        first = np.empty(t_s.size, dtype=bool)
+        if t_s.size:
+            first[0] = True
+            first[1:] = (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, t_s.size))
+        return pa.table({
+            group_col: pa.array(g_u[g_s[starts]] if starts.size
+                                else [], type=pa.string()),
+            "token": pa.array(t_s[starts] if starts.size else [],
+                              type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": pa.array(n),
+            "n2": pa.array(n * n),
+            "one": pa.array(np.ones(n.size, dtype=np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n2 = batch["sum_n2"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nf = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hhi = np.where(n > 0, n2.astype(np.float64) / (nf * nf),
+                           0.0)
+        return pa.table({
+            group_col: batch[group_col],
+            "n_tokens": pa.array(n),
+            "n_distinct": batch["n_distinct"],
+            "hhi": pa.array(hhi, type=pa.float64(), mask=n == 0),
+        })
+
+    return (ds.select_columns([group_col, text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "token"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n_tokens"),
+                       Sum("n2", alias_name="sum_n2"),
+                       Sum("one", alias_name="n_distinct"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def value_gini(ds, group_col: str = "event_type",
+               user_col: str = "user_id", value_col: str = "value"):
+    """T114: per-group Gini coefficient over contributor totals —
+    how unequally the group's value mass is spread across users
+    (0 = uniform, → 1 = one whale).  The skew audit that tells a
+    100-TB planner which keys need salting.  Fixed-point cents per
+    contribution; rank-sum identity ``G = 2·Σ i·x_(i) / (n·Σx) −
+    (n+1)/n`` over ascending-sorted totals (tie order cannot change
+    the sum).  Groups with ``Σx ≤ 0`` get NULL.
+
+    Scale shape: one distributed ``groupby((group, user)).Sum`` →
+    per-group rank fold in ``map_groups`` (group size = contributors
+    per group; at extreme cardinality the fold distributes as a
+    sort + windowed rank, same identity).  Integer sums; the final
+    expression is two division pairs, hash-exact.
+    Output: ``(group_col, n_users, total_cents, gini)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.fill_null(batch[value_col], 0.0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            group_col: batch[group_col],
+            user_col: batch[user_col],
+            "x": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    def gini(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((u, x))
+        xs = x[order]
+        n = np.int64(xs.size)
+        s1 = int(xs.sum())
+        ranks = np.arange(1, int(n) + 1, dtype=np.int64)
+        s2 = int((ranks * xs).sum())
+        if s1 > 0:
+            val = (float(2 * s2) / (float(n) * float(s1))
+                   - float(n + 1) / float(n))
+            mask = [False]
+        else:
+            val, mask = 0.0, [True]
+        return pa.table({
+            group_col: pa.array([key], type=pa.string()),
+            "n_users": pa.array([int(n)], type=pa.int64()),
+            "total_cents": pa.array([s1], type=pa.int64()),
+            "gini": pa.array([val], type=pa.float64(), mask=mask),
+        })
+
+    return (ds.select_columns([group_col, user_col, value_col])
+            .map_batches(cents, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, user_col])
+            .aggregate(Sum("x", alias_name="x"))
+            .groupby(group_col)
+            .map_groups(gini, batch_format="pyarrow"))
+
+
+def audience_overlap(ds, group_col: str = "event_type",
+                     user_col: str = "user_id"):
+    """T115: audience Jaccard between event types — for each
+    unordered type pair sharing ≥1 user, ``|A∩B| / |A∪B|`` over the
+    types' distinct-user sets (the vocab-overlap statistic of
+    stages/overlap_vocab.py, over WHO instead of WHAT).  Pairs with
+    zero common users are absent by construction (both engines).
+
+    Scale shape: distributed distinct via ``groupby((type, user))``;
+    per-type totals are a catalog-sized broadcast; the pair count is
+    ONE user-bucket shuffle (whole users per bucket, the
+    user_activity_histogram contract) with a vectorized
+    within-bucket pair emit (types-per-user bounded by the type
+    catalog), then a tiny pair-level Sum.  Integer counts; ONE final
+    division.  Output: ``(type_a, type_b, n_a, n_b, n_common,
+    jaccard)``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+
+    distinct = (ds.select_columns([group_col, user_col])
+                .groupby([group_col, user_col])
+                .aggregate(Count(alias_name="_c"))
+                .select_columns([group_col, user_col])
+                .materialize())  # types × users bounded; reused twice
+
+    totals = {r[group_col]: int(r["n"])
+              for r in (distinct.groupby(group_col)
+                        .aggregate(Count(alias_name="n")).take_all())}
+
+    empty = pa.table({
+        "type_a": pa.array([], type=pa.string()),
+        "type_b": pa.array([], type=pa.string()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+        "n_common": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64()),
+    })
+    if not totals:
+        return rd.from_arrow(empty)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            user_col: pa.array(users),
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        # reuse the vectorized run-pair kernel (dedup._emit_run_pairs):
+        # runs = users, ids = type codes (np.unique is sorted, so code
+        # order == lexicographic type order and every emitted pair has
+        # type_a < type_b); types-per-user is bounded by the catalog,
+        # so the uncapped max_group is safe
+        from .dedup import _emit_run_pairs
+
+        u = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t_u, codes = np.unique(np.asarray(g[group_col], dtype=object),
+                               return_inverse=True)
+        a, b = _emit_run_pairs(codes.astype(np.int64),
+                               np.zeros(u.size, dtype=np.int64), u,
+                               max_group=int(t_u.size) + 1)
+        if a.size == 0:
+            return pa.table({
+                "type_a": pa.array([], type=pa.string()),
+                "type_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        cell, cnt = np.unique(a * np.int64(t_u.size) + b,
+                              return_counts=True)
+        return pa.table({
+            "type_a": pa.array(t_u[cell // t_u.size],
+                               type=pa.string()),
+            "type_b": pa.array(t_u[cell % t_u.size],
+                               type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ta = np.asarray(batch["type_a"], dtype=object)
+        tb = np.asarray(batch["type_b"], dtype=object)
+        c = batch["n_common"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        na = np.fromiter((totals[a] for a in ta), dtype=np.int64,
+                         count=ta.size)
+        nbv = np.fromiter((totals[b] for b in tb), dtype=np.int64,
+                          count=tb.size)
+        union = na + nbv - c
+        return pa.table({
+            "type_a": batch["type_a"],
+            "type_b": batch["type_b"],
+            "n_a": pa.array(na),
+            "n_b": pa.array(nbv),
+            "n_common": pa.array(c),
+            "jaccard": pa.array(c.astype(np.float64)
+                                / union.astype(np.float64),
+                                type=pa.float64()),
+        })
+
+    return (distinct
+            .map_batches(bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_common"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -782,3 +782,79 @@ def test_cli_analyze_imports_drift_and_events_anomalies(tmp_path):
     ]).to_pandas().sort_values("user_id").reset_index(drop=True)
     assert got3["n_events"].tolist() == [3, 1]
     assert got3["n_anomalies"].tolist() == [0, 0]
+
+
+def test_cli_analyze_entropy_surprisal_concentration(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "source": ["a", "a"],
+        "text": ["aaaa", "common rare"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "ent"
+    p = _run("analyze", str(src), str(out), "--mode", "entropy",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert abs(got.loc[0, "entropy"]) < 1e-12  # one repeated char
+    assert got.loc[1, "n_cp"] == 11
+
+    out2 = tmp_path / "nll"
+    p = _run("analyze", str(src), str(out2), "--mode", "surprisal",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2["n_tokens"].tolist() == [1, 2]
+
+    out3 = tmp_path / "hhi"
+    p = _run("analyze", str(src), str(out3), "--mode", "concentration",
+             "--repo-col", "source", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got3 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out3.rglob("*.parquet"))
+    ]).to_pandas()
+    assert len(got3) == 1 and got3.loc[0, "n_tokens"] == 3
+
+
+def test_cli_events_gini_and_overlap(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "user_id": pa.array([1, 2, 3, 4, 1], type=pa.int64()),
+        "event_type": ["buy", "buy", "buy", "buy", "view"],
+        "value": [0.0, 0.0, 0.0, 100.0, 1.0],
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, src)
+
+    out = tmp_path / "gini"
+    p = _run("events", str(src), str(out), "--mode", "gini",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().set_index("event_type")
+    assert abs(got.loc["buy", "gini"] - 0.75) < 1e-12  # one whale of 4
+
+    out2 = tmp_path / "aud"
+    p = _run("events", str(src), str(out2), "--mode", "overlap",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas()
+    assert len(got2) == 1
+    assert (got2.loc[0, "type_a"], got2.loc[0, "type_b"]) == (
+        "buy", "view")
+    assert abs(got2.loc[0, "jaccard"] - 0.25) < 1e-15

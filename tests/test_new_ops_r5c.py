@@ -1,0 +1,281 @@
+"""Round-5 third-session operators: T111 per-doc character entropy,
+T112 corpus-unigram-LM document surprisal, T113 per-source token
+Herfindahl concentration, T114 per-event-type Gini over user value
+totals, T115 audience Jaccard between event types — each against a
+pure-Python brute-force oracle on sf0.001 plus synthetic edges and
+partition invariance."""
+
+import collections
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [t for t in (s or "").lower().split() if t]
+
+
+# --------------------------------------------------------------- T111
+
+
+def test_char_entropy_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import char_entropy
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    want = {}
+    for did, text in zip(t["doc_id"].to_pylist(),
+                         t["text"].to_pylist()):
+        cnt = collections.Counter(text or "")
+        total = sum(cnt.values())
+        if total == 0:
+            want[did] = (0, None)
+        else:
+            s = sum(c * math.log2(c) for c in cnt.values())
+            want[did] = (total, math.log2(total) - s / total)
+
+    got = char_entropy(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n, h = want[r["doc_id"]]
+        assert r["n_cp"] == n
+        if h is None:
+            assert np.isnan(r["entropy"])
+        else:
+            assert abs(r["entropy"] - h) <= 1e-12 * max(1.0, abs(h))
+
+
+def test_char_entropy_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import char_entropy
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["", None, "aaaa", "aĉbĉ"],
+                         type=pa.string()),
+    })
+    got = (char_entropy(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[1, "n_cp"] == 0 and np.isnan(got.loc[1, "entropy"])
+    assert got.loc[2, "n_cp"] == 0 and np.isnan(got.loc[2, "entropy"])
+    # one repeated char → zero entropy
+    assert got.loc[3, "n_cp"] == 4
+    assert abs(got.loc[3, "entropy"]) < 1e-12
+    # multibyte codepoints count once each: a,ĉ,b,ĉ → H = 1.5 bits
+    assert got.loc[4, "n_cp"] == 4
+    assert abs(got.loc[4, "entropy"] - 1.5) < 1e-12
+
+
+# --------------------------------------------------------------- T112
+
+
+def test_unigram_doc_nll_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import unigram_doc_nll
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    cnt = collections.Counter()
+    for s in texts.values():
+        cnt.update(_toks(s))
+    total = sum(cnt.values())
+
+    got = unigram_doc_nll(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    assert len(got) == len(texts)
+    for _, r in got.iterrows():
+        toks = _toks(texts[r["doc_id"]])
+        assert r["n_tokens"] == len(toks)
+        if not toks:
+            assert np.isnan(r["nll"])
+            continue
+        want = math.log2(total) - \
+            sum(math.log2(cnt[tk]) for tk in toks) / len(toks)
+        assert abs(r["nll"] - want) <= 1e-9 * max(1.0, abs(want))
+
+    # partition invariance: the broadcast vocabulary must not depend
+    # on block layout
+    got2 = unigram_doc_nll(rd.from_arrow(t)).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = got2.sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(a["nll"], b["nll"], rtol=0, atol=0,
+                       equal_nan=True)
+
+
+def test_unigram_doc_nll_rare_scores_higher(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import unigram_doc_nll
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["common common common common",
+                          "common rare", ""], type=pa.string()),
+    })
+    got = (unigram_doc_nll(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[2, "nll"] > got.loc[1, "nll"]
+    assert got.loc[3, "n_tokens"] == 0 and np.isnan(got.loc[3, "nll"])
+
+
+# --------------------------------------------------------------- T113
+
+
+def test_token_herfindahl_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import token_herfindahl
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        per[src].update(_toks(text))
+
+    got = token_herfindahl(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    assert set(got["source"]) == {s for s in per if per[s]}
+    for _, r in got.iterrows():
+        c = per[r["source"]]
+        n = sum(c.values())
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        want = sum(v * v for v in c.values()) / (n * n)
+        assert abs(r["hhi"] - want) <= 1e-15 * max(1.0, want)
+
+
+def test_token_herfindahl_degenerate(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import token_herfindahl
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"], type=pa.string()),
+        "text": pa.array(["x x X", "x", "p q r s"],
+                         type=pa.string()),
+    })
+    got = (token_herfindahl(rd.from_arrow(t)).to_pandas()
+           .set_index("source"))
+    # single distinct token → hhi = 1
+    assert got.loc["a", "n_distinct"] == 1
+    assert abs(got.loc["a", "hhi"] - 1.0) < 1e-15
+    # balanced k tokens → hhi = 1/k
+    assert abs(got.loc["b", "hhi"] - 0.25) < 1e-15
+
+
+# --------------------------------------------------------------- T114
+
+
+def _gini(xs):
+    xs = sorted(xs)
+    n, s1 = len(xs), sum(xs)
+    if s1 <= 0:
+        return None
+    s2 = sum(i * x for i, x in enumerate(xs, start=1))
+    return 2 * s2 / (n * s1) - (n + 1) / n
+
+
+def test_value_gini_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import value_gini
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    per = collections.defaultdict(lambda: collections.defaultdict(int))
+    for et, uid, v in zip(t["event_type"].to_pylist(),
+                          t["user_id"].to_pylist(),
+                          t["value"].to_pylist()):
+        per[et][uid] += int(math.floor((v or 0.0) * 100 + 0.5))
+
+    got = value_gini(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert set(got["event_type"]) == set(per)
+    for _, r in got.iterrows():
+        users = per[r["event_type"]]
+        assert r["n_users"] == len(users)
+        assert r["total_cents"] == sum(users.values())
+        want = _gini(list(users.values()))
+        if want is None:
+            assert np.isnan(r["gini"])
+        else:
+            assert abs(r["gini"] - want) <= 1e-12
+
+
+def test_value_gini_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import value_gini
+
+    t = pa.table({
+        "event_type": pa.array(["eq"] * 4 + ["whale"] * 4 + ["zero"],
+                               type=pa.string()),
+        "user_id": pa.array([1, 2, 3, 4, 1, 2, 3, 4, 1],
+                            type=pa.int64()),
+        "value": pa.array([5.0, 5.0, 5.0, 5.0,
+                           0.0, 0.0, 0.0, 100.0, 0.0],
+                          type=pa.float64()),
+    })
+    got = (value_gini(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type"))
+    # perfectly equal → 0
+    assert abs(got.loc["eq", "gini"]) < 1e-12
+    # one whale of 4 users → (n-1)/n = 0.75
+    assert abs(got.loc["whale", "gini"] - 0.75) < 1e-12
+    # zero total → NULL
+    assert np.isnan(got.loc["zero", "gini"])
+
+
+# --------------------------------------------------------------- T115
+
+
+def test_audience_overlap_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import audience_overlap
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    aud = collections.defaultdict(set)
+    for et, uid in zip(t["event_type"].to_pylist(),
+                       t["user_id"].to_pylist()):
+        aud[et].add(uid)
+    types = sorted(aud)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            common = len(aud[a] & aud[b])
+            if common:
+                want[(a, b)] = (len(aud[a]), len(aud[b]), common,
+                                common / len(aud[a] | aud[b]))
+
+    got = audience_overlap(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        na, nb, c, j = want[(r["type_a"], r["type_b"])]
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (na, nb, c)
+        assert abs(r["jaccard"] - j) <= 1e-15
+
+
+def test_audience_overlap_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import audience_overlap
+
+    # duplicate events must not inflate counts; disjoint pairs absent
+    t = pa.table({
+        "event_type": pa.array(["x", "x", "y", "y", "z"],
+                               type=pa.string()),
+        "user_id": pa.array([1, 1, 1, 2, 9], type=pa.int64()),
+    })
+    got = audience_overlap(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("x", "y")
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (1, 2, 1)
+    assert abs(r["jaccard"] - 0.5) < 1e-15
