@@ -2704,6 +2704,22 @@ def _q_token_herfindahl(sf_dir: str):
     return token_herfindahl(_read(sf_dir, "documents"))
 
 
+def _q_script_composition(sf_dir: str):
+    """T116: per-doc script composition over engine-shared codepoint
+    ranges — the script-mixing audit behind langid quality filtering;
+    embarrassingly parallel, pure integer counts."""
+    from fast_langdetect_ray.stages.diversity import script_composition
+    return script_composition(_read(sf_dir, "documents"))
+
+
+def _q_compression_ratio(sf_dir: str):
+    """T117: per-doc zlib compression ratio — the cheap whole-document
+    repetition/boilerplate signal; rows-only (zlib has no SQL twin),
+    pinned by the brute-force pytest oracle."""
+    from fast_langdetect_ray.stages.diversity import compression_ratio
+    return compression_ratio(_read(sf_dir, "documents"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2818,7 +2834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_herfindahl": _q_token_herfindahl,
         "value_gini": _q_value_gini,
         "audience_overlap": _q_audience_overlap,
+        "script_composition": _q_script_composition,
         # rows-only (model / sketch / approximate ops)
+        "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,
         "fim_transform": _q_fim_transform,
@@ -4472,6 +4490,42 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T116: script composition; explicit codepoint ranges shared
+        # verbatim with the engine (_SCRIPT_RANGES) — disjoint
+        # classes, so n_other is the arithmetic remainder; pure
+        # integer counts, hash-exact
+        "script_composition": """
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS x
+                       FROM documents),
+            c AS (
+              SELECT doc_id, length(x) AS n_cp,
+                     length(regexp_replace(x, '[^A-Za-z]', '', 'g'))
+                         AS n_latin,
+                     length(regexp_replace(x, '[^0-9]', '', 'g'))
+                         AS n_digit,
+                     length(regexp_replace(x,
+                         '[^\\x{20}\\x{09}\\x{0A}\\x{0D}]', '', 'g'))
+                         AS n_space,
+                     length(regexp_replace(x,
+                         '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_han,
+                     length(regexp_replace(x,
+                         '[^\\x{3040}-\\x{30FF}]', '', 'g')) AS n_kana,
+                     length(regexp_replace(x,
+                         '[^\\x{AC00}-\\x{D7AF}]', '', 'g'))
+                         AS n_hangul
+              FROM t
+            )
+            SELECT doc_id, CAST(n_cp AS BIGINT) AS n_cp,
+                   CAST(n_latin AS BIGINT) AS n_latin,
+                   CAST(n_digit AS BIGINT) AS n_digit,
+                   CAST(n_space AS BIGINT) AS n_space,
+                   CAST(n_han AS BIGINT) AS n_han,
+                   CAST(n_kana AS BIGINT) AS n_kana,
+                   CAST(n_hangul AS BIGINT) AS n_hangul,
+                   CAST(n_cp - n_latin - n_digit - n_space - n_han
+                        - n_kana - n_hangul AS BIGINT) AS n_other
+            FROM c
         """,
         # T104: RFM profile; recency in pure integer µs arithmetic,
         # money in fixed-point cents

@@ -136,6 +136,8 @@ HEADLINE = [
     "token_herfindahl",
     "value_gini",
     "audience_overlap",
+    "script_composition",
+    "compression_ratio",
 ]
 
 

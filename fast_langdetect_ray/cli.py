@@ -409,6 +409,14 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.diversity import token_herfindahl
             out = token_herfindahl(ds, group_col=args.repo_col,
                                    text_col=args.text_col)
+        elif args.mode == "scripts":
+            from .stages.diversity import script_composition
+            out = script_composition(ds, id_col=args.id_col,
+                                     text_col=args.text_col)
+        elif args.mode == "compressibility":
+            from .stages.diversity import compression_ratio
+            out = compression_ratio(ds, id_col=args.id_col,
+                                    text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -821,7 +829,8 @@ def main(argv=None) -> int:
                     choices=["novelty", "lines", "license", "overlap",
                              "sweep", "collocations", "imports",
                              "drift", "token-drift", "entropy",
-                             "surprisal", "concentration"])
+                             "surprisal", "concentration", "scripts",
+                             "compressibility"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,

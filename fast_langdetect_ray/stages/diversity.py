@@ -1,7 +1,8 @@
 """Diversity / concentration scoring over corpus and event streams:
-per-document character entropy, corpus-unigram-LM document surprisal,
-per-stratum token concentration (Herfindahl), per-group Gini over
-contributor totals, and audience overlap between event types.
+per-document character entropy, script composition, compression
+ratio, corpus-unigram-LM document surprisal, per-stratum token
+concentration (Herfindahl), per-group Gini over contributor totals,
+and audience overlap between event types.
 
 These are the "is this data any good / who contributes it" audit
 statistics of a training-data pipeline: character entropy flags
@@ -241,6 +242,104 @@ def token_herfindahl(ds, group_col: str = "source",
                        Sum("one", alias_name="n_distinct"))
             .map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+# explicit codepoint ranges shared verbatim with the SQL twin
+# (regexp classes [\x{lo}-\x{hi}]) — deliberately NOT \p{Han} etc. so
+# both engines test the identical set
+_SCRIPT_RANGES = {
+    "n_latin": ((0x41, 0x5A), (0x61, 0x7A)),
+    "n_digit": ((0x30, 0x39),),
+    "n_space": ((0x20, 0x20), (0x09, 0x0A), (0x0D, 0x0D)),
+    "n_han": ((0x4E00, 0x9FFF),),
+    "n_kana": ((0x3040, 0x30FF),),
+    "n_hangul": ((0xAC00, 0xD7AF),),
+}
+
+
+def script_composition(ds, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """T116: per-document script composition — codepoint counts per
+    script class (latin / digit / space / han / kana / hangul /
+    other) over explicit, engine-shared ranges.  The script-mixing
+    audit behind language-ID quality filtering: a "de" doc that is
+    40% Han codepoints is mislabeled; a doc that is 30% "other" is
+    encoding noise.  NULL text counts as empty.
+
+    Scale shape: embarrassingly parallel, NO shuffle — one utf-32
+    view per batch, one vectorized range test per class.  Pure
+    integer counts, hash-exact.  Output: ``(id_col, n_cp, n_latin,
+    n_digit, n_space, n_han, n_kana, n_hangul, n_other)``.
+    """
+    def score(batch: pa.Table) -> pa.Table:
+        cps, parent = _codepoints(batch[text_col])
+        n_rows = batch.num_rows
+        cols = {id_col: batch[id_col],
+                "n_cp": pa.array(np.bincount(
+                    parent, minlength=n_rows).astype(np.int64))}
+        claimed = np.zeros(cps.size, dtype=bool)
+        for name, ranges in _SCRIPT_RANGES.items():
+            m = np.zeros(cps.size, dtype=bool)
+            for lo, hi in ranges:
+                m |= (cps >= np.uint32(lo)) & (cps <= np.uint32(hi))
+            claimed |= m
+            cols[name] = pa.array(np.bincount(
+                parent[m], minlength=n_rows).astype(np.int64))
+        cols["n_other"] = pa.array(np.bincount(
+            parent[~claimed], minlength=n_rows).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compression_ratio(ds, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6):
+    """T117: per-document zlib compression ratio
+    ``compressed_bytes / raw_bytes`` — the classic cheap repetition /
+    boilerplate signal (highly repetitive or templated text
+    compresses far below prose's ~0.4–0.6; random bytes sit near 1).
+    Complements the exact n-gram repetition stats
+    (stages/textstats.py:repetition_signals) with a whole-document
+    measure.  Empty/NULL text → ``n_bytes = 0``, ``ratio = NULL``.
+
+    Scale shape: embarrassingly parallel, NO shuffle.  The per-row
+    ``zlib.compress`` call is a C call per document (like the
+    fastText model call in stages/quality.py) — not expressible as
+    an Arrow kernel; rows-only correctness (no SQL twin; pinned by
+    the brute-force pytest oracle).  Output: ``(id_col, n_bytes,
+    n_compressed, ratio)``.
+    """
+    import zlib
+
+    lvl = int(level)
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        texts = pc.fill_null(col, "").to_pylist()
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          dtype=np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), lvl))
+             for t in texts), dtype=np.int64, count=len(texts))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw > 0,
+                             comp.astype(np.float64)
+                             / raw.astype(np.float64), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bytes": pa.array(raw),
+            "n_compressed": pa.array(comp),
+            "ratio": pa.array(ratio, type=pa.float64(),
+                              mask=raw == 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def value_gini(ds, group_col: str = "event_type",

@@ -858,3 +858,33 @@ def test_cli_events_gini_and_overlap(tmp_path):
     assert (got2.loc[0, "type_a"], got2.loc[0, "type_b"]) == (
         "buy", "view")
     assert abs(got2.loc[0, "jaccard"] - 0.25) < 1e-15
+
+
+def test_cli_analyze_scripts_and_compressibility(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["ab1 漢字", "spam " * 200],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "scripts"
+    p = _run("analyze", str(src), str(out), "--mode", "scripts",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got.loc[0, "n_latin"], got.loc[0, "n_han"]) == (2, 2)
+
+    out2 = tmp_path / "zr"
+    p = _run("analyze", str(src), str(out2), "--mode",
+             "compressibility", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2.loc[1, "ratio"] < 0.1  # repeated text compresses

@@ -279,3 +279,90 @@ def test_audience_overlap_edges(ray_session):
     assert (r["type_a"], r["type_b"]) == ("x", "y")
     assert (r["n_a"], r["n_b"], r["n_common"]) == (1, 2, 1)
     assert abs(r["jaccard"] - 0.5) < 1e-15
+
+
+# --------------------------------------------------------------- T116
+
+
+def test_script_composition_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import (_SCRIPT_RANGES,
+                                                      script_composition)
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    got = script_composition(
+        rd.from_arrow(t).repartition(4)).to_pandas().set_index("doc_id")
+    assert len(got) == t.num_rows
+    for did, text in zip(t["doc_id"].to_pylist(),
+                         t["text"].to_pylist()):
+        s = text or ""
+        r = got.loc[did]
+        assert r["n_cp"] == len(s)
+        counted = 0
+        for name, ranges in _SCRIPT_RANGES.items():
+            want = sum(1 for ch in s
+                       if any(lo <= ord(ch) <= hi for lo, hi in ranges))
+            assert r[name] == want, (did, name)
+            counted += want
+        assert r["n_other"] == len(s) - counted
+
+
+def test_script_composition_mixed_scripts(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import script_composition
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["ab1 漢字かなカナ한글x\t\n", None],
+                         type=pa.string()),
+    })
+    got = (script_composition(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    r = got.loc[1]
+    assert (r["n_latin"], r["n_digit"], r["n_space"]) == (3, 1, 3)
+    assert (r["n_han"], r["n_kana"], r["n_hangul"]) == (2, 4, 2)
+    assert r["n_other"] == 0
+    assert (got.loc[2, "n_cp"], got.loc[2, "n_other"]) == (0, 0)
+
+
+# --------------------------------------------------------------- T117
+
+
+def test_compression_ratio_matches_zlib(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import compression_ratio
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    got = compression_ratio(
+        rd.from_arrow(t).repartition(4)).to_pandas().set_index("doc_id")
+    assert len(got) == t.num_rows
+    for did, text in zip(t["doc_id"].to_pylist()[:100],
+                         t["text"].to_pylist()[:100]):
+        raw = (text or "").encode("utf-8")
+        r = got.loc[did]
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == len(zlib.compress(raw, 6))
+        assert r["ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_compression_ratio_orders_repetitive_below_random(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import compression_ratio
+
+    rng = np.random.default_rng(7)
+    rand = "".join(chr(c) for c in rng.integers(33, 0x2000, 4000))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["spam " * 800, rand, ""], type=pa.string()),
+    })
+    got = (compression_ratio(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[1, "ratio"] < 0.05        # repetition compresses
+    assert got.loc[2, "ratio"] > 0.5         # randomness doesn't
+    assert got.loc[3, "n_bytes"] == 0 and np.isnan(got.loc[3, "ratio"])
