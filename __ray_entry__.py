@@ -2720,6 +2720,31 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_read(sf_dir, "documents"))
 
 
+def _q_label_conflicts(sf_dir: str):
+    """T118: label-conflict audit — same sha256(text), ≥2 distinct
+    lang labels.  The driver testdata has no exact dups at small sfs,
+    so conflicts are PLANTED deterministically (doc_id % 50 == 0 rows
+    share one of 3 constant texts while keeping their original langs),
+    mirrored verbatim in the oracle — the T81 plant pattern."""
+    from fast_langdetect_ray.stages.dedup import label_conflicts
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(batch["text"].to_pylist(), dtype=object)
+        sel = ids % 50 == 0
+        txt[sel] = [f"conflict blob {(int(i) // 50) % 3}"
+                    for i in ids[sel]]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(txt, type=pa.string()),
+                         "lang": batch["lang"]})
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["doc_id", "text", "lang"])
+          .map_batches(plant, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return label_conflicts(ds)
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2835,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini": _q_value_gini,
         "audience_overlap": _q_audience_overlap,
         "script_composition": _q_script_composition,
+        "label_conflicts": _q_label_conflicts,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4490,6 +4516,27 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T118: label conflicts; plant mirrored verbatim (T81
+        # pattern), pure integer counts — hash-exact
+        "label_conflicts": """
+            WITH p AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 50 = 0
+                          THEN 'conflict blob '
+                               || CAST((doc_id // 50) % 3 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ),
+            g AS (SELECT sha256(text) AS text_sha256, lang,
+                         CAST(count(*) AS BIGINT) AS n,
+                         min(doc_id) AS m
+                  FROM p GROUP BY 1, 2)
+            SELECT text_sha256, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   min(m) AS rep_doc_id
+            FROM g GROUP BY text_sha256
+            HAVING count(*) >= 2
         """,
         # T116: script composition; explicit codepoint ranges shared
         # verbatim with the engine (_SCRIPT_RANGES) — disjoint

@@ -138,6 +138,7 @@ HEADLINE = [
     "audience_overlap",
     "script_composition",
     "compression_ratio",
+    "label_conflicts",
 ]
 
 

@@ -339,6 +339,52 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def label_conflicts(ds, text_col: str = "text",
+                    label_col: str = "lang", id_col: str = "doc_id"):
+    """T118: label-conflict audit — content groups (same sha256(text))
+    carrying ≥ 2 DISTINCT labels: ``(text_sha256, n_docs, n_langs,
+    rep_doc_id)``.  The labeled-data twin of :func:`exact_dup_groups`:
+    duplicated training text with contradictory labels poisons both
+    classifier training and langid evaluation, and this surfaces every
+    such group with its smallest doc id as the representative.
+
+    Scale shape: column-pruned hash projection → ONE distributed
+    ``groupby((sha, label))`` collapse (first shuffle carries only the
+    64-hex + label + id columns) → a second groupby over the
+    (contents × labels)-bounded cell table → Arrow filter.  Pure
+    integer counts, hash-exact."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    hashed = ds.map_batches(
+        add_sha256, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col})
+    cells = (hashed.select_columns(["text_sha256", label_col, id_col])
+             .groupby(["text_sha256", label_col])
+             .aggregate(Count(alias_name="n"),
+                        Min(id_col, alias_name="m")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_sha256": batch["text_sha256"],
+            "n": batch["n"],
+            "one": pa.array(
+                np.ones(batch.num_rows, dtype=np.int64)),
+            "m": batch["m"],
+        })
+
+    return (cells
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("text_sha256")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("one", alias_name="n_langs"),
+                       Min("m", alias_name="rep_doc_id"))
+            .map_batches(
+                lambda b: b.filter(pc.greater_equal(b["n_langs"], 2)),
+                batch_format="pyarrow", zero_copy_batch=True))
+
+
 def cross_corpus_dedup(ds, prior_ds, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_partitions: int | None = None):

@@ -366,3 +366,46 @@ def test_compression_ratio_orders_repetitive_below_random(ray_session):
     assert got.loc[1, "ratio"] < 0.05        # repetition compresses
     assert got.loc[2, "ratio"] > 0.5         # randomness doesn't
     assert got.loc[3, "n_bytes"] == 0 and np.isnan(got.loc[3, "ratio"])
+
+
+# --------------------------------------------------------------- T118
+
+
+def test_label_conflicts_matches_python(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import label_conflicts
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["same", "same", "same", "uniq",
+                          "agree", "agree"], type=pa.string()),
+        "lang": pa.array(["en", "de", "en", "en", "fr", "fr"],
+                         type=pa.string()),
+    })
+    got = label_conflicts(
+        rd.from_arrow(t).repartition(3)).to_pandas()
+    # only "same" carries 2 distinct labels; "agree" dups agree
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["text_sha256"] == hashlib.sha256(b"same").hexdigest()
+    assert (r["n_docs"], r["n_langs"], r["rep_doc_id"]) == (3, 2, 1)
+
+
+def test_label_conflicts_none(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import label_conflicts
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b"], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+    })
+    got = label_conflicts(rd.from_arrow(t))
+    assert got.count() == 0
+    # schema survives the empty result (Dataset.schema, not pandas)
+    assert set(got.schema().names) == {
+        "text_sha256", "n_docs", "n_langs", "rep_doc_id"}
