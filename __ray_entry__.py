@@ -2745,6 +2745,14 @@ def _q_label_conflicts(sf_dir: str):
     return label_conflicts(ds)
 
 
+def _q_trimmed_stats(sf_dir: str):
+    """T119: exact 10%-trimmed per-language length profile — the
+    robust calibration statistic; value-domain histogram fold,
+    integer sums, one division pair."""
+    from fast_langdetect_ray.stages.normalize import trimmed_stats
+    return trimmed_stats(_read(sf_dir, "documents"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2861,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": _q_audience_overlap,
         "script_composition": _q_script_composition,
         "label_conflicts": _q_label_conflicts,
+        "trimmed_stats": _q_trimmed_stats,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4516,6 +4525,29 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T119: trimmed mean; k = n // 10 pure int arithmetic both
+        # engines, rank-window filter ≡ histogram band walk (ties
+        # have equal values, so which duplicate rows are trimmed
+        # cannot change the sum); integer sums, ONE division pair
+        "trimmed_stats": """
+            WITH r AS (
+              SELECT lang, n_chars AS v,
+                     CAST(row_number() OVER (
+                         PARTITION BY lang ORDER BY n_chars)
+                         AS BIGINT) AS rn,
+                     CAST(count(*) OVER (PARTITION BY lang)
+                         AS BIGINT) AS n
+              FROM documents
+            )
+            SELECT lang, any_value(n) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   min(v) AS lo, max(v) AS hi,
+                   CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS trimmed_mean
+            FROM r
+            WHERE rn > n // 10 AND rn <= n - n // 10
+            GROUP BY lang
         """,
         # T118: label conflicts; plant mirrored verbatim (T81
         # pattern), pure integer counts — hash-exact

@@ -139,6 +139,7 @@ HEADLINE = [
     "script_composition",
     "compression_ratio",
     "label_conflicts",
+    "trimmed_stats",
 ]
 
 

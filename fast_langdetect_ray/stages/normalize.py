@@ -142,3 +142,82 @@ def percentile_rank(ds, value_col: str = "n_chars",
     return (ds.select_columns([id_col, group_col, value_col])
             .map_batches(rank, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def trimmed_stats(ds, group_col: str = "lang",
+                  value_col: str = "n_chars", trim_tenths: int = 1):
+    """T119: exact per-group TRIMMED mean of an integer column — drop
+    the lowest and highest ``floor(n · trim_tenths/10)`` ranked rows,
+    average the rest.  The robust calibration statistic (a handful of
+    10M-char outlier docs cannot move a 10%-trimmed per-language
+    length profile, unlike the plain mean); the robust complement of
+    :func:`percentile_rank` and T26's exact quantiles.  Output per
+    group: ``(group, n_docs, n_kept, lo, hi, trimmed_mean)`` where
+    ``lo``/``hi`` are the kept band's min/max (the winsorization
+    bounds).
+
+    ``trim_tenths`` keeps the cut integer-exact: ``k = n *
+    trim_tenths // 10`` (pure int arithmetic, engine-neutral —
+    a float fraction would invite ``floor(0.1 · n)`` ulp drift).
+    ``n − 2k ≥ 1`` always holds for ``trim_tenths ≤ 4``, so the mean
+    is never NULL.
+
+    Scale shape (the T91/T26 value-domain contract): one pass reduces
+    to per-(group, value) counts — value DOMAIN × groups bounded,
+    corpus-row independent — then a catalog-sized driver fold walks
+    each group's sorted histogram clipping rank overlap with the kept
+    band [k, n−k).  Integer sums end-to-end; ONE final division pair,
+    hash-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if not 0 <= int(trim_tenths) <= 4:
+        raise ValueError("trim_tenths must be in [0, 4]")
+    tt = int(trim_tenths)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: pc.cast(batch[value_col], pa.int64())})
+        return t.group_by([group_col, value_col],
+                          use_threads=False) \
+            .aggregate([(value_col, "count")]) \
+            .rename_columns([group_col, value_col, "cnt"])
+
+    hist = (ds.select_columns([group_col, value_col])
+            .map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, value_col])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # value-domain × groups bounded
+
+    out_g, out_n, out_k, out_lo, out_hi, out_mean = \
+        [], [], [], [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values(value_col)
+        vals = sub[value_col].to_numpy().astype(np.int64)
+        cnts = sub["cnt"].to_numpy().astype(np.int64)
+        n = int(cnts.sum())
+        k = n * tt // 10
+        cum = np.cumsum(cnts)
+        prev = cum - cnts
+        # per value: overlap of its rank run [prev, cum) with the
+        # kept band [k, n - k)
+        kept = np.clip(np.minimum(cum, n - k) - np.maximum(prev, k),
+                       0, cnts)
+        n_kept = int(kept.sum())
+        s = int((vals * kept).sum())
+        nz = np.flatnonzero(kept > 0)
+        out_g.append(g)
+        out_n.append(n)
+        out_k.append(n_kept)
+        out_lo.append(int(vals[nz[0]]))
+        out_hi.append(int(vals[nz[-1]]))
+        out_mean.append(float(s) / float(n_kept))
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out_g, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "n_kept": pa.array(out_k, type=pa.int64()),
+        "lo": pa.array(out_lo, type=pa.int64()),
+        "hi": pa.array(out_hi, type=pa.int64()),
+        "trimmed_mean": pa.array(out_mean, type=pa.float64()),
+    }))

@@ -409,3 +409,58 @@ def test_label_conflicts_none(ray_session):
     # schema survives the empty result (Dataset.schema, not pandas)
     assert set(got.schema().names) == {
         "text_sha256", "n_docs", "n_langs", "rep_doc_id"}
+
+
+# --------------------------------------------------------------- T119
+
+
+def test_trimmed_stats_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import trimmed_stats
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    per = collections.defaultdict(list)
+    for lang, v in zip(t["lang"].to_pylist(),
+                       t["n_chars"].to_pylist()):
+        per[lang].append(int(v))
+
+    got = trimmed_stats(
+        rd.from_arrow(t).repartition(4)).to_pandas() \
+        .set_index("lang")
+    assert set(got.index) == set(per)
+    for lang, xs in per.items():
+        xs = sorted(xs)
+        n = len(xs)
+        k = n // 10
+        kept = xs[k:n - k]
+        r = got.loc[lang]
+        assert r["n_docs"] == n
+        assert r["n_kept"] == len(kept)
+        assert (r["lo"], r["hi"]) == (kept[0], kept[-1])
+        assert r["trimmed_mean"] == sum(kept) / len(kept)
+
+
+def test_trimmed_stats_outlier_immune(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import trimmed_stats
+
+    base = [100] * 18
+    t = pa.table({
+        "lang": pa.array(["x"] * 20, type=pa.string()),
+        "n_chars": pa.array(base + [1, 10**9], type=pa.int64()),
+    })
+    got = trimmed_stats(rd.from_arrow(t)).to_pandas().iloc[0]
+    # k = 2 trims both the tiny and the 10^9 outlier
+    assert got["n_kept"] == 16
+    assert (got["lo"], got["hi"]) == (100, 100)
+    assert got["trimmed_mean"] == 100.0
+    # singleton group: k = 0, mean = the value itself
+    t2 = pa.table({
+        "lang": pa.array(["y"], type=pa.string()),
+        "n_chars": pa.array([7], type=pa.int64()),
+    })
+    got2 = trimmed_stats(rd.from_arrow(t2)).to_pandas().iloc[0]
+    assert (got2["n_docs"], got2["n_kept"],
+            got2["trimmed_mean"]) == (1, 1, 7.0)
