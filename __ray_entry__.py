@@ -2753,6 +2753,15 @@ def _q_trimmed_stats(sf_dir: str):
     return trimmed_stats(_read(sf_dir, "documents"))
 
 
+def _q_json_field_stats(sf_dir: str):
+    """T120: per-type stats of the integer ``k`` field inside the
+    events' JSON ``props`` payload — vectorized RE2 extraction (the
+    engine-shared-pattern contract), per-batch partials, one tiny
+    groupby merge."""
+    from fast_langdetect_ray.stages.jsonfield import json_field_stats
+    return json_field_stats(_read(sf_dir, "events"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2870,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_composition": _q_script_composition,
         "label_conflicts": _q_label_conflicts,
         "trimmed_stats": _q_trimmed_stats,
+        "json_field_stats": _q_json_field_stats,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4525,6 +4535,27 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T120: JSON int-field stats; the SAME regex contract both
+        # engines ("k"\s*:\s*(-?\d+)); integer sums, ONE division
+        "json_field_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(nullif(regexp_extract(
+                         coalesce(props, ''),
+                         '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT)
+                         AS k
+              FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(k) AS BIGINT) AS n_with_key,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   CASE WHEN count(k) > 0
+                        THEN CAST(coalesce(sum(k), 0) AS DOUBLE)
+                             / CAST(count(k) AS DOUBLE)
+                   END AS mean_k
+            FROM e GROUP BY event_type
         """,
         # T119: trimmed mean; k = n // 10 pure int arithmetic both
         # engines, rank-window filter ≡ histogram band walk (ties

@@ -140,6 +140,7 @@ HEADLINE = [
     "compression_ratio",
     "label_conflicts",
     "trimmed_stats",
+    "json_field_stats",
 ]
 
 

@@ -473,6 +473,10 @@ def cmd_events(args: argparse.Namespace) -> int:
             from .stages.diversity import audience_overlap
             out = audience_overlap(ds, group_col=args.type_col,
                                    user_col=args.user_col)
+        elif args.mode == "payload":
+            from .stages.jsonfield import json_field_stats
+            out = json_field_stats(ds, field=args.field,
+                                   group_col=args.type_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -860,7 +864,10 @@ def main(argv=None) -> int:
     ev.add_argument("output", help="output parquet directory")
     ev.add_argument("--mode", default="funnel",
                     choices=["funnel", "retention", "running",
-                             "anomalies", "gini", "overlap"])
+                             "anomalies", "gini", "overlap",
+                             "payload"])
+    ev.add_argument("--field", default="k",
+                    help="payload: integer JSON field to extract")
     ev.add_argument("--steps", default="view,click,purchase",
                     help="funnel: ordered comma-separated event types")
     ev.add_argument("--period-hours", type=int, default=168,

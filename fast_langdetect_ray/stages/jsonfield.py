@@ -1,0 +1,96 @@
+"""Semi-structured payload extraction: pull a typed field out of a
+JSON-string column (the ``props`` / attributes blob every event log
+and crawl metadata table carries) without a per-row ``json.loads``.
+
+Contract: INTEGER field extraction via one shared RE2 pattern
+(``"<field>"\\s*:\\s*(-?\\d+)``) evaluated by Arrow's C++
+``extract_regex`` kernel on the engine side and ``regexp_extract`` on
+the oracle side — deliberately a declared regex contract rather than
+a full JSON parser, the same engine-shared-pattern policy as the
+secret/license scans (stages/code.py).  Rows whose payload lacks the
+field (or is NULL) extract NULL.
+
+Scale shape: extraction is embarrassingly parallel (one vectorized
+RE2 pass per batch, no Python per row); the stats rollup reduces each
+batch to per-group integer partials before ONE catalog-sized
+``groupby.Sum``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _field_pattern(field: str) -> str:
+    if not field.replace("_", "").isalnum():
+        raise ValueError("field must be alphanumeric/underscore")
+    return f'"{field}"\\s*:\\s*(?P<v>-?\\d+)'
+
+
+def extract_int_field(col, field: str) -> pa.Array:
+    """Nullable int64 array of ``field``'s integer value per row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    hit = pc.extract_regex(pc.fill_null(col, ""),
+                           pattern=_field_pattern(field))
+    return pc.cast(pc.struct_field(hit, "v"), pa.int64())
+
+
+def json_field_stats(ds, field: str = "k",
+                     group_col: str = "event_type",
+                     props_col: str = "props"):
+    """T120: per-group stats of an integer JSON field —
+    ``(group, n_events, n_with_key, sum_k, min_k, max_k, mean_k)``.
+    The "slice the event payload without a schema migration" query;
+    groups where NO row carries the field get NULL min/max/mean and
+    ``sum_k = 0`` (both engines coalesce the empty sum).
+
+    Scale shape: one stateless extract pass fused with a per-batch
+    (group)-bounded partial (count / present-count / sum / min / max),
+    then ONE tiny ``groupby`` merge; integer sums, ONE division pair.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = extract_int_field(batch[props_col], field)
+        t = pa.table({group_col: batch[group_col], "k": k})
+        gb = t.group_by([group_col], use_threads=False).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max"),
+             ([], "count_all")])
+        return gb.rename_columns(
+            [group_col, "n_with_key", "sum_k", "min_k", "max_k",
+             "n_events"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch["n_with_key"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pc.fill_null(batch["sum_k"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(nw > 0, s.astype(np.float64)
+                            / nw.astype(np.float64), 0.0)
+        return pa.table({
+            group_col: batch[group_col],
+            "n_events": batch["n_events"],
+            "n_with_key": pa.array(nw),
+            "sum_k": pa.array(s),
+            "min_k": batch["min_k"],
+            "max_k": batch["max_k"],
+            "mean_k": pa.array(mean, type=pa.float64(), mask=nw == 0),
+        })
+
+    return (ds.select_columns([group_col, props_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_with_key", alias_name="n_with_key"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Min("min_k", alias_name="min_k"),
+                       Max("max_k", alias_name="max_k"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -888,3 +888,26 @@ def test_cli_analyze_scripts_and_compressibility(tmp_path):
         pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
     ]).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got2.loc[1, "ratio"] < 0.1  # repeated text compresses
+
+
+def test_cli_events_payload(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pa.table({
+        "event_id": pa.array(range(3), type=pa.int64()),
+        "user_id": pa.array([1, 2, 3], type=pa.int64()),
+        "event_type": ["x", "x", "y"],
+        "props": ['{"k": 4}', '{"k": 6}', '{"z": 1}'],
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, src)
+    out = tmp_path / "payload"
+    p = _run("events", str(src), str(out), "--mode", "payload",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().set_index("event_type")
+    assert got.loc["x", "mean_k"] == 5.0
+    assert got.loc["y", "n_with_key"] == 0

@@ -464,3 +464,63 @@ def test_trimmed_stats_outlier_immune(ray_session):
     got2 = trimmed_stats(rd.from_arrow(t2)).to_pandas().iloc[0]
     assert (got2["n_docs"], got2["n_kept"],
             got2["trimmed_mean"]) == (1, 1, 7.0)
+
+
+# --------------------------------------------------------------- T120
+
+
+def test_json_field_stats_matches_python(ray_session):
+    import json
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.jsonfield import json_field_stats
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    per = collections.defaultdict(list)
+    n_all = collections.Counter()
+    for et, p in zip(t["event_type"].to_pylist(),
+                     t["props"].to_pylist()):
+        n_all[et] += 1
+        try:
+            k = json.loads(p).get("k")
+        except (TypeError, ValueError):
+            k = None
+        if isinstance(k, int):
+            per[et].append(k)
+
+    got = json_field_stats(
+        rd.from_arrow(t).repartition(4)).to_pandas() \
+        .set_index("event_type")
+    assert set(got.index) == set(n_all)
+    for et, ks in per.items():
+        r = got.loc[et]
+        assert r["n_events"] == n_all[et]
+        assert r["n_with_key"] == len(ks)
+        assert r["sum_k"] == sum(ks)
+        assert (r["min_k"], r["max_k"]) == (min(ks), max(ks))
+        assert r["mean_k"] == sum(ks) / len(ks)
+
+
+def test_json_field_stats_missing_and_negative(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.jsonfield import json_field_stats
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b", "c"],
+                               type=pa.string()),
+        "props": pa.array(['{"k": -5}', '{"other": 1}', None,
+                           '{ "k" : 12 }'], type=pa.string()),
+    })
+    got = (json_field_stats(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type"))
+    assert (got.loc["a", "n_events"], got.loc["a", "n_with_key"]) \
+        == (2, 1)
+    assert got.loc["a", "sum_k"] == -5 and got.loc["a", "mean_k"] == -5
+    # group with no key at all: NULL min/max/mean, zero sum
+    assert got.loc["b", "n_with_key"] == 0
+    assert got.loc["b", "sum_k"] == 0
+    assert np.isnan(got.loc["b", "mean_k"])
+    # whitespace inside the JSON is tolerated by the shared pattern
+    assert got.loc["c", "sum_k"] == 12
