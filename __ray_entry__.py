@@ -2762,6 +2762,14 @@ def _q_json_field_stats(sf_dir: str):
     return json_field_stats(_read(sf_dir, "events"))
 
 
+def _q_event_debounce(sf_dir: str):
+    """T121: rapid-fire debounce over the event stream — adjacent
+    (user, type) events closer than 60 s drop; ONE user-bucket
+    shuffle, per-bucket shifted compare."""
+    from fast_langdetect_ray.stages.timeseries import event_debounce
+    return event_debounce(_read(sf_dir, "events"), min_gap_s=60)
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2880,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_conflicts": _q_label_conflicts,
         "trimmed_stats": _q_trimmed_stats,
         "json_field_stats": _q_json_field_stats,
+        "event_debounce": _q_event_debounce,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4535,6 +4544,21 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T121: debounce; adjacent-gap lag() semantics (NOT the
+        # iterative keep-anchored variant), (ts, id) ordering makes
+        # equal-timestamp runs deterministic; integer µs arithmetic
+        "event_debounce": """
+            WITH g AS (
+              SELECT *,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap_us
+              FROM events
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM g
+            WHERE gap_us IS NULL OR gap_us >= 60 * 1000000
         """,
         # T120: JSON int-field stats; the SAME regex contract both
         # engines ("k"\s*:\s*(-?\d+)); integer sums, ONE division

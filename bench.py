@@ -141,6 +141,7 @@ HEADLINE = [
     "label_conflicts",
     "trimmed_stats",
     "json_field_stats",
+    "event_debounce",
 ]
 
 

@@ -477,6 +477,13 @@ def cmd_events(args: argparse.Namespace) -> int:
             from .stages.jsonfield import json_field_stats
             out = json_field_stats(ds, field=args.field,
                                    group_col=args.type_col)
+        elif args.mode == "debounce":
+            from .stages.timeseries import event_debounce
+            out = event_debounce(ds, min_gap_s=args.min_gap_s,
+                                 user_col=args.user_col,
+                                 ts_col=args.ts_col,
+                                 id_col=args.event_id_col,
+                                 type_col=args.type_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -865,9 +872,12 @@ def main(argv=None) -> int:
     ev.add_argument("--mode", default="funnel",
                     choices=["funnel", "retention", "running",
                              "anomalies", "gini", "overlap",
-                             "payload"])
+                             "payload", "debounce"])
     ev.add_argument("--field", default="k",
                     help="payload: integer JSON field to extract")
+    ev.add_argument("--min-gap-s", type=int, default=60,
+                    help="debounce: drop same-(user,type) events "
+                         "closer than this to the previous one")
     ev.add_argument("--steps", default="view,click,purchase",
                     help="funnel: ordered comma-separated event types")
     ev.add_argument("--period-hours", type=int, default=168,

@@ -424,3 +424,58 @@ def event_transitions(ds, user_col: str = "user_id",
             .map_groups(count_pairs, batch_format="pyarrow")
             .groupby(["from_type", "to_type"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def event_debounce(ds, min_gap_s: int = 60,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   type_col: str = "event_type",
+                   n_buckets: int | None = None):
+    """T121: stream debounce — drop every event that repeats its
+    (user, type) stream within ``min_gap_s`` seconds of the PREVIOUS
+    event in that stream (``(ts, id)``-ordered).  The rapid-fire /
+    double-click hygiene filter every event pipeline runs before
+    counting anything.  Adjacent-gap semantics (``ts − lag(ts) <
+    gap`` drops), deliberately NOT the iterative keep-anchored
+    variant: adjacent-gap is exactly one ``lag`` window in SQL, while
+    keep-anchored is order-dependent recursion no engine pair could
+    hash-match.  Returns the surviving events with original columns.
+
+    Scale shape: ONE user-hash bucket shuffle (whole (user, type)
+    streams per bucket), per-bucket lexsort + shifted compare (the
+    T94 kernel), Arrow take of survivors — nothing corpus-sized on
+    the driver."""
+    from ..state.pools import default_hash_buckets
+
+    nb = int(n_buckets or default_hash_buckets())
+    gap_us = np.int64(int(min_gap_s) * 1_000_000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)))
+
+    def debounce(g: pa.Table) -> pa.Table:
+        u = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = g[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        t = np.asarray(tcol.cast(pa.timestamp("us")).cast(pa.int64()))
+        i = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, codes = np.unique(np.asarray(g[type_col], dtype=object),
+                             return_inverse=True)
+        o = np.lexsort((i, t, codes, u))
+        u_s, c_s, t_s = u[o], codes[o], t[o]
+        keep_s = np.ones(o.size, dtype=bool)
+        same = (u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+        keep_s[1:] = ~(same & (t_s[1:] - t_s[:-1] < gap_us))
+        keep = np.empty(o.size, dtype=bool)
+        keep[o] = keep_s
+        return g.drop_columns(["bucket"]).filter(pa.array(keep))
+
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(debounce, batch_format="pyarrow"))

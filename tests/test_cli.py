@@ -911,3 +911,32 @@ def test_cli_events_payload(tmp_path):
     ]).to_pandas().set_index("event_type")
     assert got.loc["x", "mean_k"] == 5.0
     assert got.loc["y", "n_with_key"] == 0
+
+
+def test_cli_events_debounce(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2026, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array([t0, t0 + 10 * s, t0 + 120 * s],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "event_type": ["c", "c", "c"],
+        "value": [0.0, 0.0, 0.0],
+        "props": ["{}"] * 3,
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, src)
+    out = tmp_path / "deb"
+    p = _run("events", str(src), str(out), "--mode", "debounce",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert sorted(got["event_id"]) == [1, 3]

@@ -524,3 +524,60 @@ def test_json_field_stats_missing_and_negative(ray_session):
     assert np.isnan(got.loc["b", "mean_k"])
     # whitespace inside the JSON is tolerated by the shared pattern
     assert got.loc["c", "sum_k"] == 12
+
+
+# --------------------------------------------------------------- T121
+
+
+def test_event_debounce_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_debounce
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    rows = list(zip(t["event_id"].to_pylist(),
+                    t["ts"].to_pylist(),
+                    t["user_id"].to_pylist(),
+                    t["event_type"].to_pylist()))
+    keep = set()
+    per = collections.defaultdict(list)
+    for eid, ts, uid, et in rows:
+        per[(uid, et)].append((ts, eid))
+    for stream in per.values():
+        stream.sort()
+        prev = None
+        for ts, eid in stream:
+            if prev is None or (ts - prev).total_seconds() >= 60:
+                keep.add(eid)
+            prev = ts  # adjacent-gap semantics: lag vs PREVIOUS row
+
+    got = event_debounce(
+        rd.from_arrow(t).repartition(4), min_gap_s=60).to_pandas()
+    assert set(got["event_id"]) == keep
+    assert list(got.columns) == ["event_id", "ts", "user_id",
+                                 "event_type", "value", "props"]
+
+
+def test_event_debounce_edges(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_debounce
+
+    t0 = datetime.datetime(2026, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([t0, t0, t0 + 30 * s, t0 + 90 * s, t0],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+        "event_type": pa.array(["c", "c", "c", "c", "c"],
+                               type=pa.string()),
+        "value": pa.array([0.0] * 5, type=pa.float64()),
+        "props": pa.array(["{}"] * 5, type=pa.string()),
+    })
+    got = event_debounce(rd.from_arrow(t), min_gap_s=60).to_pandas()
+    # id 2: same ts as 1 (gap 0) drops; id 3: 30 s after 2 drops;
+    # id 4: 60 s after 3 survives; other user untouched
+    assert sorted(got["event_id"]) == [1, 4, 5]
