@@ -2770,6 +2770,14 @@ def _q_event_debounce(sf_dir: str):
     return event_debounce(_read(sf_dir, "events"), min_gap_s=60)
 
 
+def _q_quality_blend(sf_dir: str):
+    """T122: two-signal percentile blend per language — one tagged
+    histogram shuffle, both lookup tables broadcast once, one
+    stateless scoring pass."""
+    from fast_langdetect_ray.stages.normalize import quality_blend
+    return quality_blend(_read(sf_dir, "documents"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2889,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_stats": _q_trimmed_stats,
         "json_field_stats": _q_json_field_stats,
         "event_debounce": _q_event_debounce,
+        "quality_blend": _q_quality_blend,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4544,6 +4553,28 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T122: two-signal blend; below/(n−1) ≡ percent_rank (the T91
+        # argument), (r1+r2)/2 the same two-operand ops both engines
+        "quality_blend": """
+            WITH tok AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(length(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS k
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars)
+                       AS len_rank,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY k)
+                       AS tok_rank,
+                   (percent_rank() OVER (
+                        PARTITION BY lang ORDER BY n_chars)
+                    + percent_rank() OVER (
+                        PARTITION BY lang ORDER BY k)) / 2 AS blend
+            FROM tok
         """,
         # T121: debounce; adjacent-gap lag() semantics (NOT the
         # iterative keep-anchored variant), (ts, id) ordering makes

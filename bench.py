@@ -142,6 +142,7 @@ HEADLINE = [
     "trimmed_stats",
     "json_field_stats",
     "event_debounce",
+    "quality_blend",
 ]
 
 

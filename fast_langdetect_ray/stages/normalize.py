@@ -221,3 +221,97 @@ def trimmed_stats(ds, group_col: str = "lang",
         "hi": pa.array(out_hi, type=pa.int64()),
         "trimmed_mean": pa.array(out_mean, type=pa.float64()),
     }))
+
+
+def quality_blend(ds, group_col: str = "lang",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  len_col: str = "n_chars"):
+    """T122: multi-signal quality calibration — per-group
+    ``percent_rank`` of TWO integer signals (stored char length and
+    computed whitespace-token count) blended into one [0, 1] score
+    ``(len_rank + tok_rank) / 2``.  The CCNet-style step that turns
+    incomparable raw signals into one thresholdable per-language
+    score; the two-signal generalization of :func:`percentile_rank`.
+
+    Scale shape: ONE histogram pass emits BOTH signals' per-(group,
+    value) counts as tagged rows (signal 0 = length, 1 = tokens) →
+    one tiny ``groupby((group, signal, value)).Sum`` (value-domain ×
+    groups × 2 bounded) → both lookup-table sets broadcast once via
+    ``ray.put`` → one stateless scoring pass recomputes the token
+    count (CPU-for-memory: nothing row-sized is ever materialized)
+    and ``searchsorted``s each signal.  ``below / (n − 1)`` is the
+    same division ``percent_rank`` evaluates (0.0 for singleton
+    groups); ``(r1 + r2) / 2`` is the same two-operand add/divide in
+    both engines — hash-exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.retrieval import _arrow_tokens
+
+    def tok_counts(batch: pa.Table) -> np.ndarray:
+        _, parent = _arrow_tokens(batch[text_col])
+        return np.bincount(parent, minlength=batch.num_rows) \
+            .astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g2 = pa.concat_arrays([
+            batch[group_col].combine_chunks()
+            if isinstance(batch[group_col], pa.ChunkedArray)
+            else batch[group_col]] * 2)
+        sig = np.repeat(np.array([0, 1], dtype=np.int64),
+                        batch.num_rows)
+        val = np.concatenate([
+            pc.cast(batch[len_col], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            tok_counts(batch)])
+        t = pa.table({group_col: g2, "sig": pa.array(sig),
+                      "v": pa.array(val)})
+        return t.group_by([group_col, "sig", "v"],
+                          use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([group_col, "sig", "v", "cnt"])
+
+    hist = (ds.select_columns([group_col, len_col, text_col])
+            .map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "sig", "v"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # value-domain × groups × 2 bounded
+    tables = {0: {}, 1: {}}
+    for (g, sig), sub in hist.groupby([group_col, "sig"]):
+        sub = sub.sort_values("v")
+        vals = sub["v"].to_numpy().astype(np.int64)
+        cnts = sub["cnt"].to_numpy().astype(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        tables[int(sig)][g] = (vals, below, int(cnts.sum()))
+    ref = ray.put(tables)
+
+    def rank_of(tabs, groups, vals):
+        out = np.zeros(vals.size, dtype=np.float64)
+        for g in np.unique(groups):
+            gv, gb, gn = tabs[g]
+            m = groups == g
+            if gn > 1:
+                below = gb[np.searchsorted(gv, vals[m])]
+                out[m] = below / (gn - 1)
+        return out
+
+    def score(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(ref)
+        groups = np.asarray(batch[group_col], dtype=object)
+        lens = pc.cast(batch[len_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        toks = tok_counts(batch)
+        r1 = rank_of(tabs[0], groups, lens)
+        r2 = rank_of(tabs[1], groups, toks)
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            "len_rank": pa.array(r1),
+            "tok_rank": pa.array(r2),
+            "blend": pa.array((r1 + r2) / 2.0),
+        })
+
+    return (ds.select_columns([id_col, group_col, len_col, text_col])
+            .map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -581,3 +581,57 @@ def test_event_debounce_edges(ray_session):
     # id 2: same ts as 1 (gap 0) drops; id 3: 30 s after 2 drops;
     # id 4: 60 s after 3 survives; other user untouched
     assert sorted(got["event_id"]) == [1, 4, 5]
+
+
+# --------------------------------------------------------------- T122
+
+
+def test_quality_blend_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import quality_blend
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = list(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                    t["n_chars"].to_pylist(), t["text"].to_pylist()))
+    per = collections.defaultdict(list)
+    for did, lang, nc, text in rows:
+        per[lang].append((did, int(nc), len(_toks(text))))
+
+    want = {}
+    for lang, docs in per.items():
+        lens = sorted(v for _, v, _ in docs)
+        toks = sorted(k for _, _, k in docs)
+        n = len(docs)
+        for did, nc, k in docs:
+            r1 = 0.0 if n == 1 else \
+                next(i for i, v in enumerate(lens) if v == nc) / (n - 1)
+            r2 = 0.0 if n == 1 else \
+                next(i for i, v in enumerate(toks) if v == k) / (n - 1)
+            want[did] = (r1, r2, (r1 + r2) / 2)
+
+    got = quality_blend(
+        rd.from_arrow(t).repartition(4)).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        r1, r2, b = want[r["doc_id"]]
+        assert (r["len_rank"], r["tok_rank"], r["blend"]) == (r1, r2, b)
+
+
+def test_quality_blend_singleton_group(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import quality_blend
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "lang": pa.array(["solo", "xx", "xx"], type=pa.string()),
+        "n_chars": pa.array([5, 3, 9], type=pa.int64()),
+        "text": pa.array(["a b c", "a", "a b c d"],
+                         type=pa.string()),
+    })
+    got = (quality_blend(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    assert (got.loc[1, "len_rank"], got.loc[1, "tok_rank"],
+            got.loc[1, "blend"]) == (0.0, 0.0, 0.0)
+    assert (got.loc[2, "blend"], got.loc[3, "blend"]) == (0.0, 1.0)
