@@ -273,3 +273,95 @@ def test_encode_word_partitions_word(word, pairs):
     out = encode_word(word, ranks)
     assert "".join(out) == word
     assert encode_word(word, ranks) == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=12))
+def test_char_entropy_kernel_bounds(texts):
+    """Batch-local entropy kernel: H ∈ [0, log2(n_cp)] wherever
+    defined, 0 iff ≤1 distinct codepoint, NULL iff empty — matches
+    the Counter definition for arbitrary unicode."""
+    import collections
+    import math
+
+    from fast_langdetect_ray.stages.diversity import _codepoints
+    batch = pa.table({"doc_id": pa.array(range(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+    cps, parent = _codepoints(batch["text"])
+    assert cps.size == sum(len(t or "") for t in texts)
+    for i, t in enumerate(texts):
+        mine = cps[parent == i]
+        cnt = collections.Counter(t or "")
+        assert len(mine) == sum(cnt.values())
+        if cnt:
+            total = sum(cnt.values())
+            want = math.log2(total) - sum(
+                c * math.log2(c) for c in cnt.values()) / total
+            got_cnt = collections.Counter(int(c) for c in mine)
+            assert got_cnt == collections.Counter(
+                {ord(ch): c for ch, c in cnt.items()})
+            assert 0.0 <= want <= math.log2(max(total, 2)) + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=4))
+def test_trimmed_band_clip_identity(values, tenths):
+    """The histogram band-clip used by trimmed_stats equals the
+    sorted-list slice for any multiset and trim level."""
+    import numpy as np
+
+    xs = sorted(values)
+    n = len(xs)
+    k = n * tenths // 10
+    want = xs[k:n - k]
+
+    vals, cnts = np.unique(np.array(xs, dtype=np.int64),
+                           return_counts=True)
+    cum = np.cumsum(cnts)
+    prev = cum - cnts
+    kept = np.clip(np.minimum(cum, n - k) - np.maximum(prev, k),
+                   0, cnts)
+    assert int(kept.sum()) == len(want)
+    assert int((vals * kept).sum()) == sum(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                          st.integers(0, 1000), st.integers(0, 10**6)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=120))
+def test_debounce_kernel_equals_lag_rule(rows, gap_s):
+    """The vectorized shifted-compare keep mask equals the per-stream
+    lag() rule for arbitrary (user, type, ts, id) multisets."""
+    import numpy as np
+
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    c = np.array([r[1] for r in rows], dtype=np.int64)
+    t = np.array([r[2] for r in rows], dtype=np.int64) * 1_000_000
+    i = np.array([r[3] for r in rows], dtype=np.int64)
+    gap_us = np.int64(gap_s * 1_000_000)
+
+    o = np.lexsort((i, t, c, u))
+    u_s, c_s, t_s = u[o], c[o], t[o]
+    keep_s = np.ones(o.size, dtype=bool)
+    same = (u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+    keep_s[1:] = ~(same & (t_s[1:] - t_s[:-1] < gap_us))
+    keep = np.empty(o.size, dtype=bool)
+    keep[o] = keep_s
+
+    # oracle: per (user, type) stream ordered by (ts, id), adjacent gap
+    streams = {}
+    for idx in range(len(rows)):
+        streams.setdefault((u[idx], c[idx]), []).append(
+            (t[idx], i[idx], idx))
+    want = np.zeros(len(rows), dtype=bool)
+    for s in streams.values():
+        s.sort()
+        prev_ts = None
+        for ts, _, idx in s:
+            want[idx] = prev_ts is None or ts - prev_ts >= gap_us
+            prev_ts = ts
+    assert (keep == want).all()
