@@ -4448,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
             WITH ch AS (
               SELECT doc_id, unnest(string_split(text, '')) AS c
               FROM documents
+              WHERE text IS NOT NULL AND text <> ''
             ),
             cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
                     FROM ch GROUP BY 1, 2),
@@ -4560,7 +4561,8 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id, lang, n_chars,
                      CAST(length(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
+                         string_split_regex(
+                             lower(coalesce(text, '')), '\\s+'),
                          x -> x <> '')) AS BIGINT) AS k
               FROM documents
             )

@@ -184,28 +184,26 @@ def token_herfindahl(ds, group_col: str = "source",
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, parent = _arrow_tokens(batch[text_col])
-        toks = np.asarray(flat, dtype=object)
-        grps = np.asarray(batch[group_col], dtype=object)
-        g_u, codes = np.unique(grps, return_inverse=True)
-        gc = codes[parent]
-        order = np.lexsort((toks, gc))
-        t_s, g_s = toks[order], gc[order]
-        first = np.empty(t_s.size, dtype=bool)
-        if t_s.size:
-            first[0] = True
-            first[1:] = (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1])
-        starts = np.flatnonzero(first)
-        cnt = np.diff(np.append(starts, t_s.size))
-        return pa.table({
-            group_col: pa.array(g_u[g_s[starts]] if starts.size
-                                else [], type=pa.string()),
-            "token": pa.array(t_s[starts] if starts.size else [],
-                              type=pa.string()),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        t = pa.table({group_col: grps.take(pa.array(parent)),
+                      "token": flat})
+        return t.group_by([group_col, "token"],
+                          use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([group_col, "token", "n"])
 
     def project(batch: pa.Table) -> pa.Table:
         n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 n² is exact up to n ≈ 3.04e9 occurrences of one token
+        # per stratum; past that, shard the stratum (e.g. by source ×
+        # shard key) and roll up — fail loudly, never wrap silently
+        if n.size and int(n.max()) > 3_037_000_499:
+            raise OverflowError(
+                "token_herfindahl: a (group, token) count exceeds "
+                "the int64-exact n*n budget (~3.04e9); shard the "
+                "stratum and roll up")
         return pa.table({
             group_col: batch[group_col],
             "n": pa.array(n),
@@ -216,6 +214,14 @@ def token_herfindahl(ds, group_col: str = "source",
     def finish(batch: pa.Table) -> pa.Table:
         n = batch["n_tokens"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        # Σn² ≤ (Σn)², so the int64 sum is provably exact while the
+        # stratum total stays under ~3.04e9 tokens — check the total
+        # where it is actually known (post-aggregate), not per batch
+        if n.size and int(n.max()) > 3_037_000_499:
+            raise OverflowError(
+                "token_herfindahl: a stratum exceeds the int64-exact "
+                "Σn² budget (~3.04e9 tokens); shard the stratum and "
+                "roll up")
         n2 = batch["sum_n2"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         nf = n.astype(np.float64)
@@ -320,12 +326,13 @@ def compression_ratio(ds, id_col: str = "doc_id",
             col = col.combine_chunks()
         if pa.types.is_null(col.type):
             col = col.cast(pa.string())
-        texts = pc.fill_null(col, "").to_pylist()
-        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
-                          dtype=np.int64, count=len(texts))
+        encoded = [t.encode("utf-8")
+                   for t in pc.fill_null(col, "").to_pylist()]
+        raw = np.fromiter((len(b) for b in encoded),
+                          dtype=np.int64, count=len(encoded))
         comp = np.fromiter(
-            (len(zlib.compress(t.encode("utf-8"), lvl))
-             for t in texts), dtype=np.int64, count=len(texts))
+            (len(zlib.compress(b, lvl)) for b in encoded),
+            dtype=np.int64, count=len(encoded))
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(raw > 0,
                              comp.astype(np.float64)
@@ -377,9 +384,19 @@ def value_gini(ds, group_col: str = "event_type",
         order = np.lexsort((u, x))
         xs = x[order]
         n = np.int64(xs.size)
-        s1 = int(xs.sum())
         ranks = np.arange(1, int(n) + 1, dtype=np.int64)
-        s2 = int((ranks * xs).sum())
+        # rank-sum bound: |Σ i·x| ≤ n · Σ|x|; stay on the int64 fast
+        # path only when that provably fits, else fall back to exact
+        # Python ints (rare whale-group case — never wrap silently)
+        bound = float(n) * float(np.abs(xs).sum(dtype=np.float64)) \
+            if xs.size else 0.0
+        if bound < 2.0 ** 62:
+            s1 = int(xs.sum())
+            s2 = int((ranks * xs).sum())
+        else:
+            vals = xs.tolist()
+            s1 = sum(vals)
+            s2 = sum(i * v for i, v in enumerate(vals, start=1))
         if s1 > 0:
             val = (float(2 * s2) / (float(n) * float(s1))
                    - float(n + 1) / float(n))
