@@ -2778,6 +2778,14 @@ def _q_quality_blend(sf_dir: str):
     return quality_blend(_read(sf_dir, "documents"))
 
 
+def _q_vocab_growth(sf_dir: str):
+    """T123: Heaps-law vocabulary growth curve — new distinct tokens
+    per 50-doc-id ingestion bucket plus the running total; ONE
+    vocab-sized groupby.Min, bucket-bounded rollup."""
+    from fast_langdetect_ray.stages.diversity import vocab_growth
+    return vocab_growth(_read(sf_dir, "documents"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2898,6 +2906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": _q_json_field_stats,
         "event_debounce": _q_event_debounce,
         "quality_blend": _q_quality_blend,
+        "vocab_growth": _q_vocab_growth,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4554,6 +4563,26 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T123: Heaps curve; first occurrence = min(doc_id) per token,
+        # integer bucket division and cumsum window — hash-exact
+        "vocab_growth": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            f AS (SELECT t, min(doc_id) AS first_doc
+                  FROM tok GROUP BY t),
+            b AS (SELECT first_doc // 50 AS bucket,
+                         CAST(count(*) AS BIGINT) AS new_tokens
+                  FROM f GROUP BY 1)
+            SELECT bucket, bucket * 50 AS first_doc, new_tokens,
+                   CAST(sum(new_tokens) OVER (ORDER BY bucket)
+                        AS BIGINT) AS cum_tokens
+            FROM b
         """,
         # T122: two-signal blend; below/(n−1) ≡ percent_rank (the T91
         # argument), (r1+r2)/2 the same two-operand ops both engines

@@ -143,6 +143,7 @@ HEADLINE = [
     "json_field_stats",
     "event_debounce",
     "quality_blend",
+    "vocab_growth",
 ]
 
 

@@ -534,3 +534,69 @@ def audience_overlap(ds, group_col: str = "event_type",
             .aggregate(Sum("n", alias_name="n_common"))
             .map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def vocab_growth(ds, id_col: str = "doc_id", text_col: str = "text",
+                 bucket_width: int = 50):
+    """T123: vocabulary growth curve (Heaps' law) — how many NEW
+    distinct tokens each ingestion bucket of ``bucket_width`` doc ids
+    introduces, with the running total.  The statistic a tokenizer /
+    vocabulary budget is planned from: sublinear growth means the
+    corpus is converging, a late-bucket spike means a new domain just
+    landed.  A token belongs to the bucket of its FIRST occurrence
+    (smallest doc id), so the curve is ingestion-order deterministic.
+
+    Scale shape: per-batch distinct (token, min id) partials → ONE
+    vocabulary-sized ``groupby.Min`` (the T10b/T35 contract) → a
+    stateless bucket projection → bucket-bounded Sum → driver cumsum
+    over the bucket table (corpus-row independent).  Pure integer
+    counts, hash-exact.  Output: ``(bucket, first_doc, new_tokens,
+    cum_tokens)`` where ``first_doc = bucket · bucket_width``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .retrieval import _arrow_tokens
+
+    bw = np.int64(int(bucket_width))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"token": flat,
+                      "first_doc": pa.array(ids[parent])})
+        return t.group_by(["token"], use_threads=False) \
+            .aggregate([("first_doc", "min")]) \
+            .rename_columns(["token", "first_doc"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        f = batch["first_doc"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(f // bw),
+            "n": pa.array(np.ones(f.size, dtype=np.int64)),
+        })
+
+    rows = (ds.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("token")
+            .aggregate(Min("first_doc", alias_name="first_doc"))
+            .map_batches(bucketize, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="new_tokens"))
+            .take_all())  # bucket-bounded (id domain / width)
+
+    rows.sort(key=lambda r: int(r["bucket"]))
+    buckets = np.array([int(r["bucket"]) for r in rows],
+                       dtype=np.int64)
+    new = np.array([int(r["new_tokens"]) for r in rows],
+                   dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(buckets),
+        "first_doc": pa.array(buckets * bw),
+        "new_tokens": pa.array(new),
+        "cum_tokens": pa.array(np.cumsum(new).astype(np.int64)),
+    }))

@@ -635,3 +635,61 @@ def test_quality_blend_singleton_group(ray_session):
     assert (got.loc[1, "len_rank"], got.loc[1, "tok_rank"],
             got.loc[1, "blend"]) == (0.0, 0.0, 0.0)
     assert (got.loc[2, "blend"], got.loc[3, "blend"]) == (0.0, 1.0)
+
+
+# --------------------------------------------------------------- T123
+
+
+def test_vocab_growth_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import vocab_growth
+
+    # controlled first-occurrence structure across 4 buckets of
+    # width 3: token's bucket = bucket of its SMALLEST doc id even
+    # when it reappears later
+    texts = {
+        0: "alpha beta", 1: "beta gamma", 2: "alpha",
+        3: "delta alpha", 4: "", 5: "beta epsilon",
+        6: "zeta", 7: "gamma delta", 8: "eta zeta",
+        10: "theta alpha beta",  # gap in ids is fine
+    }
+    ids = sorted(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([texts[i] for i in ids], type=pa.string()),
+    })
+    first = {}
+    for i in ids:
+        for tok in _toks(texts[i]):
+            first.setdefault(tok, i)
+    per_bucket = collections.Counter(v // 3 for v in first.values())
+    got = (vocab_growth(rd.from_arrow(t).repartition(4),
+                        bucket_width=3)
+           .to_pandas().set_index("bucket").sort_index())
+    assert list(got.index) == sorted(per_bucket)
+    cum = 0
+    for b in got.index:
+        cum += per_bucket[b]
+        assert got.loc[b, "new_tokens"] == per_bucket[b]
+        assert got.loc[b, "cum_tokens"] == cum
+        assert got.loc[b, "first_doc"] == b * 3
+
+
+def test_vocab_growth_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import vocab_growth
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    a = (vocab_growth(rd.from_arrow(t), bucket_width=7)
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    b = (vocab_growth(rd.from_arrow(t).repartition(9), bucket_width=7)
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    assert a.equals(b)
+    # corpus totals: last cum equals the distinct token count
+    vocab = set()
+    for text in t["text"].to_pylist():
+        vocab.update(_toks(text))
+    assert a["cum_tokens"].iloc[-1] == len(vocab)
+    assert a["new_tokens"].sum() == len(vocab)
