@@ -2786,6 +2786,40 @@ def _q_vocab_growth(sf_dir: str):
     return vocab_growth(_read(sf_dir, "documents"))
 
 
+def _q_token_frequency_spectrum(sf_dir: str):
+    """T124: corpus count-of-counts (Good–Turing) table — distinct
+    token types and token mass per occurrence count; ONE vocab-sized
+    groupby.Sum, spectrum-sized rollup."""
+    from fast_langdetect_ray.stages.diversity import \
+        token_frequency_spectrum
+    return token_frequency_spectrum(_read(sf_dir, "documents"))
+
+
+def _q_distinct_ngram_diversity(sf_dir: str):
+    """T125: exact distinct-1/distinct-2 per source — cross-document
+    templated-generation signal; one gram-vocab shuffle (grams as
+    strings, T47 exactness contract)."""
+    from fast_langdetect_ray.stages.diversity import \
+        distinct_ngram_diversity
+    return distinct_ngram_diversity(_read(sf_dir, "documents"))
+
+
+def _q_zipf_slope(sf_dir: str):
+    """T126: per-source Zipf OLS fit over the top-200 token ranks —
+    prose ≈ −1, flatter = token soup, steeper = boilerplate; vocab
+    groupby + lossless per-batch top-k + bounded driver fit."""
+    from fast_langdetect_ray.stages.diversity import zipf_slope
+    return zipf_slope(_read(sf_dir, "documents"))
+
+
+def _q_event_burstiness(sf_dir: str):
+    """T127: per-type CV² of inter-event gaps (T105 gap contract) —
+    Poisson ≈ 1, bursty ≫ 1, cron ≪ 1; the shared user-bucket gap
+    kernel reduced to integer moments."""
+    from fast_langdetect_ray.stages.timeseries import event_burstiness
+    return event_burstiness(_read(sf_dir, "events"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2907,6 +2941,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "quality_blend": _q_quality_blend,
         "vocab_growth": _q_vocab_growth,
+        "token_frequency_spectrum": _q_token_frequency_spectrum,
+        "distinct_ngram_diversity": _q_distinct_ngram_diversity,
+        "zipf_slope": _q_zipf_slope,
+        "event_burstiness": _q_event_burstiness,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4563,6 +4601,104 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T124: count-of-counts; pure integer counts both engines
+        "token_frequency_spectrum": """
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY t)
+            SELECT cnt AS freq,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(cnt * count(*) AS BIGINT) AS mass
+            FROM c GROUP BY cnt
+        """,
+        # T125: distinct-n diversity; bigrams via zipped unnest +
+        # lead() within doc — the engine-shared tokenizer contract;
+        # one distinct/total division both engines
+        "distinct_ngram_diversity": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text),
+                                                    '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, source, unnest(toks) AS t,
+                           unnest(range(len(toks))) AS i
+                    FROM d),
+            uni AS (SELECT source, 1 AS n, t AS g FROM tok),
+            bg AS (SELECT source, 2 AS n,
+                          t || ' ' || lead(t) OVER (
+                              PARTITION BY doc_id ORDER BY i) AS g
+                   FROM tok),
+            allg AS (SELECT * FROM uni
+                     UNION ALL
+                     SELECT * FROM bg WHERE g IS NOT NULL)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS total_grams,
+                   CAST(count(DISTINCT g) AS BIGINT)
+                       AS distinct_grams,
+                   CAST(count(DISTINCT g) AS DOUBLE) / count(*)
+                       AS distinct_ratio
+            FROM allg GROUP BY source, n
+        """,
+        # T126: Zipf head fit; row_number tie-break (cnt desc, token
+        # asc) shared with the engine; regr_slope/intercept agree
+        # with the explicit OLS sums inside the 9-sig-digit hash
+        "zipf_slope": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT source, t, count(*) AS cnt
+                  FROM tok GROUP BY source, t),
+            r AS (SELECT source, cnt,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY cnt DESC, t ASC) AS rnk
+                  FROM c)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+                   regr_slope(ln(cnt), ln(rnk)) AS slope,
+                   regr_intercept(ln(cnt), ln(rnk)) AS intercept
+            FROM r WHERE rnk <= 200 GROUP BY source
+        """,
+        # T127: gap CV²; the T105 gap definition, integer moments,
+        # and the IDENTICAL float expression tree as the engine
+        "event_burstiness": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id))) // 1000000
+                         AS gap_s
+              FROM events
+            ),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(gap_s) AS BIGINT) AS s1,
+                         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+                  FROM g WHERE gap_s IS NOT NULL
+                  GROUP BY event_type)
+            SELECT event_type, n AS n_gaps,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS mean_gap_s,
+                   CASE WHEN n >= 2 AND s1 <> 0 THEN
+                     ((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+                     / ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   END AS cv2
+            FROM m
         """,
         # T123: Heaps curve; first occurrence = min(doc_id) per token,
         # integer bucket division and cumsum window — hash-exact

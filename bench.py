@@ -144,6 +144,10 @@ HEADLINE = [
     "event_debounce",
     "quality_blend",
     "vocab_growth",
+    "token_frequency_spectrum",
+    "distinct_ngram_diversity",
+    "zipf_slope",
+    "event_burstiness",
 ]
 
 

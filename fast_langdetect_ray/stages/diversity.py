@@ -600,3 +600,247 @@ def vocab_growth(ds, id_col: str = "doc_id", text_col: str = "text",
         "new_tokens": pa.array(new),
         "cum_tokens": pa.array(np.cumsum(new).astype(np.int64)),
     }))
+
+
+def token_frequency_spectrum(ds, text_col: str = "text"):
+    """T124: corpus token frequency spectrum (count-of-counts) — for
+    each occurrence count ``freq``, how many distinct token types
+    occur exactly that often, and the total token mass they carry.
+    The Good–Turing / vocabulary-planning table: the ``freq = 1`` row
+    is the hapax count (unseen-mass estimate), a fat high-``freq``
+    tail means boilerplate tokens dominate the corpus.
+
+    Scale shape: per-batch (token, count) partials → ONE
+    vocabulary-sized ``groupby.Sum`` (the T10b/T35 contract) → a
+    stateless ``(freq, 1)`` projection → spectrum-sized ``groupby.Sum``
+    (distinct counts ≪ vocab).  Pure integer counts — hash-exact.
+    Output: ``(freq, n_types, mass)`` with ``mass = freq · n_types``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _arrow_tokens(batch[text_col])
+        return pa.table({"token": flat}) \
+            .group_by(["token"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["token", "cnt"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "freq": pa.array(c),
+            "one": pa.array(np.ones(c.size, dtype=np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = batch["freq"].to_numpy().astype(np.int64)
+        n = batch["n_types"].to_numpy().astype(np.int64)
+        return pa.table({
+            "freq": pa.array(f),
+            "n_types": pa.array(n),
+            "mass": pa.array(f * n),
+        })
+
+    return (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("token")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("freq")
+            .aggregate(Sum("one", alias_name="n_types"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def distinct_ngram_diversity(ds, group_col: str = "source",
+                             text_col: str = "text",
+                             ns: tuple = (1, 2)):
+    """T125: distinct-n diversity per stratum — for each n in ``ns``,
+    the EXACT total and distinct n-gram counts and their ratio
+    (``distinct-1`` / ``distinct-2`` of Li et al. 2016).  Low
+    distinct-2 with normal distinct-1 is the signature of templated /
+    repetitive generation a per-document repetition check (T31)
+    misses, because the repetition lives ACROSS documents.
+
+    Scale shape: per-batch grams (vectorized Arrow slice + filter +
+    ``binary_join_element_wise``; n-grams never cross documents) →
+    per-batch (group, n, gram, count) distinct partials → ONE
+    gram-vocabulary-sized ``groupby.Sum`` (grams travel as strings so
+    distinctness is exact, the T47 contract — ~2× the T35 TF-IDF
+    shuffle payload at n = 2) → stateless ``(total, 1)`` projection →
+    catalog-sized ``groupby.Sum``.  Integer counts, ONE division —
+    hash-exact.  Output: ``(group_col, n, total_grams, distinct_grams,
+    distinct_ratio)``; strata with no tokens emit nothing (no 0/0).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    ns = tuple(sorted(set(int(n) for n in ns)))
+    if not ns or ns[0] < 1:
+        raise ValueError("distinct_ngram_diversity: ns must be "
+                         "positive integers")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        pieces = []
+        for n in ns:
+            if n == 1:
+                g, par = flat, parent
+            elif len(flat) >= n:
+                # all windows stay inside one parent document
+                same = parent[n - 1:] == parent[:len(parent) - n + 1]
+                mask = pa.array(same)
+                parts = [flat.slice(k, len(flat) - n + 1).filter(mask)
+                         for k in range(n)]
+                g = pc.binary_join_element_wise(*parts, " ")
+                par = parent[: len(parent) - n + 1][same]
+            else:
+                continue
+            if len(g) == 0:
+                continue
+            t = pa.table({
+                group_col: grps.take(pa.array(par)),
+                "n": pa.array(np.full(len(g), n, dtype=np.int64)),
+                "gram": g,
+            })
+            pieces.append(
+                t.group_by([group_col, "n", "gram"],
+                           use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns([group_col, "n", "gram", "cnt"]))
+        if not pieces:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        return pa.concat_tables(pieces)
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            "total": pa.array(c),
+            "one": pa.array(np.ones(c.size, dtype=np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tot = batch["total_grams"].to_numpy().astype(np.int64)
+        dis = batch["distinct_grams"].to_numpy().astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            "total_grams": pa.array(tot),
+            "distinct_grams": pa.array(dis),
+            "distinct_ratio": pa.array(
+                dis.astype(np.float64) / tot.astype(np.float64)),
+        })
+
+    return (ds.select_columns([group_col, text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "n", "gram"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "n"])
+            .aggregate(Sum("total", alias_name="total_grams"),
+                       Sum("one", alias_name="distinct_grams"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def zipf_slope(ds, group_col: str = "source",
+               text_col: str = "text", top_k: int = 200):
+    """T126: per-stratum Zipf fit — OLS slope / intercept of
+    ``ln(count)`` against ``ln(rank)`` over the stratum's ``top_k``
+    most frequent tokens (rank order: count desc, token asc — the
+    deterministic tie-break shared with the oracle's
+    ``row_number``).  Natural prose sits near slope −1; a much
+    flatter slope (≈ −0.5) flags token soup / ID dumps, a much
+    steeper one flags template boilerplate.  Fitting the HEAD only is
+    the standard practice (the tail is hapax noise) and what bounds
+    the computation.
+
+    Scale shape: per-batch (group, token, count) partials → ONE
+    vocabulary-sized ``groupby.Sum`` → lossless per-batch per-group
+    top-k (every final top-k row is inside its batch's top-k) → a
+    ≤ k·groups·n_batches driver fold that re-ranks and fits.  Float
+    enters only at the final ln()s over ≤ k points per group; numpy
+    vs DuckDB ``regr_slope`` agree inside the driver's 9-sig-digit
+    hash [verified-by-experiment].  Output: ``(group_col, n_ranks,
+    slope, intercept)``; a single-rank stratum fits NULL/NaN (zero
+    x-variance both engines).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    k = int(top_k)
+    if k < 2:
+        raise ValueError("zipf_slope: top_k must be >= 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        return pa.table({group_col: grps.take(pa.array(parent)),
+                         "token": flat}) \
+            .group_by([group_col, "token"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([group_col, "token", "cnt"])
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["cnt", "token"],
+                              ascending=[False, True])
+                .groupby(group_col, sort=False).head(k))
+
+    heads = (ds.select_columns([group_col, text_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([group_col, "token"])
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .map_batches(topk_partial, batch_format="pandas")
+             .to_pandas())  # ≤ k · groups · n_batches rows
+
+    out = {group_col: [], "n_ranks": [], "slope": [],
+           "intercept": []}
+    for grp, g in sorted(heads.groupby(group_col, sort=False),
+                         key=lambda kv: str(kv[0])):
+        g = g.sort_values(["cnt", "token"],
+                          ascending=[False, True]).head(k)
+        x = np.log(np.arange(1, len(g) + 1, dtype=np.float64))
+        y = np.log(g["cnt"].to_numpy().astype(np.float64))
+        n = float(len(g))
+        den = n * np.sum(x * x) - np.sum(x) ** 2
+        if den > 0.0:
+            slope = (n * np.sum(x * y) - np.sum(x) * np.sum(y)) / den
+            inter = (np.sum(y) - slope * np.sum(x)) / n
+        else:
+            slope = inter = np.nan
+        out[group_col].append(grp)
+        out["n_ranks"].append(len(g))
+        out["slope"].append(slope)
+        out["intercept"].append(inter)
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out[group_col], type=pa.string()),
+        "n_ranks": pa.array(out["n_ranks"], type=pa.int64()),
+        "slope": pa.array(out["slope"], type=pa.float64()),
+        "intercept": pa.array(out["intercept"], type=pa.float64()),
+    }))

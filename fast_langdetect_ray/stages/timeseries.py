@@ -479,3 +479,127 @@ def event_debounce(ds, min_gap_s: int = 60,
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(debounce, batch_format="pyarrow"))
+
+
+def event_burstiness(ds, type_col: str = "event_type",
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id"):
+    """T127: per-event-type burstiness — the squared coefficient of
+    variation (CV² = sample variance / mean²) of the inter-event gap
+    (whole seconds between a user's consecutive events, attributed to
+    the LATER event's type — the T105 gap contract).  CV² ≈ 1 is a
+    memoryless (Poisson) stream, ≫ 1 is bursty (bot retries, scraper
+    bursts, double-fires the debounce (T121) should catch), ≪ 1 is a
+    metronome (cron traffic pretending to be users).
+
+    Scale shape: ONE user-bucket shuffle (the shared T94/T105 gap
+    kernel) → gaps collapse per bucket to ``(type, gap_s, count)``
+    value-domain partials → value-domain-sized ``groupby.Sum`` → a
+    stateless moment projection ``(n, Σg, Σg²)`` (integer, exact;
+    loud OverflowError past the int64 Σg² envelope — gap² · count
+    must stay < 2⁶³, i.e. day-long gaps in whole seconds up to ~10⁹
+    gaps/type) → catalog-sized ``groupby.Sum`` → fixed-shape finish.
+    mean and CV² are evaluated on the SAME float expression tree as
+    the oracle, so IEEE determinism makes them hash-exact.  Output:
+    ``(event_type, n_gaps, mean_gap_s, cv2)``; cv2 NULL when n < 2
+    or mean = 0.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tcol = batch[ts_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        return pa.table({
+            "u": pa.array(users),
+            "t": tcol.cast(pa.timestamp("us")).cast(pa.int64()),
+            "i": batch[id_col],
+            "et": batch[type_col],
+            "bucket": pa.array((users.view(np.uint64)
+                                % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        i = g["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["et"], dtype=object)
+        o = np.lexsort((i, t, u))
+        u_s, t_s, e_s = u[o], t[o], et[o]
+        adj = u_s[1:] == u_s[:-1]
+        gap_s = (t_s[1:] - t_s[:-1]) // np.int64(1_000_000)
+        gap_s, types = gap_s[adj], e_s[1:][adj]
+        if not gap_s.size:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "gap_s": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        ty_u, codes = np.unique(types, return_inverse=True)
+        width = gap_s.max() + 1
+        cell_u, cnt = np.unique(codes * width + gap_s,
+                                return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ty_u[cell_u // width],
+                                   type=pa.string()),
+            "gap_s": pa.array((cell_u % width).astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch["gap_s"].to_numpy().astype(np.int64)
+        c = batch["cnt"].to_numpy().astype(np.int64)
+        # int64-exact envelope: gap² · cnt per (type, gap) cell
+        if g.size and float(g.max()) ** 2 * float(c.max()) > 2.0**62:
+            raise OverflowError(
+                "event_burstiness: gap²·count exceeds the int64 "
+                "moment budget; shard the type or coarsen the gap "
+                "unit before the moment pass")
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(c),
+            "s1": pa.array(g * c),
+            "s2": pa.array(g * g * c),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64) \
+            .astype(np.float64)
+        s1 = batch["s1"].to_numpy().astype(np.int64) \
+            .astype(np.float64)
+        s2 = batch["s2"].to_numpy().astype(np.int64) \
+            .astype(np.float64)
+        mean = s1 / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # the EXACT expression tree of the oracle (IEEE-det.)
+            cv2 = ((s2 - s1 * s1 / n) / (n - 1.0)) / (
+                (s1 / n) * (s1 / n))
+        cv2 = np.where((n >= 2.0) & (s1 != 0.0), cv2, np.nan)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "mean_gap_s": pa.array(mean, type=pa.float64()),
+            "cv2": pa.array(cv2, type=pa.float64()),
+        })
+
+    return (ds.select_columns([user_col, ts_col, id_col, type_col])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(gaps, batch_format="pyarrow")
+            .groupby(["event_type", "gap_s"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(moments, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s1", alias_name="s1"),
+                       Sum("s2", alias_name="s2"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

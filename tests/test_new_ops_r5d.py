@@ -1,0 +1,222 @@
+"""Round-5 fourth-session operators: T124 token frequency spectrum
+(count-of-counts), T125 distinct-n diversity per source, T126 Zipf
+head fit, T127 inter-event-gap burstiness (CV²) — each against a
+pure-Python brute-force oracle on sf0.001 plus synthetic edges and
+partition invariance."""
+
+import collections
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [t for t in (s or "").lower().split() if t]
+
+
+# --------------------------------------------------------------- T124
+
+
+def test_frequency_spectrum_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        token_frequency_spectrum
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    cnt = collections.Counter()
+    for text in t["text"].to_pylist():
+        cnt.update(_toks(text))
+    spectrum = collections.Counter(cnt.values())
+
+    got = (token_frequency_spectrum(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("freq").sort_index())
+    assert dict(zip(got.index, got["n_types"])) == dict(spectrum)
+    for f in got.index:
+        assert got.loc[f, "mass"] == f * spectrum[f]
+    # mass identity: Σ mass == total token count
+    assert got["mass"].sum() == sum(cnt.values())
+    # hapax row exists iff some token occurs exactly once
+    assert (1 in got.index) == (1 in spectrum)
+
+
+def test_frequency_spectrum_empty_and_null(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        token_frequency_spectrum
+
+    t = pa.table({"text": pa.array(["", None, "a a b"],
+                                   type=pa.string())})
+    got = (token_frequency_spectrum(rd.from_arrow(t))
+           .to_pandas().set_index("freq"))
+    assert dict(zip(got.index, got["n_types"])) == {2: 1, 1: 1}
+
+
+# --------------------------------------------------------------- T125
+
+
+def test_distinct_ngram_diversity_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        distinct_ngram_diversity
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    want = {}
+    per = collections.defaultdict(list)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        per[src].append(_toks(text))
+    for src, docs in per.items():
+        for n in (1, 2):
+            grams = []
+            for toks in docs:
+                grams.extend(" ".join(toks[i:i + n])
+                             for i in range(len(toks) - n + 1))
+            if grams:
+                want[(src, n)] = (len(grams), len(set(grams)))
+
+    got = distinct_ngram_diversity(
+        rd.from_arrow(t).repartition(5)).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        tot, dis = want[(r["source"], r["n"])]
+        assert (r["total_grams"], r["distinct_grams"]) == (tot, dis)
+        assert r["distinct_ratio"] == dis / tot
+
+
+def test_distinct_ngram_diversity_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        distinct_ngram_diversity
+
+    # single-token and empty docs: no bigram crosses a doc boundary
+    t = pa.table({
+        "source": pa.array(["s", "s", "s", "q"], type=pa.string()),
+        "text": pa.array(["one", "", "x y x y", "a"],
+                         type=pa.string()),
+    })
+    got = (distinct_ngram_diversity(rd.from_arrow(t))
+           .to_pandas().set_index(["source", "n"]).sort_index())
+    # s unigrams: one, x, y, x, y → 5 total 3 distinct
+    assert tuple(got.loc[("s", 1)][["total_grams",
+                                    "distinct_grams"]]) == (5, 3)
+    # s bigrams: only inside "x y x y": x y, y x, x y → 3 total 2
+    assert tuple(got.loc[("s", 2)][["total_grams",
+                                    "distinct_grams"]]) == (3, 2)
+    # q: one unigram, no bigram row
+    assert tuple(got.loc[("q", 1)][["total_grams",
+                                    "distinct_grams"]]) == (1, 1)
+    assert ("q", 2) not in got.index
+
+
+# --------------------------------------------------------------- T126
+
+
+def test_zipf_slope_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import zipf_slope
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    per = collections.defaultdict(collections.Counter)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        per[src].update(_toks(text))
+
+    got = (zipf_slope(rd.from_arrow(t).repartition(5), top_k=7)
+           .to_pandas().set_index("source"))
+    for src, cnt in per.items():
+        head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+        x = [math.log(r + 1) for r in range(len(head))]
+        y = [math.log(c) for _, c in head]
+        n = len(head)
+        den = n * sum(v * v for v in x) - sum(x) ** 2
+        slope = (n * sum(a * b for a, b in zip(x, y))
+                 - sum(x) * sum(y)) / den
+        inter = (sum(y) - slope * sum(x)) / n
+        assert got.loc[src, "n_ranks"] == n
+        assert abs(got.loc[src, "slope"] - slope) < 1e-9
+        assert abs(got.loc[src, "intercept"] - inter) < 1e-9
+
+
+def test_zipf_slope_single_rank_nan(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import zipf_slope
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"], type=pa.string()),
+        "text": pa.array(["solo solo solo", "solo", "x y"],
+                         type=pa.string()),
+    })
+    got = (zipf_slope(rd.from_arrow(t)).to_pandas()
+           .set_index("source"))
+    assert got.loc["a", "n_ranks"] == 1
+    assert np.isnan(got.loc["a", "slope"])
+    # b: two ranks with equal counts → slope 0 through both points
+    assert got.loc["b", "n_ranks"] == 2
+    assert got.loc["b", "slope"] == 0.0
+
+
+# --------------------------------------------------------------- T127
+
+
+def test_event_burstiness_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_burstiness
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    rows = sorted(zip(t["user_id"].to_pylist(),
+                      [v.timestamp() for v in t["ts"].to_pylist()],
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()))
+    gaps = collections.defaultdict(list)
+    for (u0, s0, i0, _), (u1, s1, i1, ty1) in zip(rows, rows[1:]):
+        if u0 == u1:
+            gaps[ty1].append(int(s1 * 1e6 - s0 * 1e6) // 1_000_000)
+
+    got = (event_burstiness(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("event_type"))
+    assert set(got.index) == set(gaps)
+    for ty, g in gaps.items():
+        n = len(g)
+        assert got.loc[ty, "n_gaps"] == n
+        assert abs(got.loc[ty, "mean_gap_s"] - sum(g) / n) < 1e-9
+        if n >= 2 and sum(g):
+            mean = sum(g) / n
+            var = sum((v - mean) ** 2 for v in g) / (n - 1)
+            assert abs(got.loc[ty, "cv2"]
+                       - var / mean ** 2) < 1e-6 * max(
+                           1.0, var / mean ** 2)
+
+
+def test_event_burstiness_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_burstiness
+
+    base = 1_700_000_000_000_000
+    # user 1: metronome at 60 s → cv2 = 0; user 2: single event
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([base, base + 60_000_000,
+                        base + 120_000_000, base + 180_000_000,
+                        base], type=pa.timestamp("us")),
+        "event_type": pa.array(["tick"] * 4 + ["solo"],
+                               type=pa.string()),
+    })
+    got = (event_burstiness(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type"))
+    assert got.loc["tick", "n_gaps"] == 3
+    assert got.loc["tick", "mean_gap_s"] == 60.0
+    assert got.loc["tick", "cv2"] == 0.0
+    assert "solo" not in got.index  # later-event attribution: no gap
