@@ -2820,6 +2820,32 @@ def _q_event_burstiness(sf_dir: str):
     return event_burstiness(_read(sf_dir, "events"))
 
 
+def _q_bigram_conditional_entropy(sf_dir: str):
+    """T128: per-source H(next|prev) bits over within-doc bigrams —
+    sequence-level predictability (templates → 0); one bigram-vocab
+    shuffle, positive-term entropy identity."""
+    from fast_langdetect_ray.stages.diversity import \
+        bigram_conditional_entropy
+    return bigram_conditional_entropy(_read(sf_dir, "documents"))
+
+
+def _q_oov_rate(sf_dir: str):
+    """T129: per-source OOV rate under a budget-16 corpus vocabulary
+    (smaller than the synthetic 31-token vocab so the statistic is
+    non-degenerate at test scale); exact top-k broadcast once, one
+    vectorized is_in pass."""
+    from fast_langdetect_ray.stages.diversity import oov_rate
+    return oov_rate(_read(sf_dir, "documents"), vocab_k=16)
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """T130: corpus coverage curve — token-mass share of the top-k
+    vocabulary at budgets (4, 16, 64); the shared exact-top-k fold
+    plus a scalar total."""
+    from fast_langdetect_ray.stages.diversity import vocab_coverage
+    return vocab_coverage(_read(sf_dir, "documents"), ks=(4, 16, 64))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2945,6 +2971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "zipf_slope": _q_zipf_slope,
         "event_burstiness": _q_event_burstiness,
+        "bigram_conditional_entropy": _q_bigram_conditional_entropy,
+        "oov_rate": _q_oov_rate,
+        "vocab_coverage": _q_vocab_coverage,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4601,6 +4630,85 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(x.n + y.n - pr.c AS DOUBLE) AS jaccard
             FROM pr JOIN tot x ON x.event_type = pr.ta
             JOIN tot y ON y.event_type = pr.tb
+        """,
+        # T128: H(next|prev); positive-term entropy identity
+        # (Σ c_u·log2 c_u − Σ c_uv·log2 c_uv)/N — no cancellation,
+        # association drift ~K·ε inside the 9-sig-digit hash
+        "bigram_conditional_entropy": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text),
+                                                    '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, source, unnest(toks) AS t,
+                           unnest(range(len(toks))) AS i
+                    FROM d),
+            bg AS (SELECT source, t AS u,
+                          lead(t) OVER (
+                              PARTITION BY doc_id ORDER BY i) AS v
+                   FROM tok),
+            cuv AS (SELECT source, u, v,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM bg WHERE v IS NOT NULL
+                    GROUP BY source, u, v),
+            cu AS (SELECT source, u,
+                          CAST(sum(c) AS BIGINT) AS c_u,
+                          sum(c * log2(c)) AS uv_bits
+                   FROM cuv GROUP BY source, u)
+            SELECT source,
+                   CAST(sum(c_u) AS BIGINT) AS n_bigrams,
+                   (sum(c_u * log2(c_u)) - sum(uv_bits))
+                       / sum(c_u) AS h_cond
+            FROM cu GROUP BY source
+        """,
+        # T129: OOV under the exact corpus top-16 vocabulary
+        # (row_number tie-break cnt desc, token asc — shared order)
+        "oov_rate": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+            v AS (SELECT t FROM c
+                  QUALIFY row_number() OVER (
+                      ORDER BY cnt DESC, t ASC) <= 16)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE v.t IS NULL)
+                        AS BIGINT) AS n_oov,
+                   CAST(count(*) FILTER (WHERE v.t IS NULL)
+                        AS DOUBLE) / count(*) AS oov_rate
+            FROM tok LEFT JOIN v ON tok.t = v.t
+            GROUP BY source
+        """,
+        # T130: coverage curve at budgets (4, 16, 64); conditional
+        # mass sum over the same deterministic rank order
+        "vocab_coverage": """
+            WITH tok AS (
+              SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS t
+              FROM documents
+            ),
+            c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY t),
+            r AS (SELECT cnt, row_number() OVER (
+                      ORDER BY cnt DESC, t ASC) AS rnk FROM c),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM c)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE rnk <= k),
+                                 0) AS BIGINT) AS mass_topk,
+                   (SELECT m FROM tot) AS total_mass,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE rnk <= k),
+                                 0) AS DOUBLE)
+                       / (SELECT m FROM tot) AS coverage
+            FROM r CROSS JOIN (VALUES (4), (16), (64)) ks(k)
+            GROUP BY k
         """,
         # T124: count-of-counts; pure integer counts both engines
         "token_frequency_spectrum": """

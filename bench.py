@@ -148,6 +148,9 @@ HEADLINE = [
     "distinct_ngram_diversity",
     "zipf_slope",
     "event_burstiness",
+    "bigram_conditional_entropy",
+    "oov_rate",
+    "vocab_coverage",
 ]
 
 

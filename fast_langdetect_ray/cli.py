@@ -417,6 +417,34 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.diversity import compression_ratio
             out = compression_ratio(ds, id_col=args.id_col,
                                     text_col=args.text_col)
+        elif args.mode == "spectrum":
+            from .stages.diversity import token_frequency_spectrum
+            out = token_frequency_spectrum(ds, text_col=args.text_col)
+        elif args.mode == "diversity":
+            from .stages.diversity import distinct_ngram_diversity
+            out = distinct_ngram_diversity(ds, group_col=args.repo_col,
+                                           text_col=args.text_col)
+        elif args.mode == "zipf":
+            from .stages.diversity import zipf_slope
+            out = zipf_slope(ds, group_col=args.repo_col,
+                             text_col=args.text_col, top_k=args.k_top)
+        elif args.mode == "cond-entropy":
+            from .stages.diversity import bigram_conditional_entropy
+            out = bigram_conditional_entropy(ds,
+                                             group_col=args.repo_col,
+                                             text_col=args.text_col)
+        elif args.mode == "oov":
+            from .stages.diversity import oov_rate
+            out = oov_rate(ds, vocab_k=args.k_top,
+                           group_col=args.repo_col,
+                           text_col=args.text_col)
+        elif args.mode == "coverage":
+            from .stages.diversity import vocab_coverage
+            out = vocab_coverage(ds, text_col=args.text_col)
+        elif args.mode == "growth":
+            from .stages.diversity import vocab_growth
+            out = vocab_growth(ds, id_col=args.id_col,
+                               text_col=args.text_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -484,6 +512,12 @@ def cmd_events(args: argparse.Namespace) -> int:
                                  ts_col=args.ts_col,
                                  id_col=args.event_id_col,
                                  type_col=args.type_col)
+        elif args.mode == "burstiness":
+            from .stages.timeseries import event_burstiness
+            out = event_burstiness(ds, type_col=args.type_col,
+                                   user_col=args.user_col,
+                                   ts_col=args.ts_col,
+                                   id_col=args.event_id_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -841,7 +875,9 @@ def main(argv=None) -> int:
                              "sweep", "collocations", "imports",
                              "drift", "token-drift", "entropy",
                              "surprisal", "concentration", "scripts",
-                             "compressibility"])
+                             "compressibility", "spectrum",
+                             "diversity", "zipf", "cond-entropy",
+                             "oov", "coverage", "growth"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,
@@ -872,7 +908,7 @@ def main(argv=None) -> int:
     ev.add_argument("--mode", default="funnel",
                     choices=["funnel", "retention", "running",
                              "anomalies", "gini", "overlap",
-                             "payload", "debounce"])
+                             "payload", "debounce", "burstiness"])
     ev.add_argument("--field", default="k",
                     help="payload: integer JSON field to extract")
     ev.add_argument("--min-gap-s", type=int, default=60,

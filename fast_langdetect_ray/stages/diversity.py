@@ -844,3 +844,247 @@ def zipf_slope(ds, group_col: str = "source",
         "slope": pa.array(out["slope"], type=pa.float64()),
         "intercept": pa.array(out["intercept"], type=pa.float64()),
     }))
+
+
+def bigram_conditional_entropy(ds, group_col: str = "source",
+                               text_col: str = "text"):
+    """T128: per-stratum conditional bigram entropy H(next | prev) in
+    bits — the sequence-level predictability audit that distinct-n
+    (T125) ratios approximate: templated generation drives
+    H(next|prev) toward 0 even when unigram diversity looks healthy;
+    natural prose sits well above 1 bit.
+
+    Identity (both engines): with c_uv the within-document bigram
+    counts, c_u = Σ_v c_uv and N = Σ c_u,
+
+        ``H = (Σ_u c_u·log2 c_u  −  Σ_uv c_uv·log2 c_uv) / N``
+
+    Every term is nonnegative (c ≥ 1), so the float sums have no
+    cancellation and association drift sits at ~K·ε — inside the
+    9-sig-digit hash (the module's entropy argument).
+
+    Scale shape: vectorized bigram build (the T125 kernel; windows
+    never cross documents) → per-batch (group, u, v, count) partials
+    → ONE bigram-vocabulary-sized ``groupby.Sum`` → a per-left-token
+    rollup to ``(group, u, c_u, Σ_v c_uv log2 c_uv)`` — still
+    vocabulary-sized but SMALLER — → catalog-sized ``groupby.Sum`` →
+    fixed-shape finish.  Output: ``(group_col, n_bigrams, h_cond)``;
+    strata with no bigrams emit nothing.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        if len(flat) < 2:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "u": pa.array([], type=pa.string()),
+                "v": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        same = parent[1:] == parent[:-1]
+        mask = pa.array(same)
+        L = len(flat) - 1
+        t = pa.table({
+            group_col: grps.take(pa.array(parent[:-1][same])),
+            "u": flat.slice(0, L).filter(mask),
+            "v": flat.slice(1, L).filter(mask),
+        })
+        return t.group_by([group_col, "u", "v"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([group_col, "u", "v", "cnt"])
+
+    def per_left(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cf = c.astype(np.float64)
+        return pa.table({
+            group_col: batch[group_col],
+            "u": batch["u"],
+            "c_u": pa.array(c),
+            "uv_bits": pa.array(cf * np.log2(cf)),
+        })
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        cu = batch["c_u"].to_numpy().astype(np.int64)
+        cuf = cu.astype(np.float64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n": pa.array(cu),
+            "u_bits": pa.array(cuf * np.log2(cuf)),
+            "uv_bits": batch["uv_bits"],
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.int64)
+        ub = batch["u_bits"].to_numpy().astype(np.float64)
+        vb = batch["uv_bits"].to_numpy().astype(np.float64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n_bigrams": pa.array(n),
+            "h_cond": pa.array((ub - vb) / n.astype(np.float64),
+                               type=pa.float64()),
+        })
+
+    return (ds.select_columns([group_col, text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "u", "v"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(per_left, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, "u"])
+            .aggregate(Sum("c_u", alias_name="c_u"),
+                       Sum("uv_bits", alias_name="uv_bits"))
+            .map_batches(per_group, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("u_bits", alias_name="u_bits"),
+                       Sum("uv_bits", alias_name="uv_bits"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _corpus_top_tokens(ds, text_col: str, k: int):
+    """Corpus-wide EXACT top-``k`` tokens by count (ties broken token
+    asc — the oracle's ``row_number`` order): per-batch (token, count)
+    partials → ONE vocabulary-sized ``groupby.Sum`` → lossless
+    per-batch top-k → ≤ k·n_batches driver fold.  Shared by
+    ``oov_rate`` and ``vocab_coverage``.  Returns the ranked pandas
+    head AND the exact total token mass (a scalar aggregate)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _arrow_tokens(batch[text_col])
+        return pa.table({"token": flat}) \
+            .group_by(["token"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["token", "cnt"])
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cnt", "token"],
+                             ascending=[False, True]).head(k)
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("token")
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .materialize())  # vocab-sized; reused for head + total
+    total = counts.aggregate(Sum("cnt", alias_name="m"))["m"] or 0
+    head = (counts
+            .map_batches(topk_partial, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["cnt", "token"],
+                         ascending=[False, True]).head(k))
+    return head, int(total)
+
+
+def oov_rate(ds, vocab_k: int = 1000, group_col: str = "source",
+             text_col: str = "text"):
+    """T129: per-stratum out-of-vocabulary rate under a budget-``k``
+    vocabulary — the tokenizer-planning twin of the Heaps curve
+    (T123) and the spectrum (T124): if the corpus tokenizer keeps
+    only the ``vocab_k`` most frequent tokens, what share of each
+    source's token stream falls outside it?  A source with a high
+    OOV rate under the corpus budget is domain-shifted (code in a
+    prose corpus, a new language) and will fragment badly.
+
+    Scale shape: pass 1 builds the EXACT corpus top-k (see
+    ``_corpus_top_tokens``) and broadcasts it once via ``ray.put``;
+    pass 2 is one stateless vectorized ``is_in`` membership pass with
+    catalog-sized count partials.  Integer counts, ONE division —
+    hash-exact.  Output: ``(group_col, n_tokens, n_oov, oov_rate)``;
+    token-free strata emit nothing.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .retrieval import _arrow_tokens
+
+    head, _ = _corpus_top_tokens(ds, text_col, int(vocab_k))
+    vocab_ref = ray.put(pa.array(head["token"].tolist(),
+                                 type=pa.string()))
+
+    def count_oov(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        flat, parent = _arrow_tokens(batch[text_col])
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        oov = pc.invert(pc.is_in(flat, value_set=vocab)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            group_col: grps.take(pa.array(parent)),
+            "one": pa.array(np.ones(oov.size, dtype=np.int64)),
+            "oov": pa.array(oov),
+        })
+        return t.group_by([group_col], use_threads=False) \
+            .aggregate([("one", "sum"), ("oov", "sum")]) \
+            .rename_columns([group_col, "n", "o"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy().astype(np.int64)
+        o = batch["n_oov"].to_numpy().astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            "n_tokens": pa.array(n),
+            "n_oov": pa.array(o),
+            "oov_rate": pa.array(
+                o.astype(np.float64) / n.astype(np.float64)),
+        })
+
+    return (ds.select_columns([group_col, text_col])
+            .map_batches(count_oov, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n_tokens"),
+                       Sum("o", alias_name="n_oov"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def vocab_coverage(ds, ks: tuple = (10, 100, 1000),
+                   text_col: str = "text"):
+    """T130: corpus vocabulary coverage curve — the share of total
+    token MASS covered by the top-``k`` most frequent tokens, for
+    each budget in ``ks``.  The complement of ``oov_rate`` read
+    corpus-wide: pick the smallest budget whose coverage clears the
+    target (e.g. 99.5%) and feed it to the tokenizer.
+
+    Scale shape: the shared exact-top-k fold (``_corpus_top_tokens``,
+    one vocab-sized shuffle + a scalar total) → a ``len(ks)``-row
+    driver table.  Integer mass, ONE division per row — hash-exact.
+    Output: ``(k, mass_topk, total_mass, coverage)``; ``k`` beyond
+    the vocabulary covers everything (coverage 1.0).
+    """
+    import ray.data as rd
+
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    if not ks or ks[0] < 1:
+        raise ValueError("vocab_coverage: ks must be positive")
+    head, total = _corpus_top_tokens(ds, text_col, max(ks))
+    cnts = head["cnt"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnts)
+    mass = np.array([int(cum[min(k, cnts.size) - 1]) if cnts.size
+                     else 0 for k in ks], dtype=np.int64)
+    tot = np.full(len(ks), total, dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov = mass.astype(np.float64) / tot.astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "k": pa.array(np.asarray(ks, dtype=np.int64)),
+        "mass_topk": pa.array(mass),
+        "total_mass": pa.array(tot),
+        "coverage": pa.array(cov, type=pa.float64()),
+    }))

@@ -940,3 +940,70 @@ def test_cli_events_debounce(tmp_path):
         pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
     ]).to_pandas()
     assert sorted(got["event_id"]) == [1, 3]
+
+
+def test_cli_analyze_vocab_suite_and_events_burstiness(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "source": ["a", "a", "b"],
+        "text": ["the cat sat", "the cat ran", "the the the"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+
+    out = tmp_path / "spec"
+    p = _run("analyze", str(src), str(out), "--mode", "spectrum",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().set_index("freq")
+    # the×5, cat×2, sat×1, ran×1
+    assert dict(zip(got.index, got["n_types"])) == {5: 1, 2: 1, 1: 2}
+
+    out2 = tmp_path / "div"
+    p = _run("analyze", str(src), str(out2), "--mode", "diversity",
+             "--repo-col", "source", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas().set_index(["source", "n"]).sort_index()
+    assert got2.loc[("b", 1), "distinct_grams"] == 1
+    assert got2.loc[("b", 2), "total_grams"] == 2
+
+    out3 = tmp_path / "oov"
+    p = _run("analyze", str(src), str(out3), "--mode", "oov",
+             "--k-top", "1", "--repo-col", "source",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got3 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out3.rglob("*.parquet"))
+    ]).to_pandas().set_index("source")
+    # budget-1 vocab = {the}; a: 4/6 OOV, b: 0/3
+    assert got3.loc["a", "n_oov"] == 4 and got3.loc["b", "n_oov"] == 0
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "ts": pa.array([1_000_000_000_000_000,
+                        1_000_000_060_000_000,
+                        1_000_000_120_000_000],
+                       type=pa.timestamp("us")),
+        "event_type": ["tick"] * 3,
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": ["{}"] * 3,
+    })
+    esrc = tmp_path / "events.parquet"
+    pq.write_table(ev, esrc)
+    out4 = tmp_path / "burst"
+    p = _run("events", str(esrc), str(out4), "--mode", "burstiness",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got4 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out4.rglob("*.parquet"))
+    ]).to_pandas().set_index("event_type")
+    assert got4.loc["tick", "n_gaps"] == 2
+    assert got4.loc["tick", "cv2"] == 0.0

@@ -1,8 +1,9 @@
 """Round-5 fourth-session operators: T124 token frequency spectrum
 (count-of-counts), T125 distinct-n diversity per source, T126 Zipf
-head fit, T127 inter-event-gap burstiness (CV²) — each against a
-pure-Python brute-force oracle on sf0.001 plus synthetic edges and
-partition invariance."""
+head fit, T127 inter-event-gap burstiness (CV²), T128 conditional
+bigram entropy, T129 OOV rate under a budget vocabulary, T130
+vocabulary coverage curve — each against a pure-Python brute-force
+oracle on sf0.001 plus synthetic edges and partition invariance."""
 
 import collections
 import math
@@ -220,3 +221,127 @@ def test_event_burstiness_edges(ray_session):
     assert got.loc["tick", "mean_gap_s"] == 60.0
     assert got.loc["tick", "cv2"] == 0.0
     assert "solo" not in got.index  # later-event attribution: no gap
+
+
+# --------------------------------------------------------------- T128
+
+
+def test_bigram_conditional_entropy_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        bigram_conditional_entropy
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    cuv = collections.defaultdict(collections.Counter)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        toks = _toks(text)
+        cuv[src].update(zip(toks, toks[1:]))
+
+    got = (bigram_conditional_entropy(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("source"))
+    for src, cnt in cuv.items():
+        if not cnt:
+            continue
+        n = sum(cnt.values())
+        cu = collections.Counter()
+        for (u, _), c in cnt.items():
+            cu[u] += c
+        h = (sum(c * math.log2(c) for c in cu.values())
+             - sum(c * math.log2(c) for c in cnt.values())) / n
+        assert got.loc[src, "n_bigrams"] == n
+        assert abs(got.loc[src, "h_cond"] - h) < 1e-9
+
+
+def test_bigram_conditional_entropy_template_is_zero(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import \
+        bigram_conditional_entropy
+
+    # fully deterministic next-token → H(next|prev) == 0
+    t = pa.table({
+        "source": pa.array(["tpl", "tpl"], type=pa.string()),
+        "text": pa.array(["a b c a b c", "a b c"],
+                         type=pa.string()),
+    })
+    got = (bigram_conditional_entropy(rd.from_arrow(t)).to_pandas()
+           .set_index("source"))
+    # bigrams: within docs only — (a b),(b c),(c a),(a b),(b c) + (a b),(b c)
+    assert got.loc["tpl", "n_bigrams"] == 7
+    assert got.loc["tpl", "h_cond"] == 0.0
+
+
+# --------------------------------------------------------------- T129
+
+
+def test_oov_rate_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import oov_rate
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    corpus = collections.Counter()
+    per = collections.defaultdict(list)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        toks = _toks(text)
+        corpus.update(toks)
+        per[src].extend(toks)
+    vocab = set(tok for tok, _ in sorted(
+        corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:8])
+
+    got = (oov_rate(rd.from_arrow(t).repartition(5), vocab_k=8)
+           .to_pandas().set_index("source"))
+    for src, toks in per.items():
+        if not toks:
+            continue
+        oov = sum(1 for tok in toks if tok not in vocab)
+        assert got.loc[src, "n_tokens"] == len(toks)
+        assert got.loc[src, "n_oov"] == oov
+        assert got.loc[src, "oov_rate"] == oov / len(toks)
+
+
+def test_oov_rate_budget_covers_everything(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import oov_rate
+
+    t = pa.table({
+        "source": pa.array(["s", "s"], type=pa.string()),
+        "text": pa.array(["a b c", "a a"], type=pa.string()),
+    })
+    got = oov_rate(rd.from_arrow(t), vocab_k=1000).to_pandas()
+    assert got["n_oov"].tolist() == [0]
+    assert got["oov_rate"].tolist() == [0.0]
+
+
+# --------------------------------------------------------------- T130
+
+
+def test_vocab_coverage_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import vocab_coverage
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    corpus = collections.Counter()
+    for text in t["text"].to_pylist():
+        corpus.update(_toks(text))
+    ranked = [c for _, c in sorted(corpus.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))]
+    total = sum(ranked)
+
+    got = (vocab_coverage(rd.from_arrow(t).repartition(5),
+                          ks=(3, 12, 10_000))
+           .to_pandas().set_index("k"))
+    for k in (3, 12, 10_000):
+        mass = sum(ranked[:k])
+        assert got.loc[k, "mass_topk"] == mass
+        assert got.loc[k, "total_mass"] == total
+        assert got.loc[k, "coverage"] == mass / total
+    # monotone, and the over-budget row covers everything
+    assert got.loc[10_000, "coverage"] == 1.0
+    cov = got["coverage"].tolist()
+    assert cov == sorted(cov)
