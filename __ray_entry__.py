@@ -2846,6 +2846,32 @@ def _q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_read(sf_dir, "documents"), ks=(4, 16, 64))
 
 
+def _q_source_scorecard(sf_dir: str):
+    """T131: composite per-source health scorecard — the curation
+    dashboard row a 100-TB operator reads per stratum before choosing
+    mixture weights: exact-dup rate (T69), token concentration HHI
+    (T113), distinct-2 ratio (T125), conditional bigram entropy
+    (T128), and OOV rate under the corpus budget (T129) joined on
+    source.  Every component output is catalog-sized, so the
+    composition is a driver merge of five tiny frames (the T108
+    pattern); the oracle composes the five SQL twins as CTEs and
+    joins them the same way."""
+    dup = _q_source_dup_stats(sf_dir)[["source", "n_docs",
+                                       "dup_rate"]]
+    hhi = _q_token_herfindahl(sf_dir).to_pandas()[["source", "hhi"]]
+    d2 = _q_distinct_ngram_diversity(sf_dir).to_pandas()
+    d2 = d2[d2["n"] == 2][["source", "distinct_ratio"]] \
+        .rename(columns={"distinct_ratio": "distinct2_ratio"})
+    ce = _q_bigram_conditional_entropy(sf_dir) \
+        .to_pandas()[["source", "h_cond"]]
+    oov = _q_oov_rate(sf_dir).to_pandas()[["source", "oov_rate"]]
+    out = dup.merge(hhi, on="source", how="inner") \
+        .merge(d2, on="source", how="inner") \
+        .merge(ce, on="source", how="inner") \
+        .merge(oov, on="source", how="inner")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -2974,6 +3000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_conditional_entropy": _q_bigram_conditional_entropy,
         "oov_rate": _q_oov_rate,
         "vocab_coverage": _q_vocab_coverage,
+        "source_scorecard": _q_source_scorecard,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -5275,5 +5302,25 @@ def oracle_sql() -> dict[str, str]:
                AND tv.source_b = ks.source_b
         JOIN vj ON vj.source_a = ks.source_a
                AND vj.source_b = ks.source_b
+    """
+    # T131: composite per-source health scorecard — five per-source
+    # diagnostics' oracles composed as CTE subqueries and joined the
+    # same way the engine merges its five operator outputs.
+    sqls["source_scorecard"] = f"""
+        WITH dup AS ({sqls["source_dup_stats"]}),
+             hhi AS ({sqls["token_herfindahl"]}),
+             d2 AS (SELECT * FROM ({sqls["distinct_ngram_diversity"]})
+                    WHERE n = 2),
+             ce AS ({sqls["bigram_conditional_entropy"]}),
+             oov AS ({sqls["oov_rate"]})
+        SELECT dup.source, CAST(dup.n_docs AS BIGINT) AS n_docs,
+               dup.dup_rate, hhi.hhi,
+               d2.distinct_ratio AS distinct2_ratio,
+               ce.h_cond, oov.oov_rate
+        FROM dup
+        JOIN hhi ON hhi.source = dup.source
+        JOIN d2 ON d2.source = dup.source
+        JOIN ce ON ce.source = dup.source
+        JOIN oov ON oov.source = dup.source
     """
     return sqls

@@ -151,6 +151,7 @@ HEADLINE = [
     "bigram_conditional_entropy",
     "oov_rate",
     "vocab_coverage",
+    "source_scorecard",
 ]
 
 

@@ -719,8 +719,10 @@ def distinct_ngram_diversity(ds, group_col: str = "source",
                 .aggregate([([], "count_all")])
                 .rename_columns([group_col, "n", "gram", "cnt"]))
         if not pieces:
+            gt = grps.type if not pa.types.is_null(grps.type) \
+                else pa.string()
             return pa.table({
-                group_col: pa.array([], type=pa.string()),
+                group_col: pa.array([], type=gt),
                 "n": pa.array([], type=pa.int64()),
                 "gram": pa.array([], type=pa.string()),
                 "cnt": pa.array([], type=pa.int64()),
@@ -882,8 +884,10 @@ def bigram_conditional_entropy(ds, group_col: str = "source",
         if isinstance(grps, pa.ChunkedArray):
             grps = grps.combine_chunks()
         if len(flat) < 2:
+            gt = grps.type if not pa.types.is_null(grps.type) \
+                else pa.string()
             return pa.table({
-                group_col: pa.array([], type=pa.string()),
+                group_col: pa.array([], type=gt),
                 "u": pa.array([], type=pa.string()),
                 "v": pa.array([], type=pa.string()),
                 "cnt": pa.array([], type=pa.int64()),

@@ -345,3 +345,29 @@ def test_vocab_coverage_matches_python(ray_session):
     assert got.loc[10_000, "coverage"] == 1.0
     cov = got["coverage"].tolist()
     assert cov == sorted(cov)
+
+
+# --------------------------------------------------------------- T131
+
+
+def test_source_scorecard_composes_components(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._q_source_scorecard(sf).set_index("source")
+    assert list(got.columns) == ["n_docs", "dup_rate", "hhi",
+                                 "distinct2_ratio", "h_cond",
+                                 "oov_rate"]
+    dup = entry._q_source_dup_stats(sf).set_index("source")
+    hhi = entry._q_token_herfindahl(sf).to_pandas() \
+        .set_index("source")
+    oov = entry._q_oov_rate(sf).to_pandas().set_index("source")
+    assert set(got.index) == set(dup.index)
+    for src in got.index:
+        assert got.loc[src, "n_docs"] == dup.loc[src, "n_docs"]
+        assert got.loc[src, "dup_rate"] == dup.loc[src, "dup_rate"]
+        assert got.loc[src, "hhi"] == hhi.loc[src, "hhi"]
+        assert got.loc[src, "oov_rate"] == oov.loc[src, "oov_rate"]
