@@ -2872,6 +2872,23 @@ def _q_source_scorecard(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_key_skew(sf_dir: str):
+    """T132: shuffle-key skew audit over events.user_id — the
+    salt-or-not planning row (exact per-key count distribution: max
+    share, discrete p50/p99); key-cardinality aggregate, spectrum
+    fold, lossless top-1."""
+    from fast_langdetect_ray.stages.skew import key_skew
+    return key_skew(_read(sf_dir, "events"), key_col="user_id")
+
+
+def _q_user_type_entropy(sf_dir: str):
+    """T133: per-user event-type entropy (bot profiling: 0 bits =
+    single-action account); positive-term identity, one
+    (user × type) aggregate then a user-sized rollup."""
+    from fast_langdetect_ray.stages.skew import user_type_entropy
+    return user_type_entropy(_read(sf_dir, "events"))
+
+
 def _q_value_gini(sf_dir: str):
     """T114: per-event-type Gini over per-user value totals — the
     contributor-skew audit; fixed-point cents, rank-sum identity,
@@ -3001,6 +3018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "vocab_coverage": _q_vocab_coverage,
         "source_scorecard": _q_source_scorecard,
+        "key_skew": _q_key_skew,
+        "user_type_entropy": _q_user_type_entropy,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4736,6 +4755,45 @@ def oracle_sql() -> dict[str, str]:
                        / (SELECT m FROM tot) AS coverage
             FROM r CROSS JOIN (VALUES (4), (16), (64)) ks(k)
             GROUP BY k
+        """,
+        # T132: skew audit; quantile_disc == the repo's discrete
+        # cum ≥ ceil(n·q) contract (T26/T105); top key tie-broken
+        # (cnt desc, key-as-string asc) both engines
+        "key_skew": """
+            WITH c AS (SELECT user_id AS key,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1),
+            top AS (SELECT CAST(key AS VARCHAR) AS top_key
+                    FROM c
+                    ORDER BY cnt DESC, CAST(key AS VARCHAR) ASC
+                    LIMIT 1),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(cnt) AS BIGINT) AS n_rows,
+                         CAST(max(cnt) AS BIGINT) AS max_count,
+                         CAST(quantile_disc(cnt, 0.5) AS BIGINT)
+                             AS p50_count,
+                         CAST(quantile_disc(cnt, 0.99) AS BIGINT)
+                             AS p99_count
+                  FROM c)
+            SELECT n_rows, n_keys, max_count,
+                   CAST(max_count AS DOUBLE) / n_rows AS max_share,
+                   (SELECT top_key FROM top) AS top_key,
+                   p50_count, p99_count
+            FROM s
+        """,
+        # T133: per-user type entropy; the positive-term identity
+        # H = log2(n) − Σ c·log2 c / n (no cancellation, ~K·ε drift)
+        "user_type_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   log2(CAST(sum(cnt) AS DOUBLE))
+                       - sum(cnt * log2(cnt))
+                         / CAST(sum(cnt) AS DOUBLE) AS type_entropy
+            FROM c GROUP BY user_id
         """,
         # T124: count-of-counts; pure integer counts both engines
         "token_frequency_spectrum": """

@@ -152,6 +152,8 @@ HEADLINE = [
     "oov_rate",
     "vocab_coverage",
     "source_scorecard",
+    "key_skew",
+    "user_type_entropy",
 ]
 
 

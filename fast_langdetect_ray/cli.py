@@ -518,6 +518,13 @@ def cmd_events(args: argparse.Namespace) -> int:
                                    user_col=args.user_col,
                                    ts_col=args.ts_col,
                                    id_col=args.event_id_col)
+        elif args.mode == "skew":
+            from .stages.skew import key_skew
+            out = key_skew(ds, key_col=args.user_col)
+        elif args.mode == "type-entropy":
+            from .stages.skew import user_type_entropy
+            out = user_type_entropy(ds, user_col=args.user_col,
+                                    type_col=args.type_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -908,7 +915,8 @@ def main(argv=None) -> int:
     ev.add_argument("--mode", default="funnel",
                     choices=["funnel", "retention", "running",
                              "anomalies", "gini", "overlap",
-                             "payload", "debounce", "burstiness"])
+                             "payload", "debounce", "burstiness",
+                             "skew", "type-entropy"])
     ev.add_argument("--field", default="k",
                     help="payload: integer JSON field to extract")
     ev.add_argument("--min-gap-s", type=int, default=60,

@@ -1,0 +1,186 @@
+"""Shuffle-key skew audit — the partition-planning diagnostic.
+
+Every wide operation in this engine (`groupby`, bucket shuffles,
+distributed joins) hashes a key column; a hot key (one user generating
+1% of a 10^12-row event log, one boilerplate sha) turns an even
+shuffle into a straggler.  `key_skew` reports the distribution of
+per-key row counts — total rows, distinct keys, the maximum key's
+count and share, the top key itself, and exact p50/p99 of the per-key
+count distribution — so a pipeline author can decide whether a key
+needs salting BEFORE burning a cluster-hour discovering it.
+
+Cross-engine exactness: counts are int64 end-to-end; quantiles use
+the repo's discrete contract (smallest value whose cumulative key
+count reaches ``ceil(n_keys · q)`` — DuckDB ``quantile_disc``, the
+T26/T105 semantics); ``max_share`` is ONE division; the top key is
+tie-broken (count desc, key-as-string asc) identically in both
+engines and returned as a string for schema stability across key
+types.
+
+Scale shape: per-batch (key, count) partials → ONE key-cardinality
+``groupby.Sum`` → (a) a count-of-counts spectrum fold (distinct count
+values — tiny) and (b) a lossless per-batch top-1 — both driver-side
+bounded.  Nothing row-sized leaves the aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def key_skew(ds, key_col: str, quantiles: tuple = (0.5, 0.99)):
+    """T132: one-row skew report for ``key_col`` (see module doc).
+
+    Output: ``(n_rows, n_keys, max_count, max_share, top_key,
+    p50_count, p99_count, ...)`` — one ``p{int(q*100)}_count`` column
+    per requested quantile."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    qs = tuple(float(q) for q in quantiles)
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("key_skew: quantiles must be in (0, 1]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col]) \
+            .group_by([key_col], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([key_col, "cnt"])
+
+    keys = (ds.select_columns([key_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(key_col)
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .materialize())  # key-cardinality; reused twice below
+
+    if keys.count() == 0:
+        # empty-input aggregates are schema-less (the repo's typed
+        # empty precedent) — emit the typed empty report directly
+        cols = {"n_rows": [0], "n_keys": [0], "max_count": [0],
+                "max_share": [np.nan], "top_key": [None]}
+        for q in qs:
+            cols[f"p{int(q * 100)}_count"] = [0]
+        return rd.from_arrow(pa.table({
+            k: pa.array(v, type=(pa.string() if k == "top_key"
+                                 else pa.float64()
+                                 if k == "max_share"
+                                 else pa.int64()))
+            for k, v in cols.items()}))
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"cnt": pa.array(c),
+                         "one": pa.array(np.ones(c.size,
+                                                 dtype=np.int64))})
+
+    spec = (keys
+            .map_batches(spectrum, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cnt")
+            .aggregate(Sum("one", alias_name="n_keys"))
+            .to_pandas().sort_values("cnt").reset_index(drop=True))
+
+    def top1(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["key_str"] = b[key_col].astype(str)
+        return b.sort_values(["cnt", "key_str"],
+                             ascending=[False, True]).head(1)
+
+    heads = (keys.map_batches(top1, batch_format="pandas")
+             .to_pandas())  # ≤ 1 row per aggregate output batch
+
+    cnts = spec["cnt"].to_numpy().astype(np.int64)
+    nk = spec["n_keys"].to_numpy().astype(np.int64)
+    n_keys = int(nk.sum())
+    n_rows = int((cnts * nk).sum())
+    max_count = int(cnts[-1])
+    heads = heads.sort_values(["cnt", "key_str"],
+                              ascending=[False, True]).head(1)
+    top_key = str(heads[key_col].iloc[0])
+    cum = np.cumsum(nk)
+    out = {
+        "n_rows": [n_rows], "n_keys": [n_keys],
+        "max_count": [max_count],
+        "max_share": [float(max_count) / float(n_rows)],
+        "top_key": [top_key],
+    }
+    for q in qs:
+        k = max(1, int(math.ceil(n_keys * q - 1e-9)))
+        out[f"p{int(q * 100)}_count"] = [
+            int(cnts[int(np.searchsorted(cum, k))])]
+    return rd.from_arrow(pa.table({
+        k: pa.array(v, type=(pa.string() if k == "top_key"
+                             else pa.float64() if k == "max_share"
+                             else pa.int64()))
+        for k, v in out.items()}))
+
+
+def user_type_entropy(ds, user_col: str = "user_id",
+                      type_col: str = "event_type"):
+    """T133: per-user event-type entropy — the bot-profiling feature:
+    an account doing ONE thing ten thousand times scores 0 bits while
+    an organic user mixing views/clicks/purchases scores high; pairs
+    with `key_skew` (how big is the account) and burstiness (T127,
+    how mechanical is its timing).
+
+    Exactness: the module's positive-term identity
+    ``H = log2(n) − Σ c·log2(c) / n`` over int64 counts — no
+    cancellation, association drift ~K·ε, inside the 9-sig-digit
+    hash (the diversity.py contract).
+
+    Scale shape: per-batch (user, type, count) partials → ONE
+    (user × type)-sized ``groupby.Sum`` → a stateless per-row bits
+    projection → user-sized ``groupby.Sum`` → fixed-shape finish.
+    Output: ``(user_col, n_events, n_types, type_entropy)`` —
+    user-sized, produced streaming.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([user_col, type_col]) \
+            .group_by([user_col, type_col], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([user_col, type_col, "cnt"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cf = c.astype(np.float64)
+        return pa.table({
+            user_col: batch[user_col],
+            "n": pa.array(c),
+            "one": pa.array(np.ones(c.size, dtype=np.int64)),
+            "bits": pa.array(cf * np.log2(cf)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_events"].to_numpy().astype(np.int64)
+        bits = batch["bits"].to_numpy().astype(np.float64)
+        nf = n.astype(np.float64)
+        return pa.table({
+            user_col: batch[user_col],
+            "n_events": pa.array(n),
+            "n_types": batch["n_types"],
+            "type_entropy": pa.array(np.log2(nf) - bits / nf,
+                                     type=pa.float64()),
+        })
+
+    return (ds.select_columns([user_col, type_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([user_col, type_col])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(user_col)
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("one", alias_name="n_types"),
+                       Sum("bits", alias_name="bits"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -1007,3 +1007,41 @@ def test_cli_analyze_vocab_suite_and_events_burstiness(tmp_path):
     ]).to_pandas().set_index("event_type")
     assert got4.loc["tick", "n_gaps"] == 2
     assert got4.loc["tick", "cv2"] == 0.0
+
+
+def test_cli_events_skew_and_type_entropy(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([9, 9, 9, 5], type=pa.int64()),
+        "ts": pa.array([1_000_000_000_000_000 + i * 1_000_000
+                        for i in range(4)], type=pa.timestamp("us")),
+        "event_type": ["click", "click", "view", "view"],
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "props": ["{}"] * 4,
+    })
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, src)
+
+    out = tmp_path / "skew"
+    p = _run("events", str(src), str(out), "--mode", "skew",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas().iloc[0]
+    assert (got["n_rows"], got["n_keys"], got["max_count"]) \
+        == (4, 2, 3)
+    assert got["top_key"] == "9"
+
+    out2 = tmp_path / "tent"
+    p = _run("events", str(src), str(out2), "--mode", "type-entropy",
+             "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got2 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
+    ]).to_pandas().set_index("user_id")
+    assert got2.loc[5, "type_entropy"] == 0.0
+    assert got2.loc[9, "n_types"] == 2

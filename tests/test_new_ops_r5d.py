@@ -371,3 +371,97 @@ def test_source_scorecard_composes_components(ray_session):
         assert got.loc[src, "dup_rate"] == dup.loc[src, "dup_rate"]
         assert got.loc[src, "hhi"] == hhi.loc[src, "hhi"]
         assert got.loc[src, "oov_rate"] == oov.loc[src, "oov_rate"]
+
+
+# --------------------------------------------------------------- T132
+
+
+def test_key_skew_matches_python(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.skew import key_skew
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    cnt = collections.Counter(t["user_id"].to_pylist())
+    counts = sorted(cnt.values())
+    n_keys = len(counts)
+
+    got = (key_skew(rd.from_arrow(t).repartition(5),
+                    key_col="user_id").to_pandas().iloc[0])
+    assert got["n_rows"] == sum(counts)
+    assert got["n_keys"] == n_keys
+    assert got["max_count"] == counts[-1]
+    assert got["max_share"] == counts[-1] / sum(counts)
+    top = min(k for k, v in cnt.items() if v == counts[-1]
+              for k in [str(k)])
+    assert got["top_key"] == str(top)
+    for q in (0.5, 0.99):
+        k = max(1, int(math.ceil(n_keys * q - 1e-9)))
+        assert got[f"p{int(q * 100)}_count"] == counts[k - 1]
+
+
+def test_key_skew_hot_key_and_empty(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.skew import key_skew
+
+    t = pa.table({"k": pa.array(["hot"] * 98 + ["a", "b"],
+                                type=pa.string())})
+    got = key_skew(rd.from_arrow(t).repartition(4), key_col="k",
+                   quantiles=(0.5, 1.0)).to_pandas().iloc[0]
+    assert (got["n_rows"], got["n_keys"], got["max_count"]) \
+        == (100, 3, 98)
+    assert got["max_share"] == 0.98
+    assert got["top_key"] == "hot"
+    assert got["p50_count"] == 1 and got["p100_count"] == 98
+
+    empty = pa.table({"k": pa.array([], type=pa.string())})
+    g2 = key_skew(rd.from_arrow(empty), key_col="k") \
+        .to_pandas().iloc[0]
+    assert (g2["n_rows"], g2["n_keys"]) == (0, 0)
+    assert np.isnan(g2["max_share"]) and g2["top_key"] is None
+
+
+# --------------------------------------------------------------- T133
+
+
+def test_user_type_entropy_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.skew import user_type_entropy
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    per = collections.defaultdict(collections.Counter)
+    for u, ty in zip(t["user_id"].to_pylist(),
+                     t["event_type"].to_pylist()):
+        per[u][ty] += 1
+
+    got = (user_type_entropy(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("user_id"))
+    assert len(got) == len(per)
+    for u, cnt in per.items():
+        n = sum(cnt.values())
+        h = math.log2(n) - sum(c * math.log2(c)
+                               for c in cnt.values()) / n
+        assert got.loc[u, "n_events"] == n
+        assert got.loc[u, "n_types"] == len(cnt)
+        assert abs(got.loc[u, "type_entropy"] - h) < 1e-9
+
+
+def test_user_type_entropy_single_action_bot(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.skew import user_type_entropy
+
+    t = pa.table({
+        "user_id": pa.array([1] * 50 + [2, 2], type=pa.int64()),
+        "event_type": pa.array(["click"] * 50 + ["view", "buy"],
+                               type=pa.string()),
+    })
+    got = (user_type_entropy(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("user_id"))
+    assert got.loc[1, "type_entropy"] == 0.0  # single-action bot
+    assert got.loc[1, "n_types"] == 1
+    assert got.loc[2, "type_entropy"] == 1.0  # 50/50 two types
