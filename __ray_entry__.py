@@ -2855,16 +2855,32 @@ def _q_source_scorecard(sf_dir: str):
     source.  Every component output is catalog-sized, so the
     composition is a driver merge of five tiny frames (the T108
     pattern); the oracle composes the five SQL twins as CTEs and
-    joins them the same way."""
-    dup = _q_source_dup_stats(sf_dir)[["source", "n_docs",
-                                       "dup_rate"]]
-    hhi = _q_token_herfindahl(sf_dir).to_pandas()[["source", "hhi"]]
-    d2 = _q_distinct_ngram_diversity(sf_dir).to_pandas()
+    joins them the same way.  The five component pipelines are
+    independent, so they execute CONCURRENTLY from driver threads
+    (each `to_pandas` drives its own streaming plan; the Ray cluster
+    time-shares them) — wall time ≈ the slowest component, not the
+    sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fast_langdetect_ray.state.pools import ensure_threadsafe_fs_probe
+
+    ensure_threadsafe_fs_probe()
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_dup = ex.submit(_q_source_dup_stats, sf_dir)
+        f_hhi = ex.submit(
+            lambda: _q_token_herfindahl(sf_dir).to_pandas())
+        f_d2 = ex.submit(
+            lambda: _q_distinct_ngram_diversity(sf_dir).to_pandas())
+        f_ce = ex.submit(
+            lambda: _q_bigram_conditional_entropy(sf_dir).to_pandas())
+        f_oov = ex.submit(lambda: _q_oov_rate(sf_dir).to_pandas())
+        dup = f_dup.result()[["source", "n_docs", "dup_rate"]]
+        hhi = f_hhi.result()[["source", "hhi"]]
+        d2 = f_d2.result()
+        ce = f_ce.result()[["source", "h_cond"]]
+        oov = f_oov.result()[["source", "oov_rate"]]
     d2 = d2[d2["n"] == 2][["source", "distinct_ratio"]] \
         .rename(columns={"distinct_ratio": "distinct2_ratio"})
-    ce = _q_bigram_conditional_entropy(sf_dir) \
-        .to_pandas()[["source", "h_cond"]]
-    oov = _q_oov_rate(sf_dir).to_pandas()[["source", "oov_rate"]]
     out = dup.merge(hhi, on="source", how="inner") \
         .merge(d2, on="source", how="inner") \
         .merge(ce, on="source", how="inner") \

@@ -165,3 +165,38 @@ def default_hash_buckets(mult: int = 4, floor: int = 64,
         pass
     want = max(floor, mult * max(cpus, 1))
     return min(cap, 1 << (want - 1).bit_length())
+
+
+def ensure_threadsafe_fs_probe() -> None:
+    """Make concurrent Dataset construction safe on hosts without
+    ``aiohttp``.
+
+    Ray's ``read_parquet`` path resolution probes
+    ``fsspec.implementations.http`` on EVERY call; when ``aiohttp``
+    is absent the import fails, Python evicts the half-initialized
+    module from ``sys.modules``, and the probe retries next call.
+    Two driver threads building datasets concurrently can then race
+    the import machinery and surface ``ImportError: cannot import
+    name 'HTTPFileSystem'`` — which is NOT the ``ModuleNotFoundError``
+    Ray catches [verified-by-experiment: five-thread scorecard
+    composition].  If (and only if) the real import fails, register a
+    benign stub module whose ``HTTPFileSystem`` sentinel class makes
+    the probe succeed instantly and its ``isinstance`` check stay
+    False — HTTP filesystems are unusable without aiohttp anyway.
+    Idempotent; call before driving pipelines from multiple threads.
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except Exception:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: never instantiated offline
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
