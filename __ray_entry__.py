@@ -2888,6 +2888,100 @@ def _q_source_scorecard(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """T134: per-language quantile normalization of n_chars onto the
+    pooled distribution — one global threshold becomes fair across
+    strata; T91 value-domain fold + pooled table, both broadcast
+    once, stateless searchsorted second pass."""
+    from fast_langdetect_ray.stages.normalize import quantile_normalize
+    return quantile_normalize(_read(sf_dir, "documents"))
+
+
+def _q_keep_rate_by_decile(sf_dir: str):
+    """T135: keep-rate by global length decile — the calibration
+    curve showing WHERE the heuristic rules bite (a healthy filter
+    drops the extremes; a filter that drops a middle decile is
+    misconfigured).  Decile = ``least(9, floor(percent_rank · 10))``
+    over n_chars globally (T91's bit-exact rank, value-domain fold
+    broadcast once); keep = the E3 rules decision (same neutralized
+    config as `heuristic_rules`, whose oracle this one composes).
+    Stateless second pass → 10-row groupby.  Output: ``(decile,
+    n_docs, n_keep, keep_rate)``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.functions.textstats import (alpha_ratio,
+                                                         n_chars)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "detected_lang": batch["lang"],
+            "detected_score": pa.array([1.0] * len(batch)),
+            "n_chars": pc.cast(n_chars(col), pa.int64()),
+            "alpha_ratio": alpha_ratio(col),
+            "perplexity": pa.array([0.0] * len(batch)),
+        })
+
+    cfg = RuleConfig(min_score=0.0, ppl_thresholds={})
+    flagged = (_read(sf_dir, "documents")
+               .map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .map_batches(apply_rules, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"config": cfg})
+               .select_columns(["n_chars", "keep"])
+               .materialize())  # (int, bool) pair per doc; reused 2×
+
+    # value-domain histogram (the T91 fold): n_chars domain bounded
+    from ray.data.aggregate import Count
+    counts = (flagged.groupby("n_chars")
+              .aggregate(Count(alias_name="cnt")).to_pandas()
+              .sort_values("n_chars"))
+    vals = counts["n_chars"].to_numpy().astype(np.int64)
+    cnts = counts["cnt"].to_numpy().astype(np.int64)
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+    ref = ray.put((vals, below, n_total))
+
+    def decile(batch: pa.Table) -> pa.Table:
+        v, b, n = ray.get(ref)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = b[np.searchsorted(v, x)] / (n - 1) if n > 1 \
+            else np.zeros(x.size, dtype=np.float64)
+        d = np.minimum(np.int64(9),
+                       np.floor(q * 10.0).astype(np.int64))
+        keep = batch["keep"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "decile": pa.array(d),
+            "one": pa.array(np.ones(x.size, dtype=np.int64)),
+            "k": pa.array(keep),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy().astype(np.int64)
+        k = batch["n_keep"].to_numpy().astype(np.int64)
+        return pa.table({
+            "decile": batch["decile"],
+            "n_docs": pa.array(n),
+            "n_keep": pa.array(k),
+            "keep_rate": pa.array(k.astype(np.float64)
+                                  / n.astype(np.float64)),
+        })
+
+    return (flagged
+            .map_batches(decile, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("decile")
+            .aggregate(Sum("one", alias_name="n_docs"),
+                       Sum("k", alias_name="n_keep"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def _q_key_skew(sf_dir: str):
     """T132: shuffle-key skew audit over events.user_id — the
     salt-or-not planning row (exact per-key count distribution: max
@@ -3036,6 +3130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_scorecard": _q_source_scorecard,
         "key_skew": _q_key_skew,
         "user_type_entropy": _q_user_type_entropy,
+        "quantile_normalize": _q_quantile_normalize,
+        "keep_rate_by_decile": _q_keep_rate_by_decile,
         # rows-only (model / sketch / approximate ops)
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
@@ -4797,13 +4893,35 @@ def oracle_sql() -> dict[str, str]:
                    p50_count, p99_count
             FROM s
         """,
+        # T134: quantile normalization; percent_rank within group,
+        # k = max(1, ceil(q·n_pool − 1e-9)) mapped through the
+        # row_number-ranked pooled sort (the discrete contract)
+        "quantile_normalize": """
+            WITH pr AS (
+              SELECT doc_id, lang, n_chars,
+                     percent_rank() OVER (
+                         PARTITION BY lang ORDER BY n_chars) AS q
+              FROM documents
+            ),
+            pool AS (SELECT n_chars AS v,
+                            row_number() OVER (ORDER BY n_chars)
+                                AS rn
+                     FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS m
+                  FROM documents)
+            SELECT pr.doc_id, pr.lang, pr.n_chars,
+                   pr.q AS pct_rank, pool.v AS qnorm
+            FROM pr JOIN pool ON pool.rn = GREATEST(
+                1, CAST(ceil(pr.q * (SELECT m FROM n) - 1e-9)
+                        AS BIGINT))
+        """,
         # T133: per-user type entropy; the positive-term identity
         # H = log2(n) − Σ c·log2 c / n (no cancellation, ~K·ε drift)
         "user_type_entropy": """
             WITH c AS (SELECT user_id, event_type,
                               CAST(count(*) AS BIGINT) AS cnt
                        FROM events GROUP BY 1, 2)
-            SELECT user_id,
+            SELECT user_id AS id,
                    CAST(sum(cnt) AS BIGINT) AS n_events,
                    CAST(count(*) AS BIGINT) AS n_types,
                    log2(CAST(sum(cnt) AS DOUBLE))
@@ -5376,6 +5494,22 @@ def oracle_sql() -> dict[str, str]:
                AND tv.source_b = ks.source_b
         JOIN vj ON vj.source_a = ks.source_a
                AND vj.source_b = ks.source_b
+    """
+    # T135: keep-rate by global length decile — composes the
+    # heuristic_rules twin with percent_rank deciles; floor(q·10)
+    # of the bit-exact rank is engine-neutral
+    sqls["keep_rate_by_decile"] = f"""
+        WITH hr AS ({sqls["heuristic_rules"]}),
+        pr AS (SELECT keep,
+                      percent_rank() OVER (ORDER BY n_chars) AS q
+               FROM hr)
+        SELECT CAST(least(9, floor(q * 10)) AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                   AS n_keep,
+               CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
+                   / count(*) AS keep_rate
+        FROM pr GROUP BY 1
     """
     # T131: composite per-source health scorecard — five per-source
     # diagnostics' oracles composed as CTE subqueries and joined the

@@ -154,6 +154,8 @@ HEADLINE = [
     "source_scorecard",
     "key_skew",
     "user_type_entropy",
+    "quantile_normalize",
+    "keep_rate_by_decile",
 ]
 
 

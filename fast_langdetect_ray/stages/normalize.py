@@ -315,3 +315,87 @@ def quality_blend(ds, group_col: str = "lang",
     return (ds.select_columns([id_col, group_col, len_col, text_col])
             .map_batches(score, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def quantile_normalize(ds, value_col: str = "n_chars",
+                       group_col: str = "lang",
+                       id_col: str = "doc_id"):
+    """T134: per-group quantile normalization — map each row's value
+    onto the POOLED distribution at the same within-group discrete
+    percentile.  The cross-stratum calibration transform (the
+    microarray / feature-calibration classic): after it, every
+    group's signal follows the pooled distribution, so ONE global
+    threshold is fair across languages — the step beyond
+    :func:`percentile_rank`, which only rescales within the group.
+
+    Semantics (engine-shared): ``q = count(values < x) / (n_g − 1)``
+    (SQL ``percent_rank``; 0.0 for singleton groups), then ``qnorm``
+    = the ``k``-th smallest pooled value with ``k = max(1,
+    ceil(q · n_pool − 1e-9))`` — the T26/T105 discrete-quantile
+    contract, so ties and duplicate values are deterministic in both
+    engines (the oracle joins ``row_number`` over the pooled sort).
+
+    Scale shape: the T91 value-domain fold (per-(group, value)
+    counts, corpus-row independent) builds BOTH the per-group
+    count-below tables and the pooled (value, cum) table in the SAME
+    single pass; both broadcast once via ``ray.put``; the second pass
+    is stateless vectorized ``searchsorted``.  Output: ``(id, group,
+    value, pct_rank, qnorm)`` — row-sized, streaming.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: pc.cast(batch[value_col],
+                                         pa.int64())})
+        return t.group_by([group_col, value_col],
+                          use_threads=False) \
+            .aggregate([(value_col, "count")]) \
+            .rename_columns([group_col, value_col, "cnt"])
+
+    hist = (ds.select_columns([group_col, value_col])
+            .map_batches(hist_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([group_col, value_col])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())  # value-domain × groups bounded
+    tables = {}
+    for g, sub in hist.groupby(group_col):
+        sub = sub.sort_values(value_col)
+        vals = sub[value_col].to_numpy().astype(np.int64)
+        cnts = sub["cnt"].to_numpy().astype(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        tables[g] = (vals, below, int(cnts.sum()))
+    pooled = (hist.groupby(value_col)["cnt"].sum().sort_index())
+    pool_vals = pooled.index.to_numpy().astype(np.int64)
+    pool_cum = np.cumsum(pooled.to_numpy().astype(np.int64))
+    n_pool = int(pool_cum[-1]) if pool_cum.size else 0
+    ref = ray.put((tables, pool_vals, pool_cum, n_pool))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        tabs, pv, pcum, npool = ray.get(ref)
+        groups = np.asarray(batch[group_col], dtype=object)
+        vals = pc.cast(batch[value_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.zeros(len(batch), dtype=np.float64)
+        for g in np.unique(groups):
+            gv, gb, gn = tabs[g]
+            m = groups == g
+            if gn > 1:
+                q[m] = gb[np.searchsorted(gv, vals[m])] / (gn - 1)
+        k = np.maximum(np.int64(1),
+                       np.ceil(q * np.float64(npool) - 1e-9)
+                       .astype(np.int64))
+        qn = pv[np.searchsorted(pcum, k)]
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: batch[group_col],
+            value_col: pc.cast(batch[value_col], pa.int64()),
+            "pct_rank": pa.array(q),
+            "qnorm": pa.array(qn.astype(np.int64)),
+        })
+
+    return (ds.select_columns([id_col, group_col, value_col])
+            .map_batches(norm, batch_format="pyarrow",
+                         zero_copy_batch=True))

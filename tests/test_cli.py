@@ -1042,6 +1042,6 @@ def test_cli_events_skew_and_type_entropy(tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     got2 = pa.concat_tables([
         pq.read_table(f) for f in sorted(out2.rglob("*.parquet"))
-    ]).to_pandas().set_index("user_id")
+    ]).to_pandas().set_index("id")
     assert got2.loc[5, "type_entropy"] == 0.0
     assert got2.loc[9, "n_types"] == 2

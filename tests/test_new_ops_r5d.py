@@ -439,7 +439,7 @@ def test_user_type_entropy_matches_python(ray_session):
         per[u][ty] += 1
 
     got = (user_type_entropy(rd.from_arrow(t).repartition(5))
-           .to_pandas().set_index("user_id"))
+           .to_pandas().set_index("id"))
     assert len(got) == len(per)
     for u, cnt in per.items():
         n = sum(cnt.values())
@@ -461,7 +461,90 @@ def test_user_type_entropy_single_action_bot(ray_session):
                                type=pa.string()),
     })
     got = (user_type_entropy(rd.from_arrow(t).repartition(3))
-           .to_pandas().set_index("user_id"))
+           .to_pandas().set_index("id"))
     assert got.loc[1, "type_entropy"] == 0.0  # single-action bot
     assert got.loc[1, "n_types"] == 1
     assert got.loc[2, "type_entropy"] == 1.0  # 50/50 two types
+
+
+# --------------------------------------------------------------- T134
+
+
+def test_quantile_normalize_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import quantile_normalize
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    langs = t["lang"].to_pylist()
+    vals = t["n_chars"].to_pylist()
+    per = collections.defaultdict(list)
+    for g, v in zip(langs, vals):
+        per[g].append(v)
+    pool = sorted(vals)
+    n_pool = len(pool)
+
+    got = (quantile_normalize(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("doc_id"))
+    for did, g, v in zip(t["doc_id"].to_pylist(), langs, vals):
+        grp = sorted(per[g])
+        n = len(grp)
+        q = 0.0 if n == 1 else \
+            sum(1 for x in grp if x < v) / (n - 1)
+        k = max(1, math.ceil(q * n_pool - 1e-9))
+        assert got.loc[did, "pct_rank"] == q
+        assert got.loc[did, "qnorm"] == pool[k - 1]
+
+
+def test_quantile_normalize_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import quantile_normalize
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "lang": pa.array(["a", "a", "a", "solo"], type=pa.string()),
+        "n_chars": pa.array([10, 20, 30, 999], type=pa.int64()),
+    })
+    got = (quantile_normalize(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id"))
+    # pooled sorted: [10, 20, 30, 999]
+    # group a: q = 0, .5, 1 → k = 1, 2, 4 → 10, 20, 999
+    assert got.loc[1, "qnorm"] == 10
+    assert got.loc[2, "qnorm"] == 20
+    assert got.loc[3, "qnorm"] == 999
+    # singleton group: q = 0 → pooled minimum
+    assert got.loc[4, "pct_rank"] == 0.0
+    assert got.loc[4, "qnorm"] == 10
+
+
+# --------------------------------------------------------------- T135
+
+
+def test_keep_rate_by_decile_composes_rules(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    hr = entry._q_heuristic_rules(sf).to_pandas()
+    n = len(hr)
+    lens = sorted(hr["n_chars"].tolist())
+    want_docs = collections.Counter()
+    want_keep = collections.Counter()
+    for _, r in hr.iterrows():
+        q = 0.0 if n == 1 else \
+            sum(1 for v in lens if v < r["n_chars"]) / (n - 1)
+        d = min(9, int(q * 10))
+        want_docs[d] += 1
+        want_keep[d] += int(r["keep"])
+
+    got = (entry._q_keep_rate_by_decile(sf).to_pandas()
+           .set_index("decile").sort_index())
+    assert list(got.index) == sorted(want_docs)
+    for d in got.index:
+        assert got.loc[d, "n_docs"] == want_docs[d]
+        assert got.loc[d, "n_keep"] == want_keep[d]
+        assert got.loc[d, "keep_rate"] == want_keep[d] / want_docs[d]
+    assert got["n_docs"].sum() == n
