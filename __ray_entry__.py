@@ -2982,6 +2982,45 @@ def _q_keep_rate_by_decile(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_ann_recall(sf_dir: str):
+    """T136: ANN quality audit — recall@k of each approximate
+    variant (LSH multi-probe, IVF) against the brute-force exact
+    top-k, per query then averaged.  THE acceptance metric for an
+    approximate index before it replaces exact search at scale (the
+    scale path trades recall for a bucket-bounded candidate set; this
+    report says how much).  All three result sets are
+    (n_queries × k)-bounded, so the comparison is a driver fold; the
+    three pipelines stream distributed as usual.  Rows-only (an SQL
+    oracle would have to replicate LSH/IVF bucketing); pinned by
+    pytest invariants (exact self-recall = 1, bounds, determinism).
+    Output: ``(variant, k, n_queries, mean_recall)``."""
+    import pandas as pd
+
+    exact = _q_ann_topk(sf_dir).to_pandas()
+    lsh = _q_lsh_ann(sf_dir).to_pandas()
+    ivf = _q_ivf_ann(sf_dir).to_pandas()
+
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+
+    def mean_recall(df: pd.DataFrame) -> float:
+        per = []
+        for q, want in truth.items():
+            got = set(df.loc[df["query_id"] == q, "vec_id"])
+            per.append(len(got & want) / len(want))
+        return float(np.mean(per)) if per else float("nan")
+
+    rows = [("exact", mean_recall(exact)),
+            ("lsh", mean_recall(lsh)),
+            ("ivf", mean_recall(ivf))]
+    return pa.table({
+        "variant": pa.array([r[0] for r in rows], type=pa.string()),
+        "k": pa.array([_ANN_K] * 3, type=pa.int64()),
+        "n_queries": pa.array([len(truth)] * 3, type=pa.int64()),
+        "mean_recall": pa.array([r[1] for r in rows],
+                                type=pa.float64()),
+    })
+
+
 def _q_key_skew(sf_dir: str):
     """T132: shuffle-key skew audit over events.user_id — the
     salt-or-not planning row (exact per-key count distribution: max
@@ -3133,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": _q_quantile_normalize,
         "keep_rate_by_decile": _q_keep_rate_by_decile,
         # rows-only (model / sketch / approximate ops)
+        "ann_recall": _q_ann_recall,
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,

@@ -156,6 +156,7 @@ HEADLINE = [
     "user_type_entropy",
     "quantile_normalize",
     "keep_rate_by_decile",
+    "ann_recall",
 ]
 
 

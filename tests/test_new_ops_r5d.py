@@ -548,3 +548,25 @@ def test_keep_rate_by_decile_composes_rules(ray_session):
         assert got.loc[d, "n_keep"] == want_keep[d]
         assert got.loc[d, "keep_rate"] == want_keep[d] / want_docs[d]
     assert got["n_docs"].sum() == n
+
+
+# --------------------------------------------------------------- T136
+
+
+def test_ann_recall_invariants(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    a = entry._q_ann_recall(sf).to_pandas().set_index("variant")
+    b = entry._q_ann_recall(sf).to_pandas().set_index("variant")
+    # deterministic across runs
+    assert a["mean_recall"].to_dict() == b["mean_recall"].to_dict()
+    # exact self-recall is exactly 1; approximations bounded
+    assert a.loc["exact", "mean_recall"] == 1.0
+    for v in ("lsh", "ivf"):
+        assert 0.0 <= a.loc[v, "mean_recall"] <= 1.0
+    assert (a["k"] == 10).all()
+    assert (a["n_queries"] > 0).all()
