@@ -1964,6 +1964,48 @@ def _q_bpe_encode(sf_dir: str):
         merges)
 
 
+def _q_bpe_fertility(sf_dir: str):
+    """T137: tokenizer fertility per language — BPE tokens per
+    whitespace word under the corpus-trained 50-merge tokenizer.
+    Fertility ≈ 1 means the tokenizer fits the stratum; ≫ 1 means the
+    stratum fragments (under-represented script or domain) and will
+    consume a disproportionate context budget.  Rows-only (iterative
+    BPE, no SQL twin; the encoder itself is pinned by the pure-Python
+    reference in tests); lang is carried through the encode pass so
+    the rollup needs no row-sized join.  Output: ``(lang, n_docs,
+    n_words, n_bpe_tokens, fertility)``."""
+    from ray.data.aggregate import Count, Sum
+
+    from fast_langdetect_ray.stages.bpe import (bpe_encode_lengths,
+                                                bpe_train)
+
+    merges = bpe_train(_read(sf_dir, "documents"), n_merges=50)
+    enc = bpe_encode_lengths(
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text", "lang"]),
+        merges, carry_cols=("lang",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = batch["n_words"].to_numpy().astype(np.int64)
+        b = batch["n_bpe_tokens"].to_numpy().astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.where(w > 0, b / np.maximum(w, 1), np.nan)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_docs": batch["n_docs"],
+            "n_words": pa.array(w),
+            "n_bpe_tokens": pa.array(b),
+            "fertility": pa.array(f, type=pa.float64()),
+        })
+
+    return (enc.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_words", alias_name="n_words"),
+                       Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def _q_rule_threshold_sweep(sf_dir: str):
     """T83: filter-threshold calibration — keep rate of every
     (min_len, min_alpha) combination in ONE corpus pass."""
@@ -3173,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_rate_by_decile": _q_keep_rate_by_decile,
         # rows-only (model / sketch / approximate ops)
         "ann_recall": _q_ann_recall,
+        "bpe_fertility": _q_bpe_fertility,
         "compression_ratio": _q_compression_ratio,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_lengths": _q_bpe_encode,

@@ -157,6 +157,7 @@ HEADLINE = [
     "quantile_normalize",
     "keep_rate_by_decile",
     "ann_recall",
+    "bpe_fertility",
 ]
 
 

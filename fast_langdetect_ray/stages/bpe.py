@@ -179,7 +179,8 @@ def encode_word(word: str, ranks: Dict[Tuple[str, str], int],
 
 
 def bpe_encode_lengths(ds, merges, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id",
+                       carry_cols: tuple = ()):
     """T78: apply a trained merge table corpus-wide — per-doc BPE token
     count ``(id, n_words, n_bpe_tokens)``, the statistic sequence
     packing and context-length budgeting need.
@@ -191,7 +192,9 @@ def bpe_encode_lengths(ds, merges, text_col: str = "text",
     per-doc ``bincount`` — no per-occurrence Python.
 
     ``merges``: DataFrame/records with (rank, left, right) as returned
-    by :func:`bpe_train`.
+    by :func:`bpe_train`.  ``carry_cols``: extra input columns passed
+    through unchanged (e.g. ``("lang",)`` so a per-stratum fertility
+    rollup needs no row-sized join afterwards).
     """
     import ray
 
@@ -226,11 +229,12 @@ def bpe_encode_lengths(ds, merges, text_col: str = "text",
                                 minlength=n_docs).astype(np.int64)
         else:
             n_words = n_bpe = np.zeros(n_docs, dtype=np.int64)
-        return pa.table({
-            id_col: batch[id_col],
-            "n_words": pa.array(n_words),
-            "n_bpe_tokens": pa.array(n_bpe),
-        })
+        cols = {id_col: batch[id_col]}
+        for c in carry_cols:
+            cols[c] = batch[c]
+        cols["n_words"] = pa.array(n_words)
+        cols["n_bpe_tokens"] = pa.array(n_bpe)
+        return pa.table(cols)
 
     return ds.map_batches(enc, batch_format="pyarrow",
                           zero_copy_batch=True)

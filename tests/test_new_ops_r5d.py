@@ -570,3 +570,36 @@ def test_ann_recall_invariants(ray_session):
         assert 0.0 <= a.loc[v, "mean_recall"] <= 1.0
     assert (a["k"] == 10).all()
     assert (a["n_queries"] > 0).all()
+
+
+# --------------------------------------------------------------- T137
+
+
+def test_bpe_fertility_composes_encode(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = entry._q_bpe_encode(sf).to_pandas().set_index("doc_id")
+    langs = dict(zip(
+        pq.read_table(f"{sf}/documents.parquet")["doc_id"].to_pylist(),
+        pq.read_table(f"{sf}/documents.parquet")["lang"].to_pylist()))
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for did, r in per_doc.iterrows():
+        w = want[langs[did]]
+        w[0] += 1
+        w[1] += int(r["n_words"])
+        w[2] += int(r["n_bpe_tokens"])
+
+    got = (entry._q_bpe_fertility(sf).to_pandas()
+           .set_index("lang").sort_index())
+    assert set(got.index) == set(want)
+    for lang, (nd, nw, nb) in want.items():
+        assert got.loc[lang, "n_docs"] == nd
+        assert got.loc[lang, "n_words"] == nw
+        assert got.loc[lang, "n_bpe_tokens"] == nb
+        assert got.loc[lang, "fertility"] == nb / nw
+    # fertility ≥ 1: BPE can never use fewer tokens than words
+    assert (got["fertility"] >= 1.0).all()
