@@ -2,8 +2,12 @@
 (count-of-counts), T125 distinct-n diversity per source, T126 Zipf
 head fit, T127 inter-event-gap burstiness (CV²), T128 conditional
 bigram entropy, T129 OOV rate under a budget vocabulary, T130
-vocabulary coverage curve — each against a pure-Python brute-force
-oracle on sf0.001 plus synthetic edges and partition invariance."""
+vocabulary coverage curve, T131 composite source scorecard, T132
+shuffle-key skew audit, T133 per-user event-type entropy, T134
+quantile normalization, T135 keep-rate by length decile, T136 ANN
+recall@k audit, T137 tokenizer fertility — each against a pure-Python
+brute-force / composition oracle on sf0.001 plus synthetic edges and
+partition invariance."""
 
 import collections
 import math
