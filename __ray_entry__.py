@@ -3063,6 +3063,15 @@ def _q_ann_recall(sf_dir: str):
     })
 
 
+def _q_effective_token_ratio(sf_dir: str):
+    """T138: effective token yield after exact dedup per source —
+    mixture weights should be set on effective tokens, not raw ones;
+    one sha-keyed shuffle of within-batch-distinct triples plus a
+    shuffle-free totals pass."""
+    from fast_langdetect_ray.stages.dedup import effective_token_ratio
+    return effective_token_ratio(_read(sf_dir, "documents"))
+
+
 def _q_key_skew(sf_dir: str):
     """T132: shuffle-key skew audit over events.user_id — the
     salt-or-not planning row (exact per-key count distribution: max
@@ -3213,6 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": _q_user_type_entropy,
         "quantile_normalize": _q_quantile_normalize,
         "keep_rate_by_decile": _q_keep_rate_by_decile,
+        "effective_token_ratio": _q_effective_token_ratio,
         # rows-only (model / sketch / approximate ops)
         "ann_recall": _q_ann_recall,
         "bpe_fertility": _q_bpe_fertility,
@@ -4950,6 +4960,32 @@ def oracle_sql() -> dict[str, str]:
                        / (SELECT m FROM tot) AS coverage
             FROM r CROSS JOIN (VALUES (4), (16), (64)) ks(k)
             GROUP BY k
+        """,
+        # T138: effective token yield; distinct counts each exact
+        # text once, token counts via the shared tokenizer contract
+        "effective_token_ratio": """
+            WITH tok AS (
+              SELECT source, text,
+                     CAST(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS nt
+              FROM documents
+            ),
+            tot AS (SELECT source,
+                           CAST(sum(nt) AS BIGINT) AS total_tokens,
+                           CAST(count(*) AS BIGINT) AS n_docs
+                    FROM tok GROUP BY source),
+            dis AS (SELECT source,
+                           CAST(sum(nt) AS BIGINT)
+                               AS distinct_tokens,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM (SELECT DISTINCT source, text, nt FROM tok)
+                    GROUP BY source)
+            SELECT tot.source, n_docs, n_distinct, total_tokens,
+                   distinct_tokens,
+                   CAST(distinct_tokens AS DOUBLE) / total_tokens
+                       AS effective_ratio
+            FROM tot JOIN dis ON dis.source = tot.source
         """,
         # T132: skew audit; quantile_disc == the repo's discrete
         # cum ≥ ceil(n·q) contract (T26/T105); top key tie-broken

@@ -158,6 +158,7 @@ HEADLINE = [
     "keep_rate_by_decile",
     "ann_recall",
     "bpe_fertility",
+    "effective_token_ratio",
 ]
 
 

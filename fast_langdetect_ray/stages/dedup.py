@@ -1764,3 +1764,115 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.map_batches(batch_fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def effective_token_ratio(ds, group_col: str = "source",
+                          text_col: str = "text"):
+    """T138: effective token yield after exact dedup, per stratum —
+    ``distinct_tokens / total_tokens`` where distinct counts each
+    EXACT text once.  The token-denominated complement of the T69
+    duplicate-rate report: a source can have a modest doc-level dup
+    rate but lose most of its TOKEN budget to a few huge duplicated
+    files; mixture weights should be set on effective tokens, not raw
+    ones.
+
+    Scale shape: per-batch pass computes token counts once, then (a)
+    catalog-sized total partials (no shuffle of rows) and (b)
+    within-batch distinct ``(group, sha256, n_tokens)`` triples → ONE
+    sha-keyed ``groupby.Min`` (each distinct text lands in exactly
+    one group; full sha256, the T69 collision contract) → stateless
+    projection → catalog-sized Sum.  Integer counts, ONE division —
+    hash-exact.  Output: ``(group_col, n_docs, n_distinct,
+    total_tokens, distinct_tokens, effective_ratio)``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .retrieval import _arrow_tokens
+
+    def project(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        nt = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(nt, parent, 1)
+        b = add_sha256(batch.select([group_col, text_col]),
+                       text_col=text_col)
+        grps = np.asarray(b[group_col], dtype=object)
+        sha = np.asarray(b["text_sha256"], dtype=object)
+        # within-batch distinct triples cut the shuffle payload
+        o = np.lexsort((sha, grps))
+        first = np.empty(len(o), dtype=bool)
+        if len(o):
+            first[0] = True
+            first[1:] = (grps[o][1:] != grps[o][:-1]) \
+                | (sha[o][1:] != sha[o][:-1])
+        keep = o[first] if len(o) else o
+        return pa.table({
+            group_col: pa.array(grps[keep], type=pa.string()),
+            "sha": pa.array(sha[keep], type=pa.string()),
+            "nt": pa.array(nt[keep]),
+        })
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _arrow_tokens(batch[text_col])
+        nt = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(nt, parent, 1)
+        grps = batch[group_col]
+        if isinstance(grps, pa.ChunkedArray):
+            grps = grps.combine_chunks()
+        t = pa.table({group_col: grps, "nt": pa.array(nt),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        return t.group_by([group_col], use_threads=False) \
+            .aggregate([("nt", "sum"), ("one", "sum")]) \
+            .rename_columns([group_col, "total_tokens", "n_docs"])
+
+    totals = (ds.select_columns([group_col, text_col])
+              .map_batches(totals_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(group_col)
+              .aggregate(Sum("total_tokens",
+                             alias_name="total_tokens"),
+                         Sum("n_docs", alias_name="n_docs"))
+              .to_pandas())  # catalog-sized
+
+    def to_partial(batch: pa.Table) -> pa.Table:
+        n = batch["nt"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            "distinct_tokens": pa.array(n),
+            "one": pa.array(np.ones(n.size, dtype=np.int64)),
+        })
+
+    dis = (ds.select_columns([group_col, text_col])
+           .map_batches(project, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([group_col, "sha"])
+           .aggregate(Min("nt", alias_name="nt"))
+           .map_batches(to_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(group_col)
+           .aggregate(Sum("distinct_tokens",
+                          alias_name="distinct_tokens"),
+                      Sum("one", alias_name="n_distinct"))
+           .to_pandas())  # catalog-sized
+
+    out = totals.merge(dis, on=group_col, how="inner") \
+        .sort_values(group_col).reset_index(drop=True)
+    tt = out["total_tokens"].to_numpy().astype(np.int64)
+    dt = out["distinct_tokens"].to_numpy().astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(tt > 0,
+                         dt / np.maximum(tt, 1).astype(np.float64),
+                         np.nan)
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out[group_col].tolist(),
+                            type=pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy()
+                           .astype(np.int64)),
+        "n_distinct": pa.array(out["n_distinct"].to_numpy()
+                               .astype(np.int64)),
+        "total_tokens": pa.array(tt),
+        "distinct_tokens": pa.array(dt),
+        "effective_ratio": pa.array(ratio, type=pa.float64()),
+    }))

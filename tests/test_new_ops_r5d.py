@@ -607,3 +607,51 @@ def test_bpe_fertility_composes_encode(ray_session):
         assert got.loc[lang, "fertility"] == nb / nw
     # fertility ≥ 1: BPE can never use fewer tokens than words
     assert (got["fertility"] >= 1.0).all()
+
+
+# --------------------------------------------------------------- T138
+
+
+def test_effective_token_ratio_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import effective_token_ratio
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    tot = collections.defaultdict(lambda: [0, 0])
+    seen = collections.defaultdict(dict)
+    for src, text in zip(t["source"].to_pylist(),
+                         t["text"].to_pylist()):
+        n = len(_toks(text))
+        tot[src][0] += 1
+        tot[src][1] += n
+        seen[src][text or ""] = n
+
+    got = (effective_token_ratio(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("source"))
+    assert len(got) == len(tot)
+    for src, (nd, nt) in tot.items():
+        dt = sum(seen[src].values())
+        assert got.loc[src, "n_docs"] == nd
+        assert got.loc[src, "total_tokens"] == nt
+        assert got.loc[src, "n_distinct"] == len(seen[src])
+        assert got.loc[src, "distinct_tokens"] == dt
+        assert got.loc[src, "effective_ratio"] == dt / nt
+
+
+def test_effective_token_ratio_planted_dups(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import effective_token_ratio
+
+    # one huge file duplicated 3x dominates the raw token budget
+    t = pa.table({
+        "source": pa.array(["s"] * 5, type=pa.string()),
+        "text": pa.array(["big " * 100] * 3 + ["tiny one", "two"],
+                         type=pa.string()),
+    })
+    got = (effective_token_ratio(rd.from_arrow(t).repartition(3))
+           .to_pandas().iloc[0])
+    assert got["n_docs"] == 5 and got["n_distinct"] == 3
+    assert got["total_tokens"] == 303 and got["distinct_tokens"] == 103
+    assert got["effective_ratio"] == 103 / 303
