@@ -3072,6 +3072,149 @@ def _q_effective_token_ratio(sf_dir: str):
     return effective_token_ratio(_read(sf_dir, "documents"))
 
 
+def _q_contamination_rate(sf_dir: str):
+    """T139: graded per-doc contamination — fraction of each doc's
+    distinct 8-token shingles present in the benchmark slice (doc_id %
+    97 == 0, the same deterministic eval-set stand-in as
+    `decontaminate`); broadcast shingle set + one stateless pass."""
+    from fast_langdetect_ray.stages.decontaminate import contamination_rate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return contamination_rate(docs, bench, n=8)
+
+
+def _q_source_mixture(sf_dir: str):
+    """T140: sqrt-temperature mixture weights + epochs-to-budget per
+    source; per-batch token partials, source-sized Sum, catalog-sized
+    normalization fold — all shares exact integer ppm."""
+    from fast_langdetect_ray.stages.mixture import source_mixture
+    return source_mixture(_read(sf_dir, "documents"),
+                          budget_tokens=10_000_000)
+
+
+def _q_packing_efficiency(sf_dir: str):
+    """T141: padding-waste audit at seq_len=512 — naive per-doc
+    padding vs the contiguous-packing lower bound, exact int64
+    arithmetic end-to-end."""
+    from fast_langdetect_ray.stages.mixture import packing_efficiency
+    return packing_efficiency(_read(sf_dir, "documents"), seq_len=512)
+
+
+def _q_regional_revenue(sf_dir: str):
+    """T142: TPC-H-Q5-style regional revenue — the canonical
+    multi-join: lineitem ⋈ orders is the ONE distributed exchange
+    (repo-owned `hash_bucket_join` on orderkey, both sides large at
+    scale and projected to 2–4 columns first); customer, supplier,
+    nation, region are dimension-sided and ride ONE `ray.put`
+    broadcast as sorted-key numpy lookups inside `map_batches`.
+    Revenue accumulates as int64 cents (the repo's fixed-point
+    policy); orders carry a 2-year date-window filter applied at the
+    first projection so only matching keys enter the exchange."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.shufflejoin import hash_bucket_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ck_s = ck[order]
+    cnk_s = cust["c_nationkey"].to_numpy()[order].astype(np.int64)
+    sk = supp["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk_s = sk[order]
+    snk_s = supp["s_nationkey"].to_numpy()[order].astype(np.int64)
+    nnk = nation["n_nationkey"].to_numpy()
+    n_names = np.empty(int(nnk.max()) + 1, dtype=object)
+    n_names[nnk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    rk = region["r_regionkey"].to_numpy()
+    r_names = np.empty(int(rk.max()) + 1, dtype=object)
+    r_names[rk] = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    r_by_nk = np.empty(int(nnk.max()) + 1, dtype=object)
+    r_by_nk[nnk] = r_names[nation["n_regionkey"].to_numpy()]
+    ref = ray.put((ck_s, cnk_s, sk_s, snk_s, n_names, r_by_nk))
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = batch.filter(pa.array(keep))
+        ck_sorted, cnk, *_ = ray.get(ref)
+        pos = np.searchsorted(ck_sorted,
+                              t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_nationkey": pa.array(cnk[pos], type=pa.int64()),
+        })
+
+    orders_nat = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    line = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = hash_bucket_join(
+        line, orders_nat, on=("l_orderkey",), right_on=("o_orderkey",),
+        join_type="inner",
+        right_schema=pa.schema([pa.field("o_orderkey", pa.int64()),
+                                pa.field("c_nationkey", pa.int64())]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, _, sk_sorted, snk, names, regions = ray.get(ref)
+        pos = np.searchsorted(
+            sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        s_nat = snk[pos]
+        c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(s_nat == c_nat))
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        # floor(x*100 + 0.5), NOT pc.round: pc.round is half-to-even
+        # while DuckDB round() is half-away-from-zero, and discounted
+        # prices DO land exactly on half-cents (caught at sf0.001)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        part = pa.table({
+            "r_name": pa.array(regions[nat], type=pa.string()),
+            "n_name": pa.array(names[nat], type=pa.string()),
+            "cents": cents,
+        })
+        return part.group_by(["r_name", "n_name"],
+                             use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        ).rename_columns(["r_name", "n_name", "n_items", "cents"])
+
+    agg = (joined.map_batches(partials, batch_format="pyarrow")
+           .groupby(["r_name", "n_name"])
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("revenue", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_key_skew(sf_dir: str):
     """T132: shuffle-key skew audit over events.user_id — the
     salt-or-not planning row (exact per-key count distribution: max
@@ -3223,6 +3366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": _q_quantile_normalize,
         "keep_rate_by_decile": _q_keep_rate_by_decile,
         "effective_token_ratio": _q_effective_token_ratio,
+        "contamination_rate": _q_contamination_rate,
+        "source_mixture": _q_source_mixture,
+        "packing_efficiency": _q_packing_efficiency,
+        "regional_revenue": _q_regional_revenue,
         # rows-only (model / sketch / approximate ops)
         "ann_recall": _q_ann_recall,
         "bpe_fertility": _q_bpe_fertility,
@@ -4986,6 +5133,123 @@ def oracle_sql() -> dict[str, str]:
                    CAST(distinct_tokens AS DOUBLE) / total_tokens
                        AS effective_ratio
             FROM tot JOIN dis ON dis.source = tot.source
+        """,
+        # T139: contamination rate; same gram/bench construction as
+        # `decontaminate`, plus the per-doc distinct-shingle count;
+        # rate = single int/int division, identical both engines
+        "contamination_rate": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+              WHERE len(t) >= 8
+            ),
+            cnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM grams GROUP BY doc_id
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams JOIN bench USING (g)
+              GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CASE WHEN coalesce(c.n_shingles, 0) = 0 THEN 0.0
+                        ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                             / c.n_shingles END AS contamination_rate
+            FROM documents d
+            LEFT JOIN cnt c USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        # T140: mixture plan; all shares integer ppm floor-divisions
+        # over int64 sums; floor(sqrt(double)) is bit-exact both
+        # engines (IEEE sqrt is correctly rounded)
+        "source_mixture": """
+            WITH tok AS (
+              SELECT source,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS nt
+              FROM documents
+            ),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS tokens
+                  FROM tok GROUP BY source),
+            w AS (SELECT *,
+                         CAST(floor(sqrt(CAST(tokens AS DOUBLE)))
+                             AS BIGINT) AS wgt
+                  FROM s),
+            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                         CAST(sum(wgt) AS BIGINT) AS wtot
+                  FROM w)
+            SELECT source, n_docs, tokens,
+                   (1000000 * tokens) // greatest(t.total, 1)
+                       AS token_share_ppm,
+                   (1000000 * wgt) // greatest(t.wtot, 1) AS weight_ppm,
+                   (10000000 * ((1000000 * wgt) // greatest(t.wtot, 1)))
+                       // 1000000 AS alloc_tokens,
+                   CASE WHEN tokens = 0 THEN 0.0
+                        ELSE CAST((10000000 * ((1000000 * wgt)
+                                 // greatest(t.wtot, 1))) // 1000000
+                                 AS DOUBLE) / tokens END AS epochs
+            FROM w CROSS JOIN t
+        """,
+        # T141: packing audit; exact int64 arithmetic end-to-end
+        "packing_efficiency": """
+            WITH tok AS (
+              SELECT source,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS nt
+              FROM documents
+            ),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS tokens,
+                         CAST(sum((nt + 511) // 512) AS BIGINT)
+                             AS naive_bins
+                  FROM tok GROUP BY source)
+            SELECT source, n_docs, tokens, naive_bins,
+                   (tokens + 511) // 512 AS lb_bins,
+                   naive_bins * 512 - tokens AS waste_tokens,
+                   CASE WHEN naive_bins = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (1000000 * tokens) // (naive_bins * 512)
+                        END AS fill_ppm,
+                   CAST(512 AS BIGINT) AS seq_len
+            FROM s
+        """,
+        # T142: TPC-H-Q5-style regional revenue, int64-cents policy,
+        # 2-year order-date window
+        "regional_revenue": """
+            WITH rev AS (
+              SELECT r.r_name, n.n_name,
+                     CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 100 + 0.5) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                             AND s.s_nationkey = c.c_nationkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT r_name, n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+                       AS revenue
+            FROM rev GROUP BY r_name, n_name
         """,
         # T132: skew audit; quantile_disc == the repo's discrete
         # cum ≥ ceil(n·q) contract (T26/T105); top key tie-broken

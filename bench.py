@@ -159,6 +159,10 @@ HEADLINE = [
     "ann_recall",
     "bpe_fertility",
     "effective_token_ratio",
+    "contamination_rate",
+    "source_mixture",
+    "packing_efficiency",
+    "regional_revenue",
 ]
 
 

@@ -214,6 +214,53 @@ def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
                              n=n, text_col=text_col, id_col=id_col)
 
 
+def contamination_rate(ds, bench_ds, n: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """T139: per-doc contamination RATE — the fraction of a doc's
+    distinct ``n``-token shingles that appear in the benchmark set
+    (``n_hits / n_shingles``), the graded complement of
+    :func:`flag_contaminated`'s binary flag.  Training-data pipelines
+    drop on the flag but *report and threshold* on the rate (a 5000-
+    shingle doc sharing one boilerplate shingle is a different case
+    from a 12-shingle doc sharing 10).
+
+    Returns ``(id, n_shingles, n_hits, contamination_rate)`` per
+    corpus doc; docs with fewer than ``n`` tokens have no shingles and
+    rate 0.0.  Scale shape: identical to :func:`flag_contaminated` —
+    benchmark shingles reduced once and broadcast via ``ray.put``, the
+    corpus streams through ONE stateless ``map_batches`` (the distinct
+    per-doc shingle count falls out of the same lexsort pass the hit
+    test already does).  The rate is a single int/int float division,
+    bit-identical in numpy and the DuckDB oracle.
+    """
+    bench = np.ascontiguousarray(
+        benchmark_shingles(bench_ds, n, text_col), dtype=np.uint64)
+    ref = ray.put(bench)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bench_h = ray.get(ref)
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
+        n_sh = np.zeros(len(batch), dtype=np.int64)
+        if p.size:
+            np.add.at(n_sh, p, 1)
+        hits = np.zeros(len(batch), dtype=np.int64)
+        if h.size and bench_h.size:
+            idx = np.searchsorted(bench_h, h)
+            idx[idx == bench_h.size] = 0
+            np.add.at(hits, p[bench_h[idx] == h], 1)
+        rate = np.zeros(len(batch), dtype=np.float64)
+        np.divide(hits, n_sh, out=rate, where=n_sh > 0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_shingles": pa.array(n_sh),
+            "n_hits": pa.array(hits),
+            "contamination_rate": pa.array(rate),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def flag_contaminated_neardup(ds, bench_ds, jaccard_threshold: float = 0.5,
                               n: int = 8, text_col: str = "text",
                               id_col: str = "doc_id",

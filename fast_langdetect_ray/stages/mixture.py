@@ -1,0 +1,152 @@
+"""Data-mixture planning over per-source token mass (T140/T141).
+
+The step AFTER dedup/filtering in an LLM data pipeline: given the
+surviving per-source token masses, decide how to SAMPLE them into a
+training run.  Two audits:
+
+* :func:`source_mixture` — GPT-3-style temperature-smoothed mixture
+  weights (fixed T = 0.5, i.e. sqrt smoothing: small sources are
+  up-weighted relative to proportional sampling, huge crawls
+  down-weighted) plus the epochs each source needs to fill its slice
+  of a global token budget.  Epochs ≫ 1 on a small high-weight source
+  is the classic overfit warning this report exists to surface.
+* :func:`packing_efficiency` — the token cost of NOT packing: padding
+  waste if every doc were padded to its own ``seq_len`` boundary vs
+  the contiguous-packing lower bound, per source.  The go/no-go input
+  for running the (more expensive, order-destroying) T53
+  ``pack_sequences`` stage.
+
+Scale shape (both): ONE stateless ``map_batches`` pass computes
+vectorized whitespace token counts and pre-aggregates per batch to
+source-keyed partials, then a source-cardinality ``groupby().Sum``;
+the mixture's global normalization folds the catalog-sized (≤
+#sources) aggregate under a constant key.  Nothing row-count-sized
+leaves the batch stage — same shape as ``lang_metrics`` (E5).
+
+Exactness contract (mirrored in ``oracle_sql()``): every share is an
+integer floor-division in parts-per-million over int64 token sums
+(order-independent, engine-exact); the only float emitted is a single
+int/int division per row.  Temperature is FIXED at 0.5 because
+``floor(sqrt(double(int64)))`` is the one power that is bit-exact in
+both numpy and DuckDB (IEEE sqrt is correctly rounded; arbitrary
+``pow`` is not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import token_count
+
+_PPM = 1_000_000
+
+
+def _token_partials(batch: pa.Table, *, text_col: str, source_col: str,
+                    seq_len: int | None) -> pa.Table:
+    """Per-batch (source, n_docs, tokens[, naive_bins]) partials."""
+    nt = pc.cast(token_count(batch[text_col]), pa.int64())
+    cols = {source_col: batch[source_col], "tokens": nt}
+    aggs = [("tokens", "count"), ("tokens", "sum")]
+    names = [source_col, "n_docs", "tokens"]
+    if seq_len is not None:
+        bins = (nt.to_numpy(zero_copy_only=False) + seq_len - 1) // seq_len
+        cols["naive_bins"] = pa.array(bins, type=pa.int64())
+        aggs.append(("naive_bins", "sum"))
+        names.append("naive_bins")
+    t = pa.table(cols)
+    return t.group_by([source_col], use_threads=False).aggregate(
+        aggs).rename_columns(names)
+
+
+def _source_totals(ds, *, text_col: str, source_col: str,
+                   seq_len: int | None = None):
+    from ray.data.aggregate import Sum
+
+    import functools
+    partials = functools.partial(_token_partials, text_col=text_col,
+                                 source_col=source_col, seq_len=seq_len)
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("tokens", alias_name="tokens")]
+    if seq_len is not None:
+        aggs.append(Sum("naive_bins", alias_name="naive_bins"))
+    return (ds.select_columns([source_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(source_col)
+            .aggregate(*aggs))
+
+
+def source_mixture(ds, budget_tokens: int = 10_000_000,
+                   text_col: str = "text", source_col: str = "source"):
+    """Per-source sqrt-temperature mixture plan under a token budget.
+
+    Output row per source: ``n_docs``, ``tokens`` (whitespace token
+    mass), ``token_share_ppm`` (proportional share, exact integer
+    ppm), ``weight_ppm`` (sqrt-smoothed sampling weight, integer ppm),
+    ``alloc_tokens = budget · weight_ppm / 1e6`` (integer floor), and
+    ``epochs = alloc_tokens / tokens`` — the number of passes over the
+    source its allocation implies (> 1 ⇒ the sampler repeats data).
+    """
+    agg = _source_totals(ds, text_col=text_col, source_col=source_col)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_g", pa.array(
+            np.zeros(len(b), dtype=np.int64)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        # catalog-sized group: one row per source
+        g = g.drop_columns(["_g"])
+        tokens = g["tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(tokens.sum())
+        # floor(sqrt(double)) — bit-exact vs the DuckDB oracle (see
+        # module docstring); tokens < 2^53 so the cast is lossless
+        w = np.floor(np.sqrt(tokens.astype(np.float64))).astype(np.int64)
+        wtot = int(w.sum())
+        share_ppm = (_PPM * tokens) // max(total, 1)
+        weight_ppm = (_PPM * w) // max(wtot, 1)
+        alloc = (int(budget_tokens) * weight_ppm) // _PPM
+        epochs = np.zeros(len(g), dtype=np.float64)
+        np.divide(alloc.astype(np.float64), tokens.astype(np.float64),
+                  out=epochs, where=tokens > 0)
+        return (g.append_column("token_share_ppm", pa.array(share_ppm))
+                .append_column("weight_ppm", pa.array(weight_ppm))
+                .append_column("alloc_tokens", pa.array(alloc))
+                .append_column("epochs", pa.array(epochs)))
+
+    return (agg.map_batches(tag, batch_format="pyarrow")
+            .groupby("_g").map_groups(finish, batch_format="pyarrow"))
+
+
+def packing_efficiency(ds, seq_len: int = 2048, text_col: str = "text",
+                       source_col: str = "source"):
+    """Per-source padding-waste audit at a context length.
+
+    ``naive_bins = Σ ceil(tokens_d / L)`` (every doc padded to its own
+    sequence boundary — the no-packing baseline), ``lb_bins =
+    ceil(tokens_s / L)`` (contiguous-packing lower bound),
+    ``waste_tokens = naive_bins·L − tokens`` and ``fill_ppm =
+    1e6·tokens / (naive_bins·L)`` — all exact int64 arithmetic.  A
+    low ``fill_ppm`` (short docs ≪ L) is the signal that T53
+    ``pack_sequences`` pays for itself.
+    """
+    L = int(seq_len)
+    agg = _source_totals(ds, text_col=text_col, source_col=source_col,
+                         seq_len=L)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"].to_numpy(zero_copy_only=False)
+        nb = batch["naive_bins"].to_numpy(zero_copy_only=False)
+        padded = nb * L
+        lb = (tokens + L - 1) // L
+        waste = padded - tokens
+        fill = np.where(padded > 0, (_PPM * tokens) // np.maximum(padded, 1),
+                        np.int64(0))
+        return (batch.append_column("lb_bins", pa.array(lb))
+                .append_column("waste_tokens", pa.array(waste))
+                .append_column("fill_ppm", pa.array(fill))
+                .append_column("seq_len", pa.array(
+                    np.full(len(batch), L, dtype=np.int64))))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,237 @@
+"""Round-5 fifth-session operators: T139 per-doc contamination rate,
+T140 sqrt-temperature source mixture plan, T141 packing-efficiency
+audit, T142 TPC-H-Q5-style regional revenue — each against a
+pure-Python brute-force oracle on sf0.001 plus synthetic edges and
+partition invariance."""
+
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [t for t in (s or "").lower().split() if t]
+
+
+def _shingles(text, n=8):
+    t = _toks(text)
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+# --------------------------------------------------------------- T139
+
+
+def test_contamination_rate_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import contamination_rate
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    bench = set()
+    for i, txt in zip(ids, texts):
+        if i % 97 == 0:
+            bench |= _shingles(txt)
+
+    ds = rd.from_arrow(t).repartition(5)
+    bench_ds = ds.filter(lambda r: r["doc_id"] % 97 == 0)
+    got = (contamination_rate(ds, bench_ds, n=8)
+           .to_pandas().set_index("doc_id"))
+    assert len(got) == len(ids)
+    for i, txt in zip(ids, texts):
+        sh = _shingles(txt)
+        hits = len(sh & bench)
+        assert got.loc[i, "n_shingles"] == len(sh)
+        assert got.loc[i, "n_hits"] == hits
+        want = hits / len(sh) if sh else 0.0
+        assert got.loc[i, "contamination_rate"] == want
+
+
+def test_contamination_rate_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import contamination_rate
+
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h",          # == the bench doc: rate 1.0
+            "too short",                  # < 8 tokens: no shingles
+            "x a b c d e f g h y",        # 3 shingles, 1 shared
+        ], type=pa.string()),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h"], type=pa.string()),
+    })
+    got = (contamination_rate(rd.from_arrow(corpus).repartition(3),
+                              rd.from_arrow(bench), n=8)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[1, "contamination_rate"] == 1.0
+    assert got.loc[2, "n_shingles"] == 0
+    assert got.loc[2, "contamination_rate"] == 0.0
+    assert got.loc[3, "n_shingles"] == 3
+    assert got.loc[3, "n_hits"] == 1
+    assert got.loc[3, "contamination_rate"] == 1 / 3
+
+
+# --------------------------------------------------------------- T140
+
+
+def test_source_mixture_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import source_mixture
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    tok = collections.defaultdict(lambda: [0, 0])
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        tok[src][0] += 1
+        tok[src][1] += len((text or "").split())
+
+    budget = 10_000_000
+    total = sum(v[1] for v in tok.values())
+    wtot = sum(math.isqrt(v[1]) for v in tok.values())
+
+    got = (source_mixture(rd.from_arrow(t).repartition(5),
+                          budget_tokens=budget)
+           .to_pandas().set_index("source"))
+    assert len(got) == len(tok)
+    for src, (nd, nt) in tok.items():
+        w = math.isqrt(nt)
+        weight_ppm = (1_000_000 * w) // wtot
+        alloc = (budget * weight_ppm) // 1_000_000
+        assert got.loc[src, "n_docs"] == nd
+        assert got.loc[src, "tokens"] == nt
+        assert got.loc[src, "token_share_ppm"] == (1_000_000 * nt) // total
+        assert got.loc[src, "weight_ppm"] == weight_ppm
+        assert got.loc[src, "alloc_tokens"] == alloc
+        assert got.loc[src, "epochs"] == alloc / nt
+    # floor divisions under-allocate, never over
+    assert got["weight_ppm"].sum() <= 1_000_000
+    assert got["alloc_tokens"].sum() <= budget
+
+
+def test_source_mixture_sqrt_upweights_small(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import source_mixture
+
+    # big is 100x small by token mass; sqrt smoothing keeps the small
+    # source's sampling weight at ~1/10 of big's, not 1/100
+    t = pa.table({
+        "source": pa.array(["big"] * 100 + ["small"], type=pa.string()),
+        "text": pa.array(["w " * 100] * 100 + ["w " * 100],
+                         type=pa.string()),
+    })
+    got = (source_mixture(rd.from_arrow(t).repartition(4),
+                          budget_tokens=1000)
+           .to_pandas().set_index("source"))
+    share = got["token_share_ppm"]
+    weight = got["weight_ppm"]
+    assert share.loc["small"] * 50 < share.loc["big"]
+    assert weight.loc["small"] * 11 > weight.loc["big"]
+    # the under-sized source needs < 1 epoch only if its allocation
+    # is below its own mass; the small one gets MORE than its share
+    assert got.loc["small", "epochs"] > got.loc["small",
+                                                "token_share_ppm"] / 1e6
+
+
+# --------------------------------------------------------------- T141
+
+
+def test_packing_efficiency_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import packing_efficiency
+
+    L = 512
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        n = len((text or "").split())
+        agg[src][0] += 1
+        agg[src][1] += n
+        agg[src][2] += (n + L - 1) // L
+
+    got = (packing_efficiency(rd.from_arrow(t).repartition(5), seq_len=L)
+           .to_pandas().set_index("source"))
+    assert len(got) == len(agg)
+    for src, (nd, nt, nb) in agg.items():
+        assert got.loc[src, "n_docs"] == nd
+        assert got.loc[src, "tokens"] == nt
+        assert got.loc[src, "naive_bins"] == nb
+        assert got.loc[src, "lb_bins"] == (nt + L - 1) // L
+        assert got.loc[src, "waste_tokens"] == nb * L - nt
+        assert got.loc[src, "fill_ppm"] == (1_000_000 * nt) // (nb * L)
+    assert (got["lb_bins"] <= got["naive_bins"]).all()
+    assert (got["fill_ppm"] <= 1_000_000).all()
+
+
+def test_packing_efficiency_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import packing_efficiency
+
+    t = pa.table({
+        "source": pa.array(["empty", "exact", "short"], type=pa.string()),
+        "text": pa.array(["", "w " * 4, "w"], type=pa.string()),
+    })
+    got = (packing_efficiency(rd.from_arrow(t).repartition(3), seq_len=4)
+           .to_pandas().set_index("source"))
+    # empty text: zero tokens, zero bins, fill 0 (guarded division)
+    assert got.loc["empty", "naive_bins"] == 0
+    assert got.loc["empty", "fill_ppm"] == 0
+    # exactly one full bin: zero waste, fill 1.0
+    assert got.loc["exact", "waste_tokens"] == 0
+    assert got.loc["exact", "fill_ppm"] == 1_000_000
+    # one token in a 4-slot bin
+    assert got.loc["short", "waste_tokens"] == 3
+    assert got.loc["short", "fill_ppm"] == 250_000
+
+
+# --------------------------------------------------------------- T142
+
+
+def test_regional_revenue_matches_pandas(ray_session):
+    import __ray_entry__ as entry
+
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    supp = pq.read_table(f"{SF_DIR}/supplier.parquet").to_pandas()
+    nation = pq.read_table(f"{SF_DIR}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{SF_DIR}/region.parquet").to_pandas()
+
+    o = orders[(orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))]
+    j = (line.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["s_nationkey"] == j["c_nationkey"]]
+    j = (j.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    cents = np.floor(j["l_extendedprice"].to_numpy()
+                     * (1 - j["l_discount"].to_numpy()) * 100
+                     + 0.5).astype(np.int64)
+    j = j.assign(cents=cents)
+    want = (j.groupby(["r_name", "n_name"])
+            .agg(n_items=("cents", "size"), cents=("cents", "sum"))
+            .reset_index())
+    want["revenue"] = want["cents"].astype(np.float64) / 100.0
+
+    got = (entry._q_regional_revenue(SF_DIR).to_pandas()
+           .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+    want = (want.drop(columns=["cents"])
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["r_name", "n_name", "n_items", "revenue"]], want,
+        check_dtype=False)
