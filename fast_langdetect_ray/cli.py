@@ -281,6 +281,19 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
                 jaccard_threshold=args.threshold, n=args.ngram,
                 text_col=args.text_col, id_col=args.id_col)
             flag_col = "contaminated_near"
+        elif args.mode == "rate":
+            from .stages.decontaminate import contamination_rate
+            out = contamination_rate(
+                _read_frags(args.input), _read_frags(args.benchmark),
+                n=args.ngram, text_col=args.text_col, id_col=args.id_col)
+
+            def _add_flag(b):
+                import pyarrow.compute as pc
+                return b.append_column(
+                    "contaminated", pc.greater(b["n_hits"], 0))
+
+            out = out.map_batches(_add_flag, batch_format="pyarrow")
+            flag_col = "contaminated"
         else:
             from .stages.decontaminate import decontaminate
             out = decontaminate(_read_frags(args.input),
@@ -445,6 +458,16 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.diversity import vocab_growth
             out = vocab_growth(ds, id_col=args.id_col,
                                text_col=args.text_col)
+        elif args.mode == "mixture":
+            from .stages.mixture import source_mixture
+            out = source_mixture(ds, budget_tokens=args.budget_tokens,
+                                 text_col=args.text_col,
+                                 source_col=args.repo_col)
+        elif args.mode == "packing":
+            from .stages.mixture import packing_efficiency
+            out = packing_efficiency(ds, seq_len=args.seq_len,
+                                     text_col=args.text_col,
+                                     source_col=args.repo_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -837,10 +860,11 @@ def main(argv=None) -> int:
     dc.add_argument("--benchmark", required=True,
                     help="benchmark parquet file or directory")
     dc.add_argument("--mode", default="exact",
-                    choices=["exact", "neardup"],
+                    choices=["exact", "neardup", "rate"],
                     help="exact: any shared shingle flags; neardup: "
                          "best n-gram Jaccard vs the benchmark "
-                         "(paraphrase-level)")
+                         "(paraphrase-level); rate: graded "
+                         "n_hits/n_shingles fraction per doc")
     dc.add_argument("--threshold", type=float, default=0.5,
                     help="neardup: jaccard flag threshold")
     dc.add_argument("--ngram", type=int, default=8)
@@ -884,7 +908,8 @@ def main(argv=None) -> int:
                              "surprisal", "concentration", "scripts",
                              "compressibility", "spectrum",
                              "diversity", "zipf", "cond-entropy",
-                             "oov", "coverage", "growth"])
+                             "oov", "coverage", "growth",
+                             "mixture", "packing"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,
@@ -892,6 +917,10 @@ def main(argv=None) -> int:
     an.add_argument("--repo-col", default="source",
                     help="overlap: repo/source grouping column")
     an.add_argument("--n", type=int, default=3, help="token n-gram width")
+    an.add_argument("--budget-tokens", type=int, default=10_000_000,
+                    help="mixture: global training token budget")
+    an.add_argument("--seq-len", type=int, default=2048,
+                    help="packing: context length")
     an.add_argument("--text-col", default="text")
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--num-cpus", type=int, default=8)
