@@ -3215,6 +3215,34 @@ def _q_regional_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_event_rate_spikes(sf_dir: str):
+    """T143: hourly ingest-rate anomaly flags per event type —
+    exact int64 (n, Σc, Σc²) moments per type, z-score per (type,
+    hour), spike = z > 3; (types × hours)-bounded throughout."""
+    from fast_langdetect_ray.stages.timeseries import event_rate_spikes
+    return event_rate_spikes(_read(sf_dir, "events"))
+
+
+def _q_contamination_by_source(sf_dir: str):
+    """T144: contamination rollup per source (pooled Σhits/Σshingles
+    — one division of two int64 sums); same bench slice as
+    `decontaminate` (doc_id % 97 == 0)."""
+    from fast_langdetect_ray.stages.decontaminate import (
+        contamination_by_source,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return contamination_by_source(docs, bench, n=8)
+
+
 def _q_key_skew(sf_dir: str):
     """T132: shuffle-key skew audit over events.user_id — the
     salt-or-not planning row (exact per-key count distribution: max
@@ -3367,6 +3395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_rate_by_decile": _q_keep_rate_by_decile,
         "effective_token_ratio": _q_effective_token_ratio,
         "contamination_rate": _q_contamination_rate,
+        "event_rate_spikes": _q_event_rate_spikes,
+        "contamination_by_source": _q_contamination_by_source,
         "source_mixture": _q_source_mixture,
         "packing_efficiency": _q_packing_efficiency,
         "regional_revenue": _q_regional_revenue,
@@ -5169,6 +5199,80 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN cnt c USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # T143: hourly rate spikes; population moments from exact
+        # int64 (n, S, Q); mean/var/z are the same two-operand IEEE
+        # expressions both engines
+        "event_rate_spikes": """
+            WITH c AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS s1,
+                         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                  FROM c GROUP BY 1),
+            v AS (SELECT event_type,
+                         CAST(s1 AS DOUBLE) / n AS mean,
+                         CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n) AS var
+                  FROM s)
+            SELECT c.event_type, c.hour, c.cnt,
+                   CASE WHEN v.var <= 0 THEN 0.0
+                        ELSE (c.cnt - v.mean) / sqrt(v.var) END AS z,
+                   CASE WHEN v.var <= 0 THEN FALSE
+                        ELSE (c.cnt - v.mean) / sqrt(v.var) > 3.0
+                        END AS spike
+            FROM c JOIN v USING (event_type)
+        """,
+        # T144: per-source contamination rollup; pooled rate = one
+        # division of two order-independent int64 sums
+        "contamination_by_source": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+              WHERE len(t) >= 8
+            ),
+            cnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM grams GROUP BY doc_id
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams JOIN bench USING (g)
+              GROUP BY grams.doc_id
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN coalesce(c.n_shingles, 0) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_with_shingles,
+                   CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS contaminated_docs,
+                   CAST(sum(coalesce(c.n_shingles, 0)) AS BIGINT)
+                       AS n_shingles,
+                   CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS n_hits,
+                   CASE WHEN CAST(sum(coalesce(c.n_shingles, 0))
+                                  AS BIGINT) = 0 THEN 0.0
+                        ELSE CAST(sum(coalesce(h.n_hits, 0)) AS DOUBLE)
+                             / CAST(sum(coalesce(c.n_shingles, 0))
+                                    AS BIGINT) END AS pooled_rate
+            FROM documents d
+            LEFT JOIN cnt c USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+            GROUP BY d.source
         """,
         # T140: mixture plan; all shares integer ppm floor-divisions
         # over int64 sums; floor(sqrt(double)) is bit-exact both

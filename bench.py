@@ -163,6 +163,8 @@ HEADLINE = [
     "source_mixture",
     "packing_efficiency",
     "regional_revenue",
+    "event_rate_spikes",
+    "contamination_by_source",
 ]
 
 

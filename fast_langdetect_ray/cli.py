@@ -548,6 +548,10 @@ def cmd_events(args: argparse.Namespace) -> int:
             from .stages.skew import user_type_entropy
             out = user_type_entropy(ds, user_col=args.user_col,
                                     type_col=args.type_col)
+        elif args.mode == "spikes":
+            from .stages.timeseries import event_rate_spikes
+            out = event_rate_spikes(ds, type_col=args.type_col,
+                                    ts_col=args.ts_col)
         else:
             from .stages.timeseries import running_user_stats
             out = running_user_stats(ds, user_col=args.user_col,
@@ -945,7 +949,7 @@ def main(argv=None) -> int:
                     choices=["funnel", "retention", "running",
                              "anomalies", "gini", "overlap",
                              "payload", "debounce", "burstiness",
-                             "skew", "type-entropy"])
+                             "skew", "type-entropy", "spikes"])
     ev.add_argument("--field", default="k",
                     help="payload: integer JSON field to extract")
     ev.add_argument("--min-gap-s", type=int, default=60,

@@ -261,6 +261,80 @@ def contamination_rate(ds, bench_ds, n: int = 8, text_col: str = "text",
                           zero_copy_batch=True)
 
 
+def contamination_by_source(ds, bench_ds, n: int = 8,
+                            text_col: str = "text",
+                            source_col: str = "source"):
+    """T144: contamination rollup per source — where a leaked eval
+    set actually lives.  Per source: doc counts, how many docs have
+    any full shingle, how many are contaminated, total/hit shingle
+    mass, and the POOLED rate ``Σ n_hits / Σ n_shingles``.
+
+    Pooled, not mean-of-rates: the pooled ratio is one division of
+    two order-independent int64 sums (engine-exact vs the oracle),
+    and it weights by shingle mass — a source of ten-token stubs
+    can't dominate the report the way an unweighted mean of per-doc
+    rates would let it.
+
+    Scale shape: broadcast bench shingles (the T33 contract), then
+    per-batch per-doc hit/total counts collapse to source-keyed
+    partials inside the same ``map_batches`` — the shuffle moves ≤
+    #sources rows per batch, never doc-sized data.
+    """
+    from ray.data.aggregate import Sum
+
+    bench = np.ascontiguousarray(
+        benchmark_shingles(bench_ds, n, text_col), dtype=np.uint64)
+    ref = ray.put(bench)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bench_h = ray.get(ref)
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(batch[text_col], n))
+        n_sh = np.zeros(len(batch), dtype=np.int64)
+        if p.size:
+            np.add.at(n_sh, p, 1)
+        hits = np.zeros(len(batch), dtype=np.int64)
+        if h.size and bench_h.size:
+            idx = np.searchsorted(bench_h, h)
+            idx[idx == bench_h.size] = 0
+            np.add.at(hits, p[bench_h[idx] == h], 1)
+        t = pa.table({
+            source_col: batch[source_col],
+            "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "docs_with_shingles": pa.array((n_sh > 0).astype(np.int64)),
+            "contaminated_docs": pa.array((hits > 0).astype(np.int64)),
+            "n_shingles": pa.array(n_sh),
+            "n_hits": pa.array(hits),
+        })
+        return t.group_by([source_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("docs_with_shingles", "sum"),
+             ("contaminated_docs", "sum"), ("n_shingles", "sum"),
+             ("n_hits", "sum")]
+        ).rename_columns([source_col, "n_docs", "docs_with_shingles",
+                          "contaminated_docs", "n_shingles", "n_hits"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sh = batch["n_shingles"].to_numpy(zero_copy_only=False)
+        ht = batch["n_hits"].to_numpy(zero_copy_only=False)
+        rate = np.zeros(len(batch), dtype=np.float64)
+        np.divide(ht, sh, out=rate, where=sh > 0)
+        return batch.append_column("pooled_rate",
+                                   pa.array(rate, type=pa.float64()))
+
+    return (ds.select_columns([source_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(source_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("docs_with_shingles",
+                           alias_name="docs_with_shingles"),
+                       Sum("contaminated_docs",
+                           alias_name="contaminated_docs"),
+                       Sum("n_shingles", alias_name="n_shingles"),
+                       Sum("n_hits", alias_name="n_hits"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def flag_contaminated_neardup(ds, bench_ds, jaccard_threshold: float = 0.5,
                               n: int = 8, text_col: str = "text",
                               id_col: str = "doc_id",

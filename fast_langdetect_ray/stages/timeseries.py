@@ -603,3 +603,61 @@ def event_burstiness(ds, type_col: str = "event_type",
                        Sum("s2", alias_name="s2"))
             .map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+def event_rate_spikes(ds, type_col: str = "event_type",
+                      ts_col: str = "ts", z_threshold: float = 3.0):
+    """T143: hourly ingest-rate anomaly flags per event type — the
+    monitoring row a streaming ingestion pipeline alerts on (a crawler
+    gone hot, a dropped feed, a replayed batch all show up as hourly
+    count spikes long before content-level signals move).
+
+    Per (type, hour): the event count, its z-score against that
+    type's own hourly distribution, and ``spike = z > z_threshold``.
+    Population moments (not sample): ``mean = S/n``, ``var = Q/n −
+    mean²`` from exact int64 ``(n, Σc, Σc²)`` — the float expressions
+    are the same two-operand IEEE ops in numpy and the DuckDB twin,
+    so the hash matches bit-exactly; a type with zero variance (or a
+    single hour) gets z = 0 and no spike.
+
+    Scale shape: per-batch (type, hour) count partials → a
+    (types × hours)-bounded ``groupby.Sum`` → per-type fold over that
+    type's hour rows (bounded by the stream's time range, independent
+    of event count).
+    """
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            type_col: batch[type_col],
+            "hour": pc.floor_temporal(batch[ts_col], unit="hour"),
+        })
+        return t.group_by([type_col, "hour"],
+                          use_threads=False).aggregate(
+            [("hour", "count")]
+        ).rename_columns([type_col, "hour", "cnt"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        if var > 0:
+            z = (c - mean) / math.sqrt(var)
+        else:
+            z = np.zeros(n, dtype=np.float64)
+        return (g.append_column("z", pa.array(z, type=pa.float64()))
+                .append_column("spike", pa.array(z > z_threshold)))
+
+    return (ds.select_columns([type_col, ts_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([type_col, "hour"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby(type_col)
+            .map_groups(fold, batch_format="pyarrow"))

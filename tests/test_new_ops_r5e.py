@@ -235,3 +235,114 @@ def test_regional_revenue_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["r_name", "n_name", "n_items", "revenue"]], want,
         check_dtype=False)
+
+
+# --------------------------------------------------------------- T143
+
+
+def test_event_rate_spikes_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_rate_spikes
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    hours = (t["ts"].to_pandas().dt.floor("h"))
+    df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                       "hour": hours})
+    counts = (df.groupby(["event_type", "hour"]).size()
+              .rename("cnt").reset_index())
+
+    got = (event_rate_spikes(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index(["event_type", "hour"]).sort_index())
+    assert len(got) == len(counts)
+    for et, g in counts.groupby("event_type"):
+        c = g["cnt"].to_numpy()
+        n = len(c)
+        mean = int(c.sum()) / n
+        var = int((c * c).sum()) / n - mean * mean
+        for _, row in g.iterrows():
+            r = got.loc[(et, row["hour"])]
+            assert r["cnt"] == row["cnt"]
+            if var > 0:
+                z = (row["cnt"] - mean) / math.sqrt(var)
+                assert abs(r["z"] - z) < 1e-12
+                assert bool(r["spike"]) == (z > 3.0)
+            else:
+                assert r["z"] == 0.0 and not r["spike"]
+
+
+def test_event_rate_spikes_planted_spike(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.timeseries import event_rate_spikes
+
+    # 40 quiet hours of 10 events + one hour of 1000: only that hour
+    # may flag; a constant-rate type (zero variance) never flags
+    base = pd.Timestamp("2026-01-01")
+    ts, et = [], []
+    for h in range(40):
+        ts += [base + pd.Timedelta(hours=h, minutes=m % 60)
+               for m in range(10)]
+        et += ["burst"] * 10
+        ts += [base + pd.Timedelta(hours=h, minutes=m % 60)
+               for m in range(7)]
+        et += ["flat"] * 7
+    ts += [base + pd.Timedelta(hours=40, seconds=s % 3600)
+           for s in range(1000)]
+    et += ["burst"] * 1000
+    t = pa.table({"event_type": pa.array(et, type=pa.string()),
+                  "ts": pa.array(pd.to_datetime(ts), type=pa.timestamp("us"))})
+    got = (event_rate_spikes(rd.from_arrow(t).repartition(4))
+           .to_pandas())
+    burst = got[got["event_type"] == "burst"]
+    assert int(burst["spike"].sum()) == 1
+    assert burst.loc[burst["spike"], "cnt"].iloc[0] == 1000
+    flat = got[got["event_type"] == "flat"]
+    assert not flat["spike"].any()
+    assert (flat["z"] == 0.0).all()
+
+
+# --------------------------------------------------------------- T144
+
+
+def test_contamination_by_source_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import (
+        contamination_by_source,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    srcs = t["source"].to_pylist()
+    bench = set()
+    for i, txt in zip(ids, texts):
+        if i % 97 == 0:
+            bench |= _shingles(txt)
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for i, txt, src in zip(ids, texts, srcs):
+        sh = _shingles(txt)
+        hits = len(sh & bench)
+        a = agg[src]
+        a[0] += 1
+        a[1] += 1 if sh else 0
+        a[2] += 1 if hits else 0
+        a[3] += len(sh)
+        a[4] += hits
+
+    ds = rd.from_arrow(t).repartition(5)
+    bench_ds = ds.filter(lambda r: r["doc_id"] % 97 == 0)
+    got = (contamination_by_source(ds, bench_ds, n=8)
+           .to_pandas().set_index("source"))
+    assert len(got) == len(agg)
+    for src, (nd, dws, cd, nsh, nht) in agg.items():
+        r = got.loc[src]
+        assert r["n_docs"] == nd
+        assert r["docs_with_shingles"] == dws
+        assert r["contaminated_docs"] == cd
+        assert r["n_shingles"] == nsh
+        assert r["n_hits"] == nht
+        assert r["pooled_rate"] == (nht / nsh if nsh else 0.0)
