@@ -3215,6 +3215,25 @@ def _q_regional_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_gopher_signals(sf_dir: str):
+    """T145: Gopher-style structural quality signals per doc —
+    long-token count, digit/uppercase ratios, ellipsis count;
+    stateless RE2 kernels shared verbatim with the oracle."""
+    from fast_langdetect_ray.stages.textstats import gopher_signals
+    return (_read(sf_dir, "documents")
+            .select_columns(["doc_id", "text"])
+            .map_batches(gopher_signals, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _q_pii_density(sf_dir: str):
+    """T146: PII density per source (emails/IPv4s/phones per megachar,
+    the scrubber's own pattern strings); source-keyed partials, exact
+    Python-int density fold."""
+    from fast_langdetect_ray.stages.scrub import pii_density
+    return pii_density(_read(sf_dir, "documents"))
+
+
 def _q_event_rate_spikes(sf_dir: str):
     """T143: hourly ingest-rate anomaly flags per event type —
     exact int64 (n, Σc, Σc²) moments per type, z-score per (type,
@@ -3397,6 +3416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_rate": _q_contamination_rate,
         "event_rate_spikes": _q_event_rate_spikes,
         "contamination_by_source": _q_contamination_by_source,
+        "gopher_signals": _q_gopher_signals,
+        "pii_density": _q_pii_density,
         "source_mixture": _q_source_mixture,
         "packing_efficiency": _q_packing_efficiency,
         "regional_revenue": _q_regional_revenue,
@@ -3581,6 +3602,11 @@ def oracle_sql() -> dict[str, str]:
         for i, h in enumerate(_SPDX_PLANTS))
     _k = "CAST(doc_id - (doc_id % 10) AS VARCHAR)"
     xc_tpl = " || ' ' || ".join(f"'{w}' || {_k}" for w in _XC_WORDS)
+    # T146: the scrubber's own pattern strings, shared verbatim
+    _scrub_p = dict(SCRUB_PATTERNS)
+    _email_sql = _scrub_p["EMAIL"].replace("'", "''")
+    _ipv4_sql = _scrub_p["IPV4"].replace("'", "''")
+    _phone_sql = _scrub_p["PHONE"].replace("'", "''")
     sqls = {
         "hash_split_assign": """
             SELECT doc_id,
@@ -5200,6 +5226,63 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cnt c USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
         """,
+        # T145: Gopher-style structural signals; RE2 count kernels
+        # identical both engines, guarded single divisions
+        "gopher_signals": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\\S{40,}'))
+                       AS BIGINT) AS long_token_count,
+                   CASE WHEN len(regexp_extract_all(text, '\\S')) = 0
+                        THEN 0.0
+                        ELSE CAST(len(regexp_extract_all(text, '[\\pN]'))
+                                  AS DOUBLE)
+                             / len(regexp_extract_all(text, '\\S'))
+                        END AS digit_ratio,
+                   CASE WHEN len(regexp_extract_all(text, '\\S')) = 0
+                        THEN 0.0
+                        ELSE CAST(len(regexp_extract_all(text,
+                                      '[\\p{Lu}]')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\\S'))
+                        END AS upper_ratio,
+                   CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                       AS BIGINT) AS ellipsis_count
+            FROM documents
+        """,
+        # T146: PII density per source; the scrubber's own pattern
+        # strings, exact integer per-megachar densities
+        "pii_density": f"""
+            WITH c AS (
+              SELECT source,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     CAST(len(regexp_extract_all(text, '{_email_sql}'))
+                         AS BIGINT) AS emails,
+                     CAST(len(regexp_extract_all(text, '{_ipv4_sql}'))
+                         AS BIGINT) AS ipv4s,
+                     CAST(len(regexp_extract_all(text, '{_phone_sql}'))
+                         AS BIGINT) AS phones
+              FROM documents
+            ),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(chars) AS BIGINT) AS chars,
+                         CAST(sum(emails) AS BIGINT) AS emails,
+                         CAST(sum(ipv4s) AS BIGINT) AS ipv4s,
+                         CAST(sum(phones) AS BIGINT) AS phones
+                  FROM c GROUP BY source)
+            SELECT source, n_docs, chars, emails, ipv4s, phones,
+                   CASE WHEN chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((CAST(emails AS HUGEINT) * 1000000)
+                             // chars AS BIGINT) END AS emails_per_mchar,
+                   CASE WHEN chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((CAST(ipv4s AS HUGEINT) * 1000000)
+                             // chars AS BIGINT) END AS ipv4s_per_mchar,
+                   CASE WHEN chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((CAST(phones AS HUGEINT) * 1000000)
+                             // chars AS BIGINT) END AS phones_per_mchar
+            FROM s
+        """,
         # T143: hourly rate spikes; population moments from exact
         # int64 (n, S, Q); mean/var/z are the same two-operand IEEE
         # expressions both engines
@@ -5212,7 +5295,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT event_type,
                          CAST(count(*) AS BIGINT) AS n,
                          CAST(sum(cnt) AS BIGINT) AS s1,
-                         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                         sum(CAST(cnt AS HUGEINT) * cnt) AS s2
                   FROM c GROUP BY 1),
             v AS (SELECT event_type,
                          CAST(s1 AS DOUBLE) / n AS mean,
@@ -5297,15 +5380,20 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(wgt) AS BIGINT) AS wtot
                   FROM w)
             SELECT source, n_docs, tokens,
-                   (1000000 * tokens) // greatest(t.total, 1)
+                   CAST((1000000 * CAST(tokens AS HUGEINT))
+                        // greatest(t.total, 1) AS BIGINT)
                        AS token_share_ppm,
-                   (1000000 * wgt) // greatest(t.wtot, 1) AS weight_ppm,
-                   (10000000 * ((1000000 * wgt) // greatest(t.wtot, 1)))
-                       // 1000000 AS alloc_tokens,
+                   CAST((1000000 * CAST(wgt AS HUGEINT))
+                        // greatest(t.wtot, 1) AS BIGINT) AS weight_ppm,
+                   CAST((10000000 * ((1000000 * CAST(wgt AS HUGEINT))
+                        // greatest(t.wtot, 1))) // 1000000 AS BIGINT)
+                       AS alloc_tokens,
                    CASE WHEN tokens = 0 THEN 0.0
-                        ELSE CAST((10000000 * ((1000000 * wgt)
+                        ELSE CAST(CAST((10000000
+                                 * ((1000000 * CAST(wgt AS HUGEINT))
                                  // greatest(t.wtot, 1))) // 1000000
-                                 AS DOUBLE) / tokens END AS epochs
+                                 AS BIGINT) AS DOUBLE) / tokens
+                        END AS epochs
             FROM w CROSS JOIN t
         """,
         # T141: packing audit; exact int64 arithmetic end-to-end
@@ -5327,7 +5415,9 @@ def oracle_sql() -> dict[str, str]:
                    (tokens + 511) // 512 AS lb_bins,
                    naive_bins * 512 - tokens AS waste_tokens,
                    CASE WHEN naive_bins = 0 THEN CAST(0 AS BIGINT)
-                        ELSE (1000000 * tokens) // (naive_bins * 512)
+                        ELSE CAST((1000000 * CAST(tokens AS HUGEINT))
+                             // (CAST(naive_bins AS HUGEINT) * 512)
+                             AS BIGINT)
                         END AS fill_ppm,
                    CAST(512 AS BIGINT) AS seq_len
             FROM s

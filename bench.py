@@ -165,6 +165,8 @@ HEADLINE = [
     "regional_revenue",
     "event_rate_spikes",
     "contamination_by_source",
+    "gopher_signals",
+    "pii_density",
 ]
 
 

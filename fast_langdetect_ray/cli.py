@@ -468,6 +468,18 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             out = packing_efficiency(ds, seq_len=args.seq_len,
                                      text_col=args.text_col,
                                      source_col=args.repo_col)
+        elif args.mode == "gopher":
+            import functools
+
+            from .stages.textstats import gopher_signals
+            out = ds.map_batches(
+                functools.partial(gopher_signals, text_col=args.text_col,
+                                  id_col=args.id_col),
+                batch_format="pyarrow", zero_copy_batch=True)
+        elif args.mode == "pii":
+            from .stages.scrub import pii_density
+            out = pii_density(ds, text_col=args.text_col,
+                              source_col=args.repo_col)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -913,7 +925,7 @@ def main(argv=None) -> int:
                              "compressibility", "spectrum",
                              "diversity", "zipf", "cond-entropy",
                              "oov", "coverage", "growth",
-                             "mixture", "packing"])
+                             "mixture", "packing", "gopher", "pii"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,

@@ -96,24 +96,32 @@ def source_mixture(ds, budget_tokens: int = 10_000_000,
             np.zeros(len(b), dtype=np.int64)))
 
     def finish(g: pa.Table) -> pa.Table:
-        # catalog-sized group: one row per source
+        # catalog-sized group (one row per source): exact PYTHON-int
+        # arithmetic — `1e6 · tokens` silently wraps int64 once a
+        # source holds ≳ 9.2e12 tokens (~37 TB of text), exactly the
+        # scale this plans for; the oracle twin widens to HUGEINT
         g = g.drop_columns(["_g"])
-        tokens = g["tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-        total = int(tokens.sum())
+        tokens = [int(t) for t in g["tokens"].to_pylist()]
+        total = sum(tokens)
         # floor(sqrt(double)) — bit-exact vs the DuckDB oracle (see
         # module docstring); tokens < 2^53 so the cast is lossless
-        w = np.floor(np.sqrt(tokens.astype(np.float64))).astype(np.int64)
-        wtot = int(w.sum())
-        share_ppm = (_PPM * tokens) // max(total, 1)
-        weight_ppm = (_PPM * w) // max(wtot, 1)
-        alloc = (int(budget_tokens) * weight_ppm) // _PPM
-        epochs = np.zeros(len(g), dtype=np.float64)
-        np.divide(alloc.astype(np.float64), tokens.astype(np.float64),
-                  out=epochs, where=tokens > 0)
-        return (g.append_column("token_share_ppm", pa.array(share_ppm))
-                .append_column("weight_ppm", pa.array(weight_ppm))
-                .append_column("alloc_tokens", pa.array(alloc))
-                .append_column("epochs", pa.array(epochs)))
+        w = [int(np.floor(np.sqrt(np.float64(t)))) for t in tokens]
+        wtot = sum(w)
+        share_ppm = [(_PPM * t) // max(total, 1) for t in tokens]
+        weight_ppm = [(_PPM * x) // max(wtot, 1) for x in w]
+        alloc = [(int(budget_tokens) * x) // _PPM for x in weight_ppm]
+        # mirror the oracle exactly: CAST(... AS DOUBLE) rounds the
+        # int to a double BEFORE dividing
+        epochs = [float(a) / float(t) if t else 0.0
+                  for a, t in zip(alloc, tokens)]
+        return (g.append_column("token_share_ppm",
+                                pa.array(share_ppm, type=pa.int64()))
+                .append_column("weight_ppm",
+                               pa.array(weight_ppm, type=pa.int64()))
+                .append_column("alloc_tokens",
+                               pa.array(alloc, type=pa.int64()))
+                .append_column("epochs",
+                               pa.array(epochs, type=pa.float64())))
 
     return (agg.map_batches(tag, batch_format="pyarrow")
             .groupby("_g").map_groups(finish, batch_format="pyarrow"))
@@ -136,16 +144,21 @@ def packing_efficiency(ds, seq_len: int = 2048, text_col: str = "text",
                          seq_len=L)
 
     def finish(batch: pa.Table) -> pa.Table:
-        tokens = batch["tokens"].to_numpy(zero_copy_only=False)
-        nb = batch["naive_bins"].to_numpy(zero_copy_only=False)
-        padded = nb * L
-        lb = (tokens + L - 1) // L
-        waste = padded - tokens
-        fill = np.where(padded > 0, (_PPM * tokens) // np.maximum(padded, 1),
-                        np.int64(0))
-        return (batch.append_column("lb_bins", pa.array(lb))
-                .append_column("waste_tokens", pa.array(waste))
-                .append_column("fill_ppm", pa.array(fill))
+        # source-cardinality rows: exact Python-int arithmetic (the
+        # `1e6 · tokens` product wraps int64 at ~9.2e12 tokens per
+        # source; the oracle twin widens to HUGEINT)
+        tokens = [int(t) for t in batch["tokens"].to_pylist()]
+        nb = [int(b) for b in batch["naive_bins"].to_pylist()]
+        lb = [(t + L - 1) // L for t in tokens]
+        waste = [b * L - t for b, t in zip(nb, tokens)]
+        fill = [(_PPM * t) // (b * L) if b else 0
+                for b, t in zip(nb, tokens)]
+        return (batch.append_column("lb_bins",
+                                    pa.array(lb, type=pa.int64()))
+                .append_column("waste_tokens",
+                               pa.array(waste, type=pa.int64()))
+                .append_column("fill_ppm",
+                               pa.array(fill, type=pa.int64()))
                 .append_column("seq_len", pa.array(
                     np.full(len(batch), L, dtype=np.int64))))
 

@@ -78,3 +78,68 @@ def scrub_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
         "n_chars", pc.cast(n_chars(col), pa.int64()))
     batch = batch.append_column("alpha_ratio", alpha_ratio(col))
     return batch
+
+
+def pii_density(ds, text_col: str = "text", source_col: str = "source"):
+    """T146: PII density per source — which sources carry the scrub
+    burden.  Counts EMAIL / IPV4 / PHONE matches (the three highest-
+    volume ``SCRUB_PATTERNS``, same RE2 strings the scrubber and its
+    SQL oracle share) plus codepoint mass per source, and integer
+    per-megachar densities (``count · 1e6 // chars``).
+
+    Recall-over-precision by design, like the scrubber itself: the
+    PHONE pattern also matches timestamps and id-like digit runs —
+    the density is a RELATIVE triage signal across sources, not a
+    compliance count.
+
+    Scale shape: three vectorized RE2 count kernels per batch
+    (Arrow C++), collapsed to source-keyed partials inside the same
+    ``map_batches`` → source-cardinality ``Sum`` → exact Python-int
+    density fold on catalog-sized rows (the ``1e6 · count`` product
+    would wrap int64 at ~9.2e12 matches).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    pats = dict(SCRUB_PATTERNS)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        t = pa.table({
+            source_col: batch[source_col],
+            "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "chars": pc.cast(pc.utf8_length(col), pa.int64()),
+            "emails": pc.cast(
+                pc.count_substring_regex(col, pats["EMAIL"]), pa.int64()),
+            "ipv4s": pc.cast(
+                pc.count_substring_regex(col, pats["IPV4"]), pa.int64()),
+            "phones": pc.cast(
+                pc.count_substring_regex(col, pats["PHONE"]), pa.int64()),
+        })
+        return t.group_by([source_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("chars", "sum"), ("emails", "sum"),
+             ("ipv4s", "sum"), ("phones", "sum")]
+        ).rename_columns([source_col, "n_docs", "chars", "emails",
+                          "ipv4s", "phones"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        chars = [int(c) for c in batch["chars"].to_pylist()]
+        for name in ("emails", "ipv4s", "phones"):
+            cnt = [int(x) for x in batch[name].to_pylist()]
+            dens = [(x * 1_000_000) // c if c else 0
+                    for x, c in zip(cnt, chars)]
+            batch = batch.append_column(
+                f"{name}_per_mchar", pa.array(dens, type=pa.int64()))
+        return batch
+
+    return (ds.select_columns([source_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(source_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("chars", alias_name="chars"),
+                       Sum("emails", alias_name="emails"),
+                       Sum("ipv4s", alias_name="ipv4s"),
+                       Sum("phones", alias_name="phones"))
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))

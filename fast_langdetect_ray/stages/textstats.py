@@ -14,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.textstats import alpha_ratio, n_chars, token_count
+from ..functions.textstats import (NON_WS_PATTERN, alpha_ratio, n_chars,
+                                   token_count)
 
 # small frozen English stopword list (quality heuristic, Gopher-style)
 STOPWORDS = (
@@ -480,3 +481,40 @@ def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
             .map_batches(topk_partial, batch_format="pandas")
             .groupby(group_col)
             .map_groups(topk, batch_format="pandas"))
+
+
+GOPHER_LONG_TOKEN = 40  # Gopher: any word > 40 chars is a junk signal
+
+
+def gopher_signals(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """T145: Gopher-style per-doc structural quality signals beyond
+    ``quality_stats`` (T10): long-token count (``\\S{40,}`` — minified
+    / base64 junk), digit ratio and uppercase ratio over
+    non-whitespace chars (tables, shouting, hex dumps), and ellipsis
+    count (truncated scrapes).  Stateless, embarrassingly parallel,
+    all Arrow-C++ RE2 count kernels shared verbatim with the DuckDB
+    oracle (``[\\pN]`` / ``[\\p{Lu}]`` / ``\\S`` are RE2-identical in
+    both engines — the T10 ``alpha_ratio`` precedent); ratios are
+    single int/int divisions guarded to 0.0 on empty rows.
+    """
+    col = pc.fill_null(batch[text_col], "")
+    non_ws = pc.cast(pc.count_substring_regex(col, NON_WS_PATTERN),
+                     pa.float64())
+    digits = pc.cast(pc.count_substring_regex(col, r"[\pN]"),
+                     pa.float64())
+    uppers = pc.cast(pc.count_substring_regex(col, r"[\p{Lu}]"),
+                     pa.float64())
+    zero = pa.scalar(0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pc.cast(token_count(col), pa.int64()),
+        "long_token_count": pc.cast(pc.count_substring_regex(
+            col, r"\S{%d,}" % GOPHER_LONG_TOKEN), pa.int64()),
+        "digit_ratio": pc.if_else(pc.equal(non_ws, zero), zero,
+                                  pc.divide(digits, non_ws)),
+        "upper_ratio": pc.if_else(pc.equal(non_ws, zero), zero,
+                                  pc.divide(uppers, non_ws)),
+        "ellipsis_count": pc.cast(pc.count_substring(col, "..."),
+                                  pa.int64()),
+    })

@@ -641,12 +641,17 @@ def event_rate_spikes(ds, type_col: str = "event_type",
         ).rename_columns([type_col, "hour", "cnt"])
 
     def fold(g: pa.Table) -> pa.Table:
-        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(c)
-        s1 = int(c.sum())
-        s2 = int((c * c).sum())
-        mean = s1 / n
-        var = s2 / n - mean * mean
+        # exact Python-int moments: Σc² wraps int64 once an hourly
+        # count passes ~3e9 — reachable summed over a long stream —
+        # and float(s)/n mirrors the oracle's CAST(s AS DOUBLE)/n
+        # (round to double FIRST, then divide)
+        cl = [int(x) for x in g["cnt"].to_pylist()]
+        n = len(cl)
+        s1 = sum(cl)
+        s2 = sum(x * x for x in cl)
+        mean = float(s1) / n
+        var = float(s2) / n - mean * mean
+        c = np.array(cl, dtype=np.float64)
         if var > 0:
             z = (c - mean) / math.sqrt(var)
         else:

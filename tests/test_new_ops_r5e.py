@@ -346,3 +346,77 @@ def test_contamination_by_source_matches_python(ray_session):
         assert r["n_shingles"] == nsh
         assert r["n_hits"] == nht
         assert r["pooled_rate"] == (nht / nsh if nsh else 0.0)
+
+
+# --------------------------------------------------------------- T145
+
+
+def test_gopher_signals_matches_python(ray_session):
+    import re
+
+    from fast_langdetect_ray.stages.textstats import gopher_signals
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    got = gopher_signals(t).to_pandas().set_index("doc_id")
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        txt = txt or ""
+        nonws = len(re.findall(r"\S", txt))
+        assert got.loc[i, "n_tokens"] == len(re.findall(r"\S+", txt))
+        assert got.loc[i, "long_token_count"] == len(
+            re.findall(r"\S{40,}", txt))
+        digits = sum(ch.isdigit() for ch in txt)
+        want_digit = digits / nonws if nonws else 0.0
+        assert got.loc[i, "digit_ratio"] == want_digit
+        assert got.loc[i, "ellipsis_count"] == txt.count("...")
+
+
+def test_gopher_signals_edges(ray_session):
+    from fast_langdetect_ray.stages.textstats import gopher_signals
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "",                               # empty: all zeros
+            "x" * 50,                          # one 50-char junk token
+            "AB cd 12",                        # 2 upper, 2 digits, 6 nonws
+            "wait... what... no...",
+        ], type=pa.string()),
+    })
+    got = gopher_signals(t).to_pandas().set_index("doc_id")
+    assert got.loc[1, "digit_ratio"] == 0.0
+    assert got.loc[1, "upper_ratio"] == 0.0
+    assert got.loc[2, "long_token_count"] == 1
+    assert got.loc[3, "upper_ratio"] == 2 / 6
+    assert got.loc[3, "digit_ratio"] == 2 / 6
+    assert got.loc[4, "ellipsis_count"] == 3
+
+
+# --------------------------------------------------------------- T146
+
+
+def test_pii_density_planted(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.scrub import pii_density
+
+    filler = "lorem ipsum dolor " * 10
+    t = pa.table({
+        "source": pa.array(["mail"] * 3 + ["clean"] * 2, type=pa.string()),
+        "text": pa.array([
+            filler + " contact bob@example.com and eve@test.org",
+            filler + " from 10.0.0.1 via bob@example.com",
+            filler,
+            filler,
+            filler + " nothing sensitive here",
+        ], type=pa.string()),
+    })
+    got = (pii_density(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("source"))
+    assert got.loc["mail", "emails"] == 3
+    assert got.loc["mail", "ipv4s"] == 1
+    assert got.loc["clean", "emails"] == 0
+    chars = got.loc["mail", "chars"]
+    assert got.loc["mail", "emails_per_mchar"] == (3 * 1_000_000) // chars
+    assert got.loc["clean", "emails_per_mchar"] == 0
+    assert got.loc["mail", "n_docs"] == 3 and got.loc["clean", "n_docs"] == 2
