@@ -3215,6 +3215,161 @@ def _q_regional_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_nation_trade_flows(sf_dir: str):
+    """T148: TPC-H-Q7-style cross-nation trade volume — revenue per
+    (supplier nation, customer nation, ship-year) where the two
+    nations DIFFER, over a two-year shipdate window.  Same
+    scale frame as T142 (`regional_revenue`): lineitem ⋈ orders is
+    the one distributed exchange; supplier/customer/nation maps ride
+    one broadcast; the shipdate filter prunes lineitem BEFORE the
+    shuffle (the bigger side this time — Q5 filtered orders).
+    Int64-cents policy, `floor(x·100 + 0.5)` both engines."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.shufflejoin import hash_bucket_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ck_s = ck[order]
+    cnk_s = cust["c_nationkey"].to_numpy()[order].astype(np.int64)
+    sk = supp["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk_s = sk[order]
+    snk_s = supp["s_nationkey"].to_numpy()[order].astype(np.int64)
+    nnk = nation["n_nationkey"].to_numpy()
+    n_names = np.empty(int(nnk.max()) + 1, dtype=object)
+    n_names[nnk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    ref = ray.put((ck_s, cnk_s, sk_s, snk_s, n_names))
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        ck_sorted, cnk, *_ = ray.get(ref)
+        pos = np.searchsorted(
+            ck_sorted, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "c_nationkey": pa.array(cnk[pos], type=pa.int64()),
+        })
+
+    orders_nat = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(orders_proj, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi)))
+
+    line = (_read(sf_dir, "lineitem")
+            .select_columns(["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+            .map_batches(line_proj, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    joined = hash_bucket_join(
+        line, orders_nat, on=("l_orderkey",), right_on=("o_orderkey",),
+        join_type="inner",
+        right_schema=pa.schema([pa.field("o_orderkey", pa.int64()),
+                                pa.field("c_nationkey", pa.int64())]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, _, sk_sorted, snk, names = ray.get(ref)
+        pos = np.searchsorted(
+            sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        s_nat = snk[pos]
+        c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = s_nat != c_nat
+        t = batch.filter(pa.array(keep))
+        s_nat = s_nat[keep]
+        c_nat = c_nat[keep]
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        part = pa.table({
+            "supp_nation": pa.array(names[s_nat], type=pa.string()),
+            "cust_nation": pa.array(names[c_nat], type=pa.string()),
+            "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "cents": cents,
+        })
+        return part.group_by(["supp_nation", "cust_nation", "ship_year"],
+                             use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        ).rename_columns(["supp_nation", "cust_nation", "ship_year",
+                          "n_items", "cents"])
+
+    agg = (joined.map_batches(partials, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "ship_year"])
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("revenue", pc.divide(
+            pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)))
+        return batch.drop_columns(["cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_minhash_param_sweep(sf_dir: str):
+    """T147: MinHash-LSH (bands × rows) tuning table — the
+    scale-planning report run BEFORE committing a 100-TB dedup to one
+    LSH configuration.  For each (n_bands, rows_per_band) with
+    b·r = 64 permutations, the full verified-pair pipeline runs with
+    the Jaccard filter DISABLED so every candidate surfaces with its
+    exact verified Jaccard; the report row is (config, candidates,
+    true pairs ≥ 0.7, precision, coverage of the union of true pairs
+    across configs).  Rows-only: LSH banding is not SQL-expressible;
+    pinned by the exact-Jaccard brute-force oracle in pytest."""
+    import pandas as pd
+
+    from fast_langdetect_ray.stages.dedup import minhash_candidate_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    threshold = 0.7
+    rows = []
+    results = {}
+    for n_bands in (4, 8, 16, 32):
+        pairs = minhash_candidate_pairs(
+            docs, n_perm=64, n_bands=n_bands, jaccard_threshold=0.0)
+
+        def count_partials(b: pa.Table) -> pa.Table:
+            jac = b["jaccard"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n": pa.array([len(b)], type=pa.int64()),
+                "n_true": pa.array([int((jac >= threshold).sum())],
+                                   type=pa.int64()),
+            })
+
+        # bounded fold: one row per pair batch
+        part = pairs.map_batches(count_partials,
+                                 batch_format="pyarrow").to_pandas()
+        results[n_bands] = (int(part["n"].sum()),
+                            int(part["n_true"].sum()))
+    best_true = max(v[1] for v in results.values()) or 0
+    for n_bands, (n_cand, n_true) in results.items():
+        rows.append({
+            "n_bands": n_bands,
+            "rows_per_band": 64 // n_bands,
+            "n_candidates": n_cand,
+            "n_true": n_true,
+            "precision": (n_true / n_cand) if n_cand else 0.0,
+            "coverage": (n_true / best_true) if best_true else 0.0,
+        })
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def _q_gopher_signals(sf_dir: str):
     """T145: Gopher-style structural quality signals per doc —
     long-token count, digit/uppercase ratios, ellipsis count;
@@ -3418,6 +3573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_by_source": _q_contamination_by_source,
         "gopher_signals": _q_gopher_signals,
         "pii_density": _q_pii_density,
+        "nation_trade_flows": _q_nation_trade_flows,
+        # rows-only: LSH banding is not SQL-expressible (brute-force
+        # exact-Jaccard pytest oracle)
+        "minhash_param_sweep": _q_minhash_param_sweep,
         "source_mixture": _q_source_mixture,
         "packing_efficiency": _q_packing_efficiency,
         "regional_revenue": _q_regional_revenue,
@@ -5225,6 +5384,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN cnt c USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # T148: TPC-H-Q7-style cross-nation trade flows; int64-cents
+        # floor(x+0.5) policy, shipdate window, nation inequality
+        "nation_trade_flows": """
+            WITH rev AS (
+              SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                         AS ship_year,
+                     CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 100 + 0.5) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              WHERE s.s_nationkey <> c.c_nationkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT supp_nation, cust_nation, ship_year,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+                       AS revenue
+            FROM rev GROUP BY 1, 2, 3
         """,
         # T145: Gopher-style structural signals; RE2 count kernels
         # identical both engines, guarded single divisions

@@ -167,6 +167,7 @@ HEADLINE = [
     "contamination_by_source",
     "gopher_signals",
     "pii_density",
+    "nation_trade_flows",
 ]
 
 

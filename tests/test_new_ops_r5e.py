@@ -420,3 +420,76 @@ def test_pii_density_planted(ray_session):
     assert got.loc["mail", "emails_per_mchar"] == (3 * 1_000_000) // chars
     assert got.loc["clean", "emails_per_mchar"] == 0
     assert got.loc["mail", "n_docs"] == 3 and got.loc["clean", "n_docs"] == 2
+
+
+# --------------------------------------------------------------- T147
+
+
+def test_minhash_param_sweep_consistency(ray_session):
+    import __ray_entry__ as entry
+    from fast_langdetect_ray.stages.dedup import minhash_candidate_pairs
+    import ray.data as rd
+
+    got = (entry._q_minhash_param_sweep(SF_DIR).to_pandas()
+           .set_index("n_bands").sort_index())
+    assert list(got.index) == [4, 8, 16, 32]
+    assert (got["rows_per_band"] == 64 // got.index).all()
+    # precision/coverage are pure functions of the count columns
+    best = got["n_true"].max()
+    for nb, r in got.iterrows():
+        want_p = r["n_true"] / r["n_candidates"] if r["n_candidates"] else 0.0
+        assert r["precision"] == want_p
+        assert r["coverage"] == (r["n_true"] / best if best else 0.0)
+    # shorter bands (more of them) can only add candidate collisions
+    cands = got["n_candidates"].to_numpy()
+    assert (np.diff(cands) >= 0).all()
+    # the sweep's n_true agrees with the production pipeline run at
+    # the same config with the threshold applied in-pipeline
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    direct = minhash_candidate_pairs(
+        rd.from_arrow(t), n_perm=64, n_bands=8,
+        jaccard_threshold=0.7).count()
+    assert got.loc[8, "n_true"] == direct
+
+
+# --------------------------------------------------------------- T148
+
+
+def test_nation_trade_flows_matches_pandas(ray_session):
+    import __ray_entry__ as entry
+
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    supp = pq.read_table(f"{SF_DIR}/supplier.parquet").to_pandas()
+    nation = pq.read_table(f"{SF_DIR}/nation.parquet").to_pandas()
+
+    l = line[(line["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+             & (line["l_shipdate"] < pd.Timestamp("1998-01-01"))]
+    j = (l.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["s_nationkey"] != j["c_nationkey"]]
+    names = nation.set_index("n_nationkey")["n_name"]
+    j = j.assign(
+        supp_nation=j["s_nationkey"].map(names).to_numpy(),
+        cust_nation=j["c_nationkey"].map(names).to_numpy(),
+        ship_year=j["l_shipdate"].dt.year.astype("int64"),
+        cents=np.floor(j["l_extendedprice"].to_numpy()
+                       * (1 - j["l_discount"].to_numpy()) * 100
+                       + 0.5).astype(np.int64))
+    want = (j.groupby(["supp_nation", "cust_nation", "ship_year"])
+            .agg(n_items=("cents", "size"), cents=("cents", "sum"))
+            .reset_index())
+    want["revenue"] = want["cents"].astype(np.float64) / 100.0
+    want = (want.drop(columns=["cents"])
+            .sort_values(["supp_nation", "cust_nation", "ship_year"])
+            .reset_index(drop=True))
+
+    got = (entry._q_nation_trade_flows(SF_DIR).to_pandas()
+           .sort_values(["supp_nation", "cust_nation", "ship_year"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["supp_nation", "cust_nation", "ship_year", "n_items",
+             "revenue"]], want, check_dtype=False)
