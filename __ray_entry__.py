@@ -3215,6 +3215,14 @@ def _q_regional_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_embedding_health(sf_dir: str):
+    """T149: per-label embedding health (zero vectors, non-finite
+    elements, dimension drift, fixed-point norm range); counts and
+    min/max only — no cross-row float sum anywhere."""
+    from fast_langdetect_ray.stages.similarity import embedding_health
+    return embedding_health(_read(sf_dir, "embeddings"))
+
+
 def _q_nation_trade_flows(sf_dir: str):
     """T148: TPC-H-Q7-style cross-nation trade volume — revenue per
     (supplier nation, customer nation, ship-year) where the two
@@ -3574,6 +3582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_signals": _q_gopher_signals,
         "pii_density": _q_pii_density,
         "nation_trade_flows": _q_nation_trade_flows,
+        "embedding_health": _q_embedding_health,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -5384,6 +5393,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN cnt c USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
+        """,
+        # T149: embedding health; fixed-point pico norms, counts and
+        # min/max only (oracle assumes finite input — see stage doc)
+        "embedding_health": """
+            WITH v AS (
+              SELECT label,
+                     CAST(len(embedding) AS BIGINT) AS dim,
+                     CAST(coalesce(list_sum(list_transform(embedding,
+                          x -> CAST(NOT isfinite(CAST(x AS DOUBLE))
+                               AS BIGINT))), 0) AS BIGINT) AS n_bad,
+                     CAST(coalesce(list_sum(list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE)
+                               * CAST(x AS DOUBLE) * 1000000000000
+                               + 0.5) AS BIGINT))), 0) AS BIGINT) AS fp
+              FROM embeddings
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_nonfinite,
+                   CAST(sum(CASE WHEN fp = 0 AND n_bad = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                   CAST(min(fp) AS BIGINT) AS min_norm_fp,
+                   CAST(max(fp) AS BIGINT) AS max_norm_fp,
+                   CAST(min(dim) AS BIGINT) AS dim_min,
+                   CAST(max(dim) AS BIGINT) AS dim_max
+            FROM v GROUP BY label
         """,
         # T148: TPC-H-Q7-style cross-nation trade flows; int64-cents
         # floor(x+0.5) policy, shipdate window, nation inequality

@@ -168,6 +168,7 @@ HEADLINE = [
     "gopher_signals",
     "pii_density",
     "nation_trade_flows",
+    "embedding_health",
 ]
 
 

@@ -654,3 +654,68 @@ def semantic_dedup(ds, k: int = 32, eps: float = 0.05, iters: int = 5,
                          zero_copy_batch=True)
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+def embedding_health(ds, vec_col: str = "embedding",
+                     label_col: str = "label"):
+    """T149: per-label embedding-table health audit — the check an
+    embedding pipeline runs before ANN/SemDeDup trusts the vectors:
+    zero vectors (failed encoder calls), non-finite elements
+    (overflowed kernels), dimension drift (mixed model versions), and
+    the norm range (≈ constant for a normalized table, wild for a raw
+    one).
+
+    Exactness contract: per-row squared norm accumulates as
+    fixed-point **picos** (``floor(x²·1e12 + 0.5)`` per element, int64
+    sum over the row's fixed element order) — order-independent and
+    bit-exact vs the oracle's ``list_transform``/``list_sum`` twin;
+    the rollup uses only counts and min/max (no cross-row float sum
+    anywhere).  The oracle assumes finite input (SQL NaN poisons the
+    row); the engine zeroes non-finite elements and counts the row in
+    ``n_nonfinite`` instead.
+
+    Scale shape: stateless per-batch kernel (zero-copy matrix view,
+    one ``fp.sum(axis=1)``) → label-keyed partials → label-sized
+    ``groupby`` of Sum/Min/Max aggregates.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col, dtype=np.float64)
+        finite = np.isfinite(m)
+        sq = np.where(finite, m * m, 0.0)
+        fp = np.floor(sq * 1e12 + 0.5).astype(np.int64)
+        row_fp = fp.sum(axis=1)
+        n_bad = (~finite).sum(axis=1)
+        dim = np.full(len(batch), m.shape[1] if m.size else 0,
+                      dtype=np.int64)
+        t = pa.table({
+            label_col: batch[label_col],
+            "n_vecs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "n_nonfinite": pa.array((n_bad > 0).astype(np.int64)),
+            "n_zero": pa.array(((row_fp == 0) & (n_bad == 0))
+                               .astype(np.int64)),
+            "min_norm_fp": pa.array(row_fp),
+            "max_norm_fp": pa.array(row_fp),
+            "dim_min": pa.array(dim),
+            "dim_max": pa.array(dim),
+        })
+        return t.group_by([label_col], use_threads=False).aggregate(
+            [("n_vecs", "sum"), ("n_nonfinite", "sum"), ("n_zero", "sum"),
+             ("min_norm_fp", "min"), ("max_norm_fp", "max"),
+             ("dim_min", "min"), ("dim_max", "max")]
+        ).rename_columns([label_col, "n_vecs", "n_nonfinite", "n_zero",
+                          "min_norm_fp", "max_norm_fp", "dim_min",
+                          "dim_max"])
+
+    return (ds.select_columns([label_col, vec_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(label_col)
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                       Sum("n_nonfinite", alias_name="n_nonfinite"),
+                       Sum("n_zero", alias_name="n_zero"),
+                       Min("min_norm_fp", alias_name="min_norm_fp"),
+                       Max("max_norm_fp", alias_name="max_norm_fp"),
+                       Min("dim_min", alias_name="dim_min"),
+                       Max("dim_max", alias_name="dim_max")))

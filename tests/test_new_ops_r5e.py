@@ -493,3 +493,52 @@ def test_nation_trade_flows_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["supp_nation", "cust_nation", "ship_year", "n_items",
              "revenue"]], want, check_dtype=False)
+
+
+# --------------------------------------------------------------- T149
+
+
+def test_embedding_health_matches_python(ray_session):
+    from fast_langdetect_ray.stages.similarity import embedding_health
+    import ray.data as rd
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    agg = {}
+    for lab, vec in zip(t["label"].to_pylist(), t["embedding"].to_pylist()):
+        fp = sum(int(np.floor(np.float64(x) * np.float64(x) * 1e12 + 0.5))
+                 for x in vec)
+        a = agg.setdefault(lab, [0, 0, [], []])
+        a[0] += 1
+        a[1] += 1 if fp == 0 else 0
+        a[2].append(fp)
+        a[3].append(len(vec))
+
+    got = (embedding_health(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("label"))
+    assert len(got) == len(agg)
+    for lab, (n, nz, fps, dims) in agg.items():
+        r = got.loc[lab]
+        assert r["n_vecs"] == n and r["n_zero"] == nz
+        assert r["n_nonfinite"] == 0
+        assert r["min_norm_fp"] == min(fps)
+        assert r["max_norm_fp"] == max(fps)
+        assert r["dim_min"] == min(dims) and r["dim_max"] == max(dims)
+
+
+def test_embedding_health_planted_defects(ray_session):
+    from fast_langdetect_ray.stages.similarity import embedding_health
+    import ray.data as rd
+
+    t = pa.table({
+        "label": pa.array([7, 7, 7], type=pa.int32()),
+        "embedding": pa.array([
+            [1.0, 0.0], [0.0, 0.0], [float("nan"), 1.0],
+        ], type=pa.list_(pa.float32())),
+    })
+    got = (embedding_health(rd.from_arrow(t).repartition(2))
+           .to_pandas().iloc[0])
+    assert got["n_vecs"] == 3
+    assert got["n_zero"] == 1          # the all-zero vector
+    assert got["n_nonfinite"] == 1     # the NaN row (not counted zero)
+    assert got["max_norm_fp"] == 10**12
+    assert got["dim_min"] == 2 and got["dim_max"] == 2
