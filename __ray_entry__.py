@@ -5409,7 +5409,7 @@ def oracle_sql() -> dict[str, str]:
                                + 0.5) AS BIGINT))), 0) AS BIGINT) AS fp
               FROM embeddings
             )
-            SELECT label,
+            SELECT CAST(label AS BIGINT) AS label,
                    CAST(count(*) AS BIGINT) AS n_vecs,
                    CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_nonfinite,
