@@ -3330,6 +3330,279 @@ def _q_nation_trade_flows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_late_shipment_orders(sf_dir: str):
+    """T150: EXISTS-semi-join shape — per order priority, how many
+    orders have AT LEAST ONE lineitem shipped more than 90 days after
+    the order date (fulfilment-lag audit; TPC-H Q4's decomposition).
+
+    The semi-join is rewritten as an aggregate comparison —
+    ``EXISTS(ship > date + 90d) ⇔ max(shipdate) > date + 90d`` — so
+    lineitem collapses to per-orderkey MAX partials inside the batch
+    pass and ONE orderkey-bucket shuffle co-locates each order's rows
+    with its max-partial rows (tagged union — no join operator, no
+    second exchange).  Pure integer µs comparisons; ``late_ppm`` is
+    an exact Python-int ppm over the priority-sized fold."""
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+    lag_us = np.int64(90 * 86_400_000_000)
+
+    def orders_part(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"]
+        return pa.table({
+            "key": key,
+            "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "prio": batch["o_orderpriority"],
+            "tag": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "bucket": pc.cast(pc.bit_wise_and(
+                key, pa.scalar(nb - 1, type=pa.int64())), pa.int64()),
+        })
+
+    def line_part(batch: pa.Table) -> pa.Table:
+        # per-batch MAX(shipdate) partial per orderkey: the lineitem
+        # side shrinks ~4× before it ever touches the shuffle
+        t = pa.table({
+            "key": batch["l_orderkey"],
+            "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+        }).group_by(["key"], use_threads=False).aggregate(
+            [("ship_us", "max")]).rename_columns(["key", "ts_us"])
+        n = t.num_rows
+        return t.append_column(
+            "prio", pa.array([None] * n, type=pa.string())
+        ).append_column(
+            "tag", pa.array(np.ones(n, dtype=np.int8))
+        ).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(
+                t["key"], pa.scalar(nb - 1, type=pa.int64())),
+                pa.int64()))
+
+    def bucket_eval(g: pa.Table) -> pa.Table:
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        is_line = tag == 1
+        lk, ls = key[is_line], ts[is_line]
+        order = np.argsort(lk, kind="stable")
+        lk, ls = lk[order], ls[order]
+        starts = np.empty(lk.size, dtype=bool)
+        if lk.size:
+            starts[0] = True
+            starts[1:] = lk[1:] != lk[:-1]
+        uk = lk[starts]
+        # cross-batch max per orderkey (partials may span batches)
+        seg = np.cumsum(starts) - 1
+        mx = np.full(uk.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, seg, ls)
+        ok, od = key[~is_line], ts[~is_line]
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)[~is_line]
+        pos = np.searchsorted(uk, ok)
+        has = (pos < uk.size)
+        has[has] = uk[pos[has]] == ok[has]
+        late = np.zeros(ok.size, dtype=bool)
+        late[has] = mx[pos[has]] > od[has] + lag_us
+        t = pa.table({
+            "o_orderpriority": pa.array(prio, type=pa.string()),
+            "n_orders": pa.array(np.ones(ok.size, dtype=np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+        })
+        return t.group_by(["o_orderpriority"],
+                          use_threads=False).aggregate(
+            [("n_orders", "sum"), ("n_late", "sum")]
+        ).rename_columns(["o_orderpriority", "n_orders", "n_late"])
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+              .map_batches(orders_part, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    line = (_read(sf_dir, "lineitem")
+            .select_columns(["l_orderkey", "l_shipdate"])
+            .map_batches(line_part, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    agg = (orders.union(line)
+           .groupby("bucket")
+           .map_groups(bucket_eval, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_late", alias_name="n_late")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = [int(x) for x in batch["n_orders"].to_pylist()]
+        m = [int(x) for x in batch["n_late"].to_pylist()]
+        ppm = [(1_000_000 * x) // d if d else 0 for x, d in zip(m, n)]
+        return batch.append_column(
+            "late_ppm", pa.array(ppm, type=pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_returned_items_topk(sf_dir: str):
+    """T151: TPC-H-Q10-style returned-revenue top-k — the customers
+    whose RETURNED items ('R' flag) cost the most revenue inside a
+    one-quarter order window; the third canonical warehouse join
+    shape (Q5 = region rollup, Q7 = nation-pair matrix, this =
+    filtered join + global top-k with a deterministic tiebreak).
+
+    Scale shape: lineitem is filtered to 'R' and pre-aggregated to
+    per-orderkey cents partials BEFORE the one distributed exchange
+    (orderkey bucket join against window-filtered orders); the
+    custkey aggregate is customer-bounded; the final sort+limit(20)
+    moves only (custkey, cents) pairs; names attach from ONE
+    broadcast after the limit.  Int64-cents policy,
+    ``floor(x·100 + 0.5)`` both engines; ties break on custkey."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.state.shufflejoin import hash_bucket_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ck_s = ck[order]
+    cname_s = np.asarray(cust["c_name"].to_pylist(), dtype=object)[order]
+    cnk_s = cust["c_nationkey"].to_numpy()[order].astype(np.int64)
+    nnk = nation["n_nationkey"].to_numpy()
+    n_names = np.empty(int(nnk.max()) + 1, dtype=object)
+    n_names[nnk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    ref = ray.put((ck_s, cname_s, cnk_s, n_names))
+
+    lo = np.datetime64("1996-10-01")
+    hi = np.datetime64("1997-01-01")
+
+    def line_part(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "cents": cents,
+        }).group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("cents", "sum")]).rename_columns(["l_orderkey", "cents"])
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": pc.cast(t["o_custkey"],
+                                              pa.int64())})
+
+    line = (_read(sf_dir, "lineitem")
+            .select_columns(["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+            .map_batches(line_part, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_proj, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    joined = hash_bucket_join(
+        line, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        join_type="inner",
+        right_schema=pa.schema([pa.field("o_orderkey", pa.int64()),
+                                pa.field("c_custkey", pa.int64())]))
+
+    top = (joined.groupby("c_custkey")
+           .aggregate(Sum("cents", alias_name="cents"))
+           .sort([("cents"), ("c_custkey")], descending=[True, False])
+           .limit(20))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys_s, names, nk, nnames = ray.get(ref)
+        pos = np.searchsorted(
+            keys_s, batch["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_name": pa.array(names[pos], type=pa.string()),
+            "n_name": pa.array(nnames[nk[pos]], type=pa.string()),
+            "revenue": pc.divide(pc.cast(batch["cents"], pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_session_stats(sf_dir: str, n_buckets: int | None = None):
+    """T155: per-user session rollup over the T13c sessionization —
+    the engagement profile (sessions, events, time-in-app) a
+    behavioral pipeline reads per user.  Same user-bucket shuffle as
+    ``sessionize_events`` (whole users co-locate, one vectorized
+    pandas pass per bucket, never per user), then the rollup stays
+    inside the same pass — user-cardinality rows out, all-integer
+    (µs spans, counts), hash-exact."""
+    import pandas as pd
+
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    if n_buckets is None:
+        n_buckets = default_hash_buckets()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(
+            batch["user_id"], pa.scalar(n_buckets - 1,
+                                        type=pa.int64())), pa.int64())
+        return batch.append_column("bucket", b)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=_SESSION_GAP_MIN)
+        new_sess = (new_user | gap)
+        cum = new_sess.cumsum()
+        sess = g.assign(sess_id=cum).groupby(
+            ["user_id", "sess_id"], as_index=False).agg(
+            start=("ts", "min"), end=("ts", "max"),
+            n_events=("ts", "size"))
+        # integer µs regardless of the pandas datetime unit (ns vs us)
+        span = ((sess["end"] - sess["start"])
+                // pd.Timedelta(microseconds=1)).astype("int64")
+        out = sess.assign(span_us=span).groupby(
+            "user_id", as_index=False).agg(
+            n_sessions=("sess_id", "size"),
+            n_events=("n_events", "sum"),
+            total_span_us=("span_us", "sum"),
+            max_session_events=("n_events", "max"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events")
+        .select_columns(["user_id", "ts"])
+        .map_batches(bucketize, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def _q_script_lang_mismatch(sf_dir: str):
+    """T153: per-(source, lang) declared-language vs dominant-script
+    mismatch audit (metadata trust)."""
+    from fast_langdetect_ray.stages.diversity import script_lang_mismatch
+    return script_lang_mismatch(_read(sf_dir, "documents"))
+
+
+def _q_embedding_dim_stats(sf_dir: str):
+    """T154: per-dimension embedding audit (dead/clipped dims,
+    mean/var drift); exact Python-int fold per dim."""
+    from fast_langdetect_ray.stages.similarity import embedding_dim_stats
+    return embedding_dim_stats(_read(sf_dir, "embeddings"))
+
+
+def _q_context_overflow(sf_dir: str):
+    """T152: per-source truncation-loss audit at seq_len=64 (the
+    synthetic docs run 10–99 whitespace tokens; production default is
+    2048 — the ratio logic is length-scale-free)."""
+    from fast_langdetect_ray.stages.mixture import context_overflow
+    return context_overflow(_read(sf_dir, "documents"), seq_len=64)
+
+
 def _q_minhash_param_sweep(sf_dir: str):
     """T147: MinHash-LSH (bands × rows) tuning table — the
     scale-planning report run BEFORE committing a 100-TB dedup to one
@@ -3583,6 +3856,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_density": _q_pii_density,
         "nation_trade_flows": _q_nation_trade_flows,
         "embedding_health": _q_embedding_health,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "returned_items_topk": _q_returned_items_topk,
+        "session_stats": _q_session_stats,
+        "script_lang_mismatch": _q_script_lang_mismatch,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "context_overflow": _q_context_overflow,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -5420,6 +5699,191 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(dim) AS BIGINT) AS dim_min,
                    CAST(max(dim) AS BIGINT) AS dim_max
             FROM v GROUP BY label
+        """,
+        # T150: EXISTS semi-join ⇔ max(shipdate) comparison; pure
+        # integer date arithmetic, HUGEINT-widened ppm
+        "late_shipment_orders": """
+            WITH mx AS (
+              SELECT l_orderkey, max(l_shipdate) AS max_ship
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN m.max_ship
+                                      > o.o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late,
+                   CAST((1000000 * CAST(sum(CASE WHEN m.max_ship
+                                      > o.o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS HUGEINT))
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                       AS late_ppm
+            FROM orders o LEFT JOIN mx m ON o.o_orderkey = m.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        # T151: Q10-style returned-revenue top-k; int64-cents policy,
+        # one-quarter order window, deterministic custkey tiebreak
+        "returned_items_topk": """
+            WITH rev AS (
+              SELECT o.o_custkey AS c_custkey,
+                     sum(CAST(floor(l.l_extendedprice
+                          * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                         AS cents
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o.o_custkey
+            )
+            SELECT CAST(r.c_custkey AS BIGINT) AS c_custkey,
+                   c.c_name, n.n_name,
+                   CAST(r.cents AS DOUBLE) / 100.0 AS revenue
+            FROM rev r
+            JOIN customer c ON r.c_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY r.cents DESC, r.c_custkey
+            LIMIT 20
+        """,
+        # T155: per-user session rollup (same 30-min gap CTE as the
+        # sessionize oracle, then a user-level fold; all-integer)
+        "session_stats": f"""
+            WITH sess AS (
+              SELECT user_id, session_seq,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM (
+                    SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w
+                                     > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                )
+              ) GROUP BY user_id, session_seq
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(sum(epoch_us(session_end)
+                            - epoch_us(session_start)) AS BIGINT)
+                       AS total_span_us,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events
+            FROM sess GROUP BY user_id
+        """,
+        # T153: declared-lang vs dominant-script audit; the T116
+        # engine-shared codepoint ranges, HUGEINT-widened ppm
+        "script_lang_mismatch": """
+            WITH c AS (
+              SELECT source, lang,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^A-Za-z]', '', 'g')) AS n_latin,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_han,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^\\x{3040}-\\x{30FF}]', '', 'g')) AS n_kana,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^\\x{AC00}-\\x{D7AF}]', '', 'g')) AS n_hangul
+              FROM documents
+            ),
+            f AS (
+              SELECT source, lang,
+                     n_latin + n_han + n_kana + n_hangul AS letters,
+                     CASE lang
+                       WHEN 'en' THEN n_latin WHEN 'fr' THEN n_latin
+                       WHEN 'es' THEN n_latin WHEN 'de' THEN n_latin
+                       WHEN 'it' THEN n_latin WHEN 'pt' THEN n_latin
+                       WHEN 'nl' THEN n_latin WHEN 'sv' THEN n_latin
+                       WHEN 'zh' THEN n_han WHEN 'ja' THEN n_kana
+                       WHEN 'ko' THEN n_hangul ELSE NULL END AS expected
+              FROM c
+            )
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN expected IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_unmapped,
+                   CAST(sum(CASE WHEN expected IS NOT NULL
+                                  AND letters > 0
+                                  AND 2 * expected < letters
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
+                   CAST((1000000 * CAST(sum(CASE WHEN expected IS NOT NULL
+                                  AND letters > 0
+                                  AND 2 * expected < letters
+                                 THEN 1 ELSE 0 END) AS HUGEINT))
+                        // CAST(count(*) AS HUGEINT) AS BIGINT)
+                       AS mismatch_ppm
+            FROM f GROUP BY source, lang
+        """,
+        # T154: per-dimension embedding audit; fixed-point nano/pico
+        # sums widened to HUGEINT, identical final IEEE expressions
+        "embedding_dim_stats": """
+            WITH e AS (
+              SELECT i AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                            AS i) r
+            ),
+            fp AS (
+              SELECT dim,
+                     CAST(floor(x * 1000000000 + 0.5) AS BIGINT)
+                         AS nano,
+                     CAST(floor(x * x * 1000000000000 + 0.5) AS BIGINT)
+                         AS pico
+              FROM e
+            ),
+            s AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(nano AS HUGEINT)) AS DOUBLE) AS sn,
+                     CAST(sum(CAST(pico AS HUGEINT)) AS DOUBLE) AS sp,
+                     CAST(min(nano) AS BIGINT) AS min_nano,
+                     CAST(max(nano) AS BIGINT) AS max_nano
+              FROM fp GROUP BY dim
+            )
+            SELECT CAST(dim AS BIGINT) AS dim, n,
+                   sn / (1000000000.0 * n) AS mean,
+                   sp / (1000000000000.0 * n)
+                       - (sn / (1000000000.0 * n))
+                         * (sn / (1000000000.0 * n)) AS var,
+                   min_nano, max_nano,
+                   min_nano = max_nano AS is_dead
+            FROM s
+        """,
+        # T152: truncation-loss audit at seq_len=64; exact int64 /
+        # HUGEINT-widened ppm (the packing_efficiency contract)
+        "context_overflow": """
+            WITH tok AS (
+              SELECT source,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS nt
+              FROM documents
+            ),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS tokens,
+                         CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_docs_over,
+                         CAST(sum(CASE WHEN nt > 64 THEN nt - 64
+                                       ELSE 0 END) AS BIGINT)
+                             AS trunc_tokens
+                  FROM tok GROUP BY source)
+            SELECT source, n_docs, tokens, n_docs_over, trunc_tokens,
+                   CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((1000000
+                             * CAST(trunc_tokens AS HUGEINT))
+                             // CAST(tokens AS HUGEINT) AS BIGINT)
+                        END AS trunc_share_ppm,
+                   CAST(64 AS BIGINT) AS seq_len
+            FROM s
         """,
         # T148: TPC-H-Q7-style cross-nation trade flows; int64-cents
         # floor(x+0.5) policy, shipdate window, nation inequality

@@ -169,6 +169,12 @@ HEADLINE = [
     "pii_density",
     "nation_trade_flows",
     "embedding_health",
+    "late_shipment_orders",
+    "returned_items_topk",
+    "session_stats",
+    "script_lang_mismatch",
+    "embedding_dim_stats",
+    "context_overflow",
 ]
 
 

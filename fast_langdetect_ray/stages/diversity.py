@@ -1092,3 +1092,94 @@ def vocab_coverage(ds, ks: tuple = (10, 100, 1000),
         "total_mass": pa.array(tot),
         "coverage": pa.array(cov, type=pa.float64()),
     }))
+
+
+# T153: expected dominant script class per declared language label.
+# Labels outside the map are counted (n_docs_unmapped) but never
+# flagged — flagging what we can't check would poison the rollup.
+_EXPECTED_SCRIPT = {
+    "en": "n_latin", "fr": "n_latin", "es": "n_latin", "de": "n_latin",
+    "it": "n_latin", "pt": "n_latin", "nl": "n_latin", "sv": "n_latin",
+    "zh": "n_han", "ja": "n_kana", "ko": "n_hangul",
+}
+
+
+def script_lang_mismatch(ds, lang_col: str = "lang",
+                         source_col: str = "source",
+                         text_col: str = "text"):
+    """T153: metadata-trust audit — per ``(source, lang)``, how many
+    documents' DECLARED language disagrees with their dominant script
+    (a "zh" doc that is 90% Latin codepoints, an "en" doc that is
+    mostly Han).  Upstream metadata (HTTP headers, site tags) is the
+    least reliable column in a crawl; a source×lang cell with a high
+    mismatch rate means that source's labels must be replaced by
+    model language-ID (T12) before per-language filtering trusts them.
+
+    A doc is mismatched when its expected script class (fixed
+    ``_EXPECTED_SCRIPT`` map, shared with the oracle) accounts for
+    LESS than half of its script letters (latin+han+kana+hangul over
+    the T116 engine-shared ranges); docs with zero script letters or
+    an unmapped label are never flagged (tracked via
+    ``n_docs_unmapped``).  All counts exact int64; ``mismatch_ppm``
+    is an exact Python-int ppm over the (source×lang)-cardinality
+    finish fold (T140 contract — the oracle twin widens to HUGEINT).
+
+    Scale shape: ONE stateless pass (utf-32 codepoint view, one
+    vectorized range test per class, per-batch (source, lang)-keyed
+    partials) → cell-sized ``groupby().Sum`` → catalog-sized fold.
+    """
+    from ray.data.aggregate import Sum
+
+    classes = ("n_latin", "n_han", "n_kana", "n_hangul")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cps, parent = _codepoints(batch[text_col])
+        n_rows = batch.num_rows
+        counts = {}
+        for name in classes:
+            m = np.zeros(cps.size, dtype=bool)
+            for lo, hi in _SCRIPT_RANGES[name]:
+                m |= (cps >= np.uint32(lo)) & (cps <= np.uint32(hi))
+            counts[name] = np.bincount(parent[m], minlength=n_rows) \
+                .astype(np.int64)
+        letters = sum(counts.values())
+        langs = np.asarray(
+            pc.fill_null(batch[lang_col], "").to_pylist(), dtype=object)
+        expected = np.zeros(n_rows, dtype=np.int64)
+        mapped = np.zeros(n_rows, dtype=bool)
+        for lang, cls in _EXPECTED_SCRIPT.items():
+            sel = langs == lang
+            mapped |= sel
+            expected[sel] = counts[cls][sel]
+        mism = mapped & (letters > 0) & (2 * expected < letters)
+        t = pa.table({
+            source_col: batch[source_col],
+            lang_col: batch[lang_col],
+            "n_docs": pa.array(np.ones(n_rows, dtype=np.int64)),
+            "n_docs_unmapped": pa.array((~mapped).astype(np.int64)),
+            "n_mismatch": pa.array(mism.astype(np.int64)),
+        })
+        return t.group_by([source_col, lang_col],
+                          use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_docs_unmapped", "sum"),
+             ("n_mismatch", "sum")]
+        ).rename_columns([source_col, lang_col, "n_docs",
+                          "n_docs_unmapped", "n_mismatch"])
+
+    agg = (ds.select_columns([source_col, lang_col, text_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby([source_col, lang_col])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_docs_unmapped",
+                          alias_name="n_docs_unmapped"),
+                      Sum("n_mismatch", alias_name="n_mismatch")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = [int(x) for x in batch["n_docs"].to_pylist()]
+        m = [int(x) for x in batch["n_mismatch"].to_pylist()]
+        ppm = [(1_000_000 * x) // d if d else 0 for x, d in zip(m, n)]
+        return batch.append_column(
+            "mismatch_ppm", pa.array(ppm, type=pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

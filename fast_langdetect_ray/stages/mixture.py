@@ -163,3 +163,72 @@ def packing_efficiency(ds, seq_len: int = 2048, text_col: str = "text",
                     np.full(len(batch), L, dtype=np.int64))))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def context_overflow(ds, seq_len: int = 2048, text_col: str = "text",
+                     source_col: str = "source"):
+    """T152: per-source truncation-loss audit at a context length —
+    the complement of :func:`packing_efficiency` (which prices
+    PADDING waste of short docs; this prices the tokens a
+    truncate-at-``seq_len`` loader silently DROPS from long docs).
+    High ``trunc_share_ppm`` on a source means its documents need the
+    T79 ``doc_chunks`` splitter, not truncation, before training.
+
+    Output row per source: ``n_docs``, ``tokens`` (whitespace token
+    mass), ``n_docs_over`` (docs strictly longer than ``seq_len``),
+    ``trunc_tokens = Σ max(tokens_d − seq_len, 0)`` and
+    ``trunc_share_ppm = 1e6 · trunc_tokens / tokens`` (exact integer
+    ppm; the product wraps int64 at ~9.2e12 tokens per source, so the
+    source-cardinality finish fold uses Python ints and the oracle
+    twin widens to HUGEINT — the T140/T141 contract).
+
+    Scale shape: ONE stateless ``map_batches`` pass (vectorized token
+    counts, per-batch source-keyed partials) → source-sized
+    ``groupby().Sum`` → catalog-sized finish fold.  Nothing
+    row-count-sized leaves the batch stage.
+    """
+    from ray.data.aggregate import Sum
+
+    L = int(seq_len)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        # null text = 0 tokens (the oracle's sum() skips the NULL —
+        # same total; its CASE WHEN NULL falls to ELSE 0 — same flags)
+        nt = pc.fill_null(pc.cast(token_count(batch[text_col]),
+                                  pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        over = np.maximum(nt - L, 0)
+        t = pa.table({
+            source_col: batch[source_col],
+            "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "tokens": pa.array(nt),
+            "n_docs_over": pa.array((nt > L).astype(np.int64)),
+            "trunc_tokens": pa.array(over),
+        })
+        return t.group_by([source_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("tokens", "sum"),
+             ("n_docs_over", "sum"), ("trunc_tokens", "sum")]
+        ).rename_columns([source_col, "n_docs", "tokens",
+                          "n_docs_over", "trunc_tokens"])
+
+    agg = (ds.select_columns([source_col, text_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(source_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("tokens", alias_name="tokens"),
+                      Sum("n_docs_over", alias_name="n_docs_over"),
+                      Sum("trunc_tokens", alias_name="trunc_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # source-cardinality rows: exact Python-int ppm (T140 contract)
+        tokens = [int(t) for t in batch["tokens"].to_pylist()]
+        trunc = [int(t) for t in batch["trunc_tokens"].to_pylist()]
+        share = [(_PPM * x) // t if t else 0
+                 for x, t in zip(trunc, tokens)]
+        return (batch.append_column(
+                    "trunc_share_ppm", pa.array(share, type=pa.int64()))
+                .append_column("seq_len", pa.array(
+                    np.full(len(batch), L, dtype=np.int64))))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

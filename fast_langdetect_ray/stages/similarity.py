@@ -719,3 +719,76 @@ def embedding_health(ds, vec_col: str = "embedding",
                        Max("max_norm_fp", alias_name="max_norm_fp"),
                        Min("dim_min", alias_name="dim_min"),
                        Max("dim_max", alias_name="dim_max")))
+
+
+def embedding_dim_stats(ds, vec_col: str = "embedding"):
+    """T154: per-DIMENSION embedding audit — the transpose of T149
+    ``embedding_health``'s per-label rows.  Finds dead dimensions
+    (min == max: the encoder never moves them — wasted ANN budget),
+    clipped dimensions (min/max pinned at a quantization bound), and
+    per-dim mean/variance drift between encoder versions.
+
+    Exactness contract: each element folds to fixed-point **nanos**
+    (``floor(x·1e9 + 0.5)``) and squared **picos** (``floor(x²·1e12
+    + 0.5)``), summed per dimension.  Per-batch partials are int64;
+    the cross-batch fold runs in exact PYTHON ints inside a dim-keyed
+    ``map_groups`` (n_batches × dim rows — never a float sum, never
+    an int64 overflow; the oracle twin widens to HUGEINT).  The only
+    floats are the final ``mean = double(sum)/(1e9·n)`` and
+    ``var = double(sumsq)/(1e12·n) − mean²`` — identical two-operand
+    IEEE expressions both engines.
+
+    Scale shape: stateless per-batch kernel (one zero-copy matrix
+    view, three ``sum(axis=0)``) → dim-keyed partials (dim rows per
+    batch) → dim-sized ``groupby().map_groups`` exact fold.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col, dtype=np.float64)
+        if m.size == 0:
+            return pa.table({
+                "dim": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_nano": pa.array([], type=pa.int64()),
+                "sumsq_pico": pa.array([], type=pa.int64()),
+                "min_nano": pa.array([], type=pa.int64()),
+                "max_nano": pa.array([], type=pa.int64()),
+            })
+        nano = np.floor(m * 1e9 + 0.5).astype(np.int64)
+        pico = np.floor(m * m * 1e12 + 0.5).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1,
+                                      dtype=np.int64)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0],
+                                  dtype=np.int64)),
+            "sum_nano": pa.array(nano.sum(axis=0)),
+            "sumsq_pico": pa.array(pico.sum(axis=0)),
+            "min_nano": pa.array(nano.min(axis=0)),
+            "max_nano": pa.array(nano.max(axis=0)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        # exact Python-int fold per dim: int64 would wrap at ~9.2e9
+        # rows × unit mass (sum_nano) — far below the 10^12-row claim
+        s = sum(int(x) for x in g["sum_nano"].to_pylist())
+        ss = sum(int(x) for x in g["sumsq_pico"].to_pylist())
+        n = sum(int(x) for x in g["n"].to_pylist())
+        lo = min(int(x) for x in g["min_nano"].to_pylist())
+        hi = max(int(x) for x in g["max_nano"].to_pylist())
+        mean = float(s) / (1e9 * n) if n else 0.0
+        var = float(ss) / (1e12 * n) - mean * mean if n else 0.0
+        return pa.table({
+            "dim": pa.array([int(g["dim"][0].as_py())],
+                            type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+            "mean": pa.array([mean], type=pa.float64()),
+            "var": pa.array([var], type=pa.float64()),
+            "min_nano": pa.array([lo], type=pa.int64()),
+            "max_nano": pa.array([hi], type=pa.int64()),
+            "is_dead": pa.array([lo == hi], type=pa.bool_()),
+        })
+
+    return (ds.select_columns([vec_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("dim")
+            .map_groups(fold, batch_format="pyarrow"))

@@ -1,0 +1,272 @@
+"""Round-5 sixth-session operators: T150 late-shipment semi-join,
+T151 Q10-style returned-revenue top-k, T152 context-overflow audit,
+T153 script/lang mismatch audit, T154 per-dimension embedding stats,
+T155 per-user session rollup — each against a pure-Python brute-force
+oracle on sf0.001 plus synthetic edges and partition invariance."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _entry():
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__ray_entry__")
+
+
+# --------------------------------------------------------------- T150
+
+
+def test_late_shipment_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["late_shipment_orders"](SF_DIR)
+           .to_pandas().set_index("o_orderpriority"))
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    line = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    mx = line.groupby("l_orderkey")["l_shipdate"].max()
+    lag = pd.Timedelta(days=90)
+    want_orders = collections.Counter(orders["o_orderpriority"])
+    want_late = collections.Counter()
+    for _, row in orders.iterrows():
+        ship = mx.get(row["o_orderkey"])
+        if ship is not None and ship > row["o_orderdate"] + lag:
+            want_late[row["o_orderpriority"]] += 1
+    assert len(got) == len(want_orders)
+    for prio, n in want_orders.items():
+        assert got.loc[prio, "n_orders"] == n
+        assert got.loc[prio, "n_late"] == want_late[prio]
+        assert got.loc[prio, "late_ppm"] == \
+            (1_000_000 * want_late[prio]) // n
+
+
+# --------------------------------------------------------------- T151
+
+
+def test_returned_items_topk_matches_python(ray_session):
+    m = _entry()
+    got = m.queries()["returned_items_topk"](SF_DIR).to_pandas()
+
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    lo, hi = pd.Timestamp("1996-10-01"), pd.Timestamp("1997-01-01")
+    win = orders[(orders["o_orderdate"] >= lo)
+                 & (orders["o_orderdate"] < hi)]
+    r = line[line["l_returnflag"] == "R"].merge(
+        win, left_on="l_orderkey", right_on="o_orderkey")
+    cents = np.floor(
+        r["l_extendedprice"].to_numpy()
+        * (1 - r["l_discount"].to_numpy()) * 100 + 0.5).astype("int64")
+    per_cust = collections.Counter()
+    for ck, c in zip(r["o_custkey"], cents):
+        per_cust[ck] += int(c)
+    want = sorted(per_cust.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == min(20, len(per_cust))
+    got_pairs = [(int(k), int(round(v * 100)))
+                 for k, v in zip(got["c_custkey"], got["revenue"])]
+    assert sorted(got_pairs) == sorted(
+        (int(k), v) for k, v in want)
+    # names attach correctly
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas() \
+        .set_index("c_custkey")
+    for _, row in got.iterrows():
+        assert row["c_name"] == cust.loc[row["c_custkey"], "c_name"]
+
+
+# --------------------------------------------------------------- T152
+
+
+def test_context_overflow_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import context_overflow
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "text"])
+    got = (context_overflow(rd.from_arrow(t).repartition(7), seq_len=64)
+           .to_pandas().set_index("source"))
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        nt = len([w for w in (txt or "").split() if w])
+        a = agg[src]
+        a[0] += 1
+        a[1] += nt
+        a[2] += 1 if nt > 64 else 0
+        a[3] += max(nt - 64, 0)
+    assert len(got) == len(agg)
+    for src, (nd, tok, over, trunc) in agg.items():
+        assert got.loc[src, "n_docs"] == nd
+        assert got.loc[src, "tokens"] == tok
+        assert got.loc[src, "n_docs_over"] == over
+        assert got.loc[src, "trunc_tokens"] == trunc
+        assert got.loc[src, "trunc_share_ppm"] == \
+            ((1_000_000 * trunc) // tok if tok else 0)
+        assert got.loc[src, "seq_len"] == 64
+
+
+def test_context_overflow_empty_and_null(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.mixture import context_overflow
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"], type=pa.string()),
+        "text": pa.array([None, "", "x " * 100], type=pa.string()),
+    })
+    got = (context_overflow(rd.from_arrow(t), seq_len=64)
+           .to_pandas().set_index("source"))
+    assert got.loc["a", "tokens"] == 0
+    assert got.loc["a", "trunc_share_ppm"] == 0
+    assert got.loc["b", "n_docs_over"] == 1
+    assert got.loc["b", "trunc_tokens"] == 36
+
+
+# --------------------------------------------------------------- T153
+
+
+def test_script_lang_mismatch_synthetic(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import script_lang_mismatch
+
+    t = pa.table({
+        "source": pa.array(["s"] * 5, type=pa.string()),
+        "lang": pa.array(["en", "zh", "zh", "xx", "en"],
+                         type=pa.string()),
+        "text": pa.array([
+            "plain english text",     # en + latin: ok
+            "你好世界你好",  # zh + han: ok
+            "actually latin text",    # zh declared, latin body: flag
+            "unmapped language",      # xx: unmapped, never flagged
+            "12345 !!! ...",          # no script letters: never flagged
+        ], type=pa.string()),
+    })
+    got = (script_lang_mismatch(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("lang"))
+    assert got.loc["en", "n_docs"] == 2
+    assert got.loc["en", "n_mismatch"] == 0
+    assert got.loc["zh", "n_docs"] == 2
+    assert got.loc["zh", "n_mismatch"] == 1
+    assert got.loc["zh", "mismatch_ppm"] == 500_000
+    assert got.loc["xx", "n_docs_unmapped"] == 1
+    assert got.loc["xx", "n_mismatch"] == 0
+
+
+def test_script_lang_mismatch_majority_rule(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.diversity import script_lang_mismatch
+
+    # exactly half expected-script letters is NOT a mismatch
+    # (2·expected < letters is strict)
+    half = "abcd" + "一丁丂七"
+    less = "ab" + "一丁丂七"
+    t = pa.table({
+        "source": pa.array(["s", "s"], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+        "text": pa.array([half, less], type=pa.string()),
+    })
+    got = (script_lang_mismatch(rd.from_arrow(t))
+           .to_pandas())
+    assert int(got["n_mismatch"].iloc[0]) == 1
+
+
+# --------------------------------------------------------------- T154
+
+
+def test_embedding_dim_stats_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import embedding_dim_stats
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    got = (embedding_dim_stats(rd.from_arrow(t).repartition(6))
+           .to_pandas().set_index("dim").sort_index())
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    nano = np.floor(m * 1e9 + 0.5).astype(np.int64)
+    pico = np.floor(m * m * 1e12 + 0.5).astype(np.int64)
+    n = m.shape[0]
+    for j in range(m.shape[1]):
+        d = j + 1
+        s = int(nano[:, j].sum())
+        ss = int(pico[:, j].sum())
+        assert got.loc[d, "n"] == n
+        assert got.loc[d, "mean"] == float(s) / (1e9 * n)
+        mean = float(s) / (1e9 * n)
+        assert got.loc[d, "var"] == float(ss) / (1e12 * n) - mean * mean
+        assert got.loc[d, "min_nano"] == int(nano[:, j].min())
+        assert got.loc[d, "max_nano"] == int(nano[:, j].max())
+        assert not got.loc[d, "is_dead"]
+
+
+def test_embedding_dim_stats_dead_dim(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.similarity import embedding_dim_stats
+
+    t = pa.table({
+        "embedding": pa.array([[0.5, 1.0], [0.5, -1.0], [0.5, 0.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    got = (embedding_dim_stats(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("dim"))
+    assert bool(got.loc[1, "is_dead"])
+    assert not bool(got.loc[2, "is_dead"])
+    assert got.loc[1, "min_nano"] == got.loc[1, "max_nano"] == 500_000_000
+
+
+# --------------------------------------------------------------- T155
+
+
+def test_session_stats_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["session_stats"](SF_DIR)
+           .to_pandas().set_index("user_id").sort_index())
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    gap = pd.Timedelta(minutes=30)
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].sort_values().to_list()
+        sessions = []
+        cur = [ts[0], ts[0], 1]
+        for t in ts[1:]:
+            if t - cur[1] > gap:
+                sessions.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        sessions.append(cur)
+        span = sum(int((e - s) // pd.Timedelta(microseconds=1))
+                   for s, e, _ in sessions)
+        want[uid] = (len(sessions), len(ts), span,
+                     max(c for _, _, c in sessions))
+    assert len(got) == len(want)
+    for uid, (ns, ne, span, mx) in want.items():
+        assert got.loc[uid, "n_sessions"] == ns
+        assert got.loc[uid, "n_events"] == ne
+        assert got.loc[uid, "total_span_us"] == span
+        assert got.loc[uid, "max_session_events"] == mx
+
+
+def test_session_stats_bucket_invariant(ray_session):
+    m = _entry()
+    import __ray_entry__ as e
+    a = e._q_session_stats(SF_DIR, n_buckets=2).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    b = e._q_session_stats(SF_DIR, n_buckets=64).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
