@@ -3603,6 +3603,139 @@ def _q_context_overflow(sf_dir: str):
     return context_overflow(_read(sf_dir, "documents"), seq_len=64)
 
 
+def _q_brand_supplier_coverage(sf_dir: str):
+    """T156: per-brand supplier/part coverage — how many DISTINCT
+    suppliers and parts each brand's line items touch (supply-chain
+    concentration: a brand with high item volume but few suppliers is
+    a single-point-of-failure row).  Composition the engine lacked:
+    broadcast dimension attach THEN the distinct-triple bucket
+    pattern (T69) — and BOTH distinct families plus the plain item
+    count ride ONE tagged-union shuffle (kind 0 = supplier keys,
+    kind 1 = part keys, kind 2 = per-batch count sentinels), so each
+    distinct (brand, kind, key) lands in exactly one bucket and
+    per-bucket distinct counts sum exactly.  Lineitem text/price
+    columns never load; only int64 keys + the brand string move."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.functions.hashing import (
+        hash_string_array, splitmix64)
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk_s = pk[order]
+    brand_s = np.asarray(part["p_brand"].to_pylist(),
+                         dtype=object)[order]
+    ref = ray.put((pk_s, brand_s))
+    nb = np.uint64(default_hash_buckets())
+    mask = np.int64(int(nb) - 1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pk_sorted, brands = ray.get(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = brands[np.searchsorted(pk_sorted, lp)]
+        out_b, out_kind, out_key, out_bucket = [], [], [], []
+        for kind, keys in ((0, ls), (1, lp)):
+            o = np.lexsort((keys, b))
+            bb, kk = b[o], keys[o]
+            first = np.empty(kk.size, dtype=bool)
+            if kk.size:
+                first[0] = True
+                first[1:] = (bb[1:] != bb[:-1]) | (kk[1:] != kk[:-1])
+            bb, kk = bb[first], kk[first]
+            h = splitmix64((kk.astype(np.uint64) * np.uint64(3)
+                            + np.uint64(kind)))
+            out_b.append(bb)
+            out_kind.append(np.full(kk.size, kind, dtype=np.int8))
+            out_key.append(kk)
+            out_bucket.append((h & np.uint64(mask)).astype(np.int64))
+        ub, uc = np.unique(b, return_counts=True)
+        out_b.append(ub)
+        out_kind.append(np.full(ub.size, 2, dtype=np.int8))
+        out_key.append(uc.astype(np.int64))
+        out_bucket.append((hash_string_array(
+            pa.array(ub, type=pa.string())) & np.uint64(mask))
+            .astype(np.int64))
+        return pa.table({
+            "brand": pa.array(np.concatenate(out_b),
+                              type=pa.string()),
+            "kind": pa.array(np.concatenate(out_kind)),
+            "key": pa.array(np.concatenate(out_key)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        brand = np.asarray(g["brand"].to_pylist(), dtype=object)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        acc = {}  # brand -> [n_suppliers, n_parts, n_items]
+
+        def bump(bs, vals, slot):
+            for bname, v in zip(bs, vals):
+                acc.setdefault(bname, [0, 0, 0])[slot] += int(v)
+
+        for k in (0, 1):
+            m = kind == k
+            bb, kk = brand[m], key[m]
+            o = np.lexsort((kk, bb))
+            bb, kk = bb[o], kk[o]
+            first = np.empty(kk.size, dtype=bool)
+            if kk.size:
+                first[0] = True
+                first[1:] = (bb[1:] != bb[:-1]) | (kk[1:] != kk[:-1])
+            ub, uc = np.unique(bb[first], return_counts=True)
+            bump(ub, uc, k)
+        m = kind == 2
+        bump(brand[m], key[m], 2)
+        names = sorted(acc)
+        return pa.table({
+            "p_brand": pa.array(names, type=pa.string()),
+            "n_suppliers": pa.array([acc[x][0] for x in names],
+                                    type=pa.int64()),
+            "n_parts": pa.array([acc[x][1] for x in names],
+                                type=pa.int64()),
+            "n_items": pa.array([acc[x][2] for x in names],
+                                type=pa.int64()),
+        })
+
+    return (_read(sf_dir, "lineitem")
+            .select_columns(["l_partkey", "l_suppkey"])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("n_suppliers", alias_name="n_suppliers"),
+                       Sum("n_parts", alias_name="n_parts")))
+
+
+def _q_doc_prefix_dup(sf_dir: str):
+    """T157: duplicate-intro groups (first-8-token prefix)."""
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+    return doc_prefix_dup(_read(sf_dir, "documents"))
+
+
+def _q_encoding_junk(sf_dir: str):
+    """T158: per-source mojibake / control-character audit."""
+    from fast_langdetect_ray.stages.normalize import encoding_junk
+    return encoding_junk(_read(sf_dir, "documents"))
+
+
+def _q_token_length_histogram(sf_dir: str):
+    """T159: per-language token char-length histogram (cap 32)."""
+    from fast_langdetect_ray.stages.textstats import \
+        token_length_histogram
+    return token_length_histogram(_read(sf_dir, "documents"))
+
+
 def _q_minhash_param_sweep(sf_dir: str):
     """T147: MinHash-LSH (bands × rows) tuning table — the
     scale-planning report run BEFORE committing a 100-TB dedup to one
@@ -3862,6 +3995,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_lang_mismatch": _q_script_lang_mismatch,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "context_overflow": _q_context_overflow,
+        "brand_supplier_coverage": _q_brand_supplier_coverage,
+        "doc_prefix_dup": _q_doc_prefix_dup,
+        "encoding_junk": _q_encoding_junk,
+        "token_length_histogram": _q_token_length_histogram,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -5699,6 +5836,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(dim) AS BIGINT) AS dim_min,
                    CAST(max(dim) AS BIGINT) AS dim_max
             FROM v GROUP BY label
+        """,
+        # T156: broadcast brand attach + distinct-triple buckets;
+        # pure integer distinct counts
+        "brand_supplier_coverage": """
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS n_suppliers,
+                   CAST(count(DISTINCT l.l_partkey) AS BIGINT)
+                       AS n_parts
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        # T157: whitespace-normalized first-8-token prefix groups;
+        # identical RE2 both engines, empty prefixes dropped
+        "doc_prefix_dup": """
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract(trim(regexp_replace(
+                         coalesce(text, ''), '\\s+', ' ', 'g')),
+                         '^(\\S+( \\S+){0,7})', 1) AS prefix
+              FROM documents
+            )
+            SELECT prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM p WHERE prefix <> ''
+            GROUP BY prefix HAVING count(*) >= 2
+        """,
+        # T158: mojibake audit; junk character classes shared
+        # verbatim with the engine, HUGEINT-widened per-mchar rate
+        "encoding_junk": """
+            WITH c AS (
+              SELECT source,
+                     length(coalesce(text, '')) AS n_chars,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^\\x{FFFD}]', '', 'g')) AS n_replacement,
+                     length(regexp_replace(coalesce(text, ''),
+                         '[^\\x{00}-\\x{08}\\x{0B}\\x{0C}'
+                         || '\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]',
+                         '', 'g')) AS n_control
+              FROM documents
+            ),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                         CAST(sum(n_replacement) AS BIGINT)
+                             AS n_replacement,
+                         CAST(sum(n_control) AS BIGINT) AS n_control
+                  FROM c GROUP BY source)
+            SELECT source, n_docs, n_chars, n_replacement, n_control,
+                   CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((1000000 * (
+                             CAST(n_replacement AS HUGEINT)
+                             + CAST(n_control AS HUGEINT)))
+                             // CAST(n_chars AS HUGEINT) AS BIGINT)
+                        END AS junk_per_mchar
+            FROM s
+        """,
+        # T159: per-lang token char-length histogram, cap 32;
+        # length() counts codepoints in both engines
+        "token_length_histogram": """
+            SELECT lang,
+                   CAST(least(length(t), 32) AS BIGINT) AS tok_len,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT lang,
+                         unnest(list_filter(string_split_regex(
+                             coalesce(text, ''), '\\s+'),
+                             x -> x <> '')) AS t
+                  FROM documents)
+            GROUP BY lang, least(length(t), 32)
         """,
         # T150: EXISTS semi-join ⇔ max(shipdate) comparison; pure
         # integer date arithmetic, HUGEINT-widened ppm

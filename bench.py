@@ -175,6 +175,10 @@ HEADLINE = [
     "script_lang_mismatch",
     "embedding_dim_stats",
     "context_overflow",
+    "brand_supplier_coverage",
+    "doc_prefix_dup",
+    "encoding_junk",
+    "token_length_histogram",
 ]
 
 

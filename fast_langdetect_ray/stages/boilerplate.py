@@ -322,3 +322,52 @@ def dedup_segments_keep_first(ds, sep: str = "\n", text_col: str = "text",
 
     return joined.map_batches(rebuild, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# T157: whitespace-normalized first-k-token prefix (RE2, shared with
+# the oracle): collapse runs, trim, then one anchored extract.
+_PREFIX_K = 8
+PREFIX_PATTERN = r"^(?P<p>\S+(?: \S+){0,%d})" % (_PREFIX_K - 1)
+
+
+def doc_prefix_dup(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_docs: int = 2):
+    """T157: duplicate-intro detection — groups of documents sharing
+    their whitespace-normalized first-:data:`_PREFIX_K`-token prefix
+    (``(prefix, n_docs, min_doc_id)``, groups of ≥ ``min_docs``).
+    Templated openings ("Welcome to …", auto-generated headers,
+    scraped navigation) are the boilerplate exact dedup misses
+    because the BODIES differ; a fat prefix group feeds either the
+    T37 boilerplate pruner or a manual template rule.
+
+    Scale shape: stateless vectorized prefix extraction (one RE2
+    replace + trim + anchored extract, no Python per row) → ONE
+    prefix-keyed ``groupby`` (same exchange class as exact dedup:
+    value domain ≤ corpus distinct prefixes) carrying only
+    ``(prefix, id)`` — text never moves; Count/Min aggregate, then a
+    stateless ``n_docs ≥ min_docs`` filter.  Empty/null texts drop
+    before the shuffle.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.fill_null(batch[text_col], ""),
+            pattern=r"\s+", replacement=" "))
+        pref = pc.struct_field(
+            pc.extract_regex(norm, PREFIX_PATTERN), "p")
+        t = pa.table({"prefix": pref, id_col: batch[id_col]})
+        return t.filter(pc.is_valid(pref))
+
+    agg = (ds.select_columns([id_col, text_col])
+           .map_batches(prefixes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("prefix")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min(id_col, alias_name="min_doc_id")))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["n_docs"], min_docs))
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -399,3 +399,69 @@ def quantile_normalize(ds, value_col: str = "n_chars",
     return (ds.select_columns([id_col, group_col, value_col])
             .map_batches(norm, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+# T158: encoding-junk character classes, shared verbatim with the
+# DuckDB oracle (RE2 both engines).  U+FFFD is the decoder's explicit
+# "byte salad was here" marker; C0/C1 controls (minus \t\n\r) never
+# occur in clean text.
+JUNK_REPLACEMENT_PATTERN = r"[\x{FFFD}]"
+JUNK_CONTROL_PATTERN = (
+    r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]")
+
+
+def encoding_junk(ds, text_col: str = "text",
+                  source_col: str = "source"):
+    """T158: per-source mojibake / encoding-health audit — counts of
+    U+FFFD replacement characters (a decoder already gave up) and
+    stray C0/C1 control characters (binary leakage, broken
+    transfer-encodings), plus ``junk_per_mchar`` (junk chars per
+    million codepoints, exact integer).  A nonzero rate on a source
+    means its upstream fetch/decode path is corrupting bytes BEFORE
+    any content filter sees them — fix ingestion, don't filter.
+
+    Scale shape: stateless Arrow-C++ RE2 count kernels (shared
+    verbatim with the oracle) → per-batch source-keyed partials →
+    source-sized Sum → catalog-sized exact Python-int fold (the
+    ``1e6·junk`` product wraps int64 at ~9.2e12 chars per source;
+    the oracle twin widens to HUGEINT — the T140 contract).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        t = pa.table({
+            source_col: batch[source_col],
+            "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "n_chars": pc.cast(pc.utf8_length(col), pa.int64()),
+            "n_replacement": pc.cast(pc.count_substring_regex(
+                col, JUNK_REPLACEMENT_PATTERN), pa.int64()),
+            "n_control": pc.cast(pc.count_substring_regex(
+                col, JUNK_CONTROL_PATTERN), pa.int64()),
+        })
+        return t.group_by([source_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum"),
+             ("n_replacement", "sum"), ("n_control", "sum")]
+        ).rename_columns([source_col, "n_docs", "n_chars",
+                          "n_replacement", "n_control"])
+
+    agg = (ds.select_columns([source_col, text_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(source_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_chars", alias_name="n_chars"),
+                      Sum("n_replacement", alias_name="n_replacement"),
+                      Sum("n_control", alias_name="n_control")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        chars = [int(x) for x in batch["n_chars"].to_pylist()]
+        junk = [int(a) + int(b) for a, b in
+                zip(batch["n_replacement"].to_pylist(),
+                    batch["n_control"].to_pylist())]
+        rate = [(1_000_000 * j) // c if c else 0
+                for j, c in zip(junk, chars)]
+        return batch.append_column(
+            "junk_per_mchar", pa.array(rate, type=pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -518,3 +518,57 @@ def gopher_signals(batch: pa.Table, text_col: str = "text",
         "ellipsis_count": pc.cast(pc.count_substring(col, "..."),
                                   pa.int64()),
     })
+
+
+def token_length_histogram(ds, lang_col: str = "lang",
+                           text_col: str = "text", cap: int = 32):
+    """T159: per-language histogram of whitespace-token character
+    lengths (codepoints), capped at ``cap`` (the ``cap`` bucket reads
+    "≥ cap") — the tokenizer-planning curve: long-tail token lengths
+    predict BPE fertility (T137) and flag languages whose tokens are
+    glued (no-space scripts) or exploded (char-split noise).
+
+    Exactness: pure integer counts; ``length(token)`` counts
+    codepoints in BOTH engines (Arrow ``utf8_length`` ≡ DuckDB
+    ``length``); empty tokens (null/empty text) are dropped on both
+    sides.
+
+    Scale shape: stateless per-batch kernel — ONE regex split, flat
+    token-length vector via list offsets, language repeated by list
+    value-lengths, per-batch ``(lang, len)`` bincount partials — then
+    a (langs × cap)-bounded ``groupby().Sum``.  Tokens themselves
+    never leave the batch; only the bounded histogram rows shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        toks = pc.split_pattern_regex(col, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(
+            pc.fill_null(batch[lang_col], "").to_pylist(), dtype=object)
+        parent_lang = np.repeat(langs, counts)
+        keep = lens > 0  # split artifacts of empty/padded text
+        lens = np.minimum(lens[keep], cap)
+        parent_lang = parent_lang[keep]
+        t = pa.table({
+            lang_col: pa.array(parent_lang, type=pa.string()),
+            "tok_len": pa.array(lens),
+            "n_tokens": pa.array(np.ones(lens.size, dtype=np.int64)),
+        })
+        return t.group_by([lang_col, "tok_len"],
+                          use_threads=False).aggregate(
+            [("n_tokens", "sum")]
+        ).rename_columns([lang_col, "tok_len", "n_tokens"])
+
+    return (ds.select_columns([lang_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([lang_col, "tok_len"])
+            .aggregate(Sum("n_tokens", alias_name="n_tokens")))

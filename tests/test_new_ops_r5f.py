@@ -270,3 +270,158 @@ def test_session_stats_bucket_invariant(ray_session):
     b = e._q_session_stats(SF_DIR, n_buckets=64).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- T156
+
+
+def test_brand_supplier_coverage_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["brand_supplier_coverage"](SF_DIR)
+           .to_pandas().set_index("p_brand"))
+
+    part = pq.read_table(f"{SF_DIR}/part.parquet").to_pandas() \
+        .set_index("p_partkey")
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]).to_pandas()
+    brand = part.loc[line["l_partkey"], "p_brand"].to_numpy()
+    items = collections.Counter(brand)
+    sups = collections.defaultdict(set)
+    parts = collections.defaultdict(set)
+    for b, s, p in zip(brand, line["l_suppkey"], line["l_partkey"]):
+        sups[b].add(s)
+        parts[b].add(p)
+    assert len(got) == len(items)
+    for b in items:
+        assert got.loc[b, "n_items"] == items[b]
+        assert got.loc[b, "n_suppliers"] == len(sups[b])
+        assert got.loc[b, "n_parts"] == len(parts[b])
+
+
+# --------------------------------------------------------------- T157
+
+
+def test_doc_prefix_dup_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    got = (doc_prefix_dup(rd.from_arrow(t).repartition(7))
+           .to_pandas().set_index("prefix"))
+    groups = collections.defaultdict(list)
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (txt or "").split()
+        if toks:
+            groups[" ".join(toks[:8])].append(i)
+    want = {p: ids for p, ids in groups.items() if len(ids) >= 2}
+    assert len(got) == len(want)
+    for p, ids in want.items():
+        assert got.loc[p, "n_docs"] == len(ids)
+        assert got.loc[p, "min_doc_id"] == min(ids)
+
+
+def test_doc_prefix_dup_edges(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "a  b\tc",      # whitespace-normalized: "a b c"
+            "a b c extra words beyond the prefix boundary here now",
+            None, "",       # dropped before the shuffle
+            "unique opener",
+        ], type=pa.string()),
+    })
+    got = doc_prefix_dup(rd.from_arrow(t).repartition(3)).to_pandas()
+    # doc 1 and doc 2 share only if prefixes match over first 8 tokens:
+    # doc2 has >8 tokens so its prefix is longer -> NO group survives
+    assert len(got) == 0
+    t2 = pa.table({
+        "doc_id": pa.array([7, 9], type=pa.int64()),
+        "text": pa.array(["x  y", "x y"], type=pa.string()),
+    })
+    got2 = doc_prefix_dup(rd.from_arrow(t2)).to_pandas()
+    assert len(got2) == 1
+    assert got2["prefix"].iloc[0] == "x y"
+    assert got2["min_doc_id"].iloc[0] == 7
+
+
+# --------------------------------------------------------------- T158
+
+
+def test_encoding_junk_synthetic(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.normalize import encoding_junk
+
+    clean = "perfectly clean text"
+    dirty = "bad\x01\x02 bytes � here \x7f"
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"], type=pa.string()),
+        "text": pa.array([clean, dirty, None], type=pa.string()),
+    })
+    got = (encoding_junk(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("source"))
+    n_chars_a = len(clean) + len(dirty)
+    assert got.loc["a", "n_docs"] == 2
+    assert got.loc["a", "n_chars"] == n_chars_a
+    assert got.loc["a", "n_replacement"] == 1
+    assert got.loc["a", "n_control"] == 3
+    assert got.loc["a", "junk_per_mchar"] == \
+        (1_000_000 * 4) // n_chars_a
+    assert got.loc["b", "n_chars"] == 0
+    assert got.loc["b", "junk_per_mchar"] == 0
+
+
+def test_encoding_junk_sf_clean(ray_session):
+    m = _entry()
+    got = m.queries()["encoding_junk"](SF_DIR).to_pandas()
+    # synthetic corpus is clean: every junk counter must be zero,
+    # char masses positive
+    assert (got["n_replacement"] == 0).all()
+    assert (got["n_control"] == 0).all()
+    assert (got["junk_per_mchar"] == 0).all()
+    assert (got["n_chars"] > 0).all()
+
+
+# --------------------------------------------------------------- T159
+
+
+def test_token_length_histogram_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.textstats import \
+        token_length_histogram
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["lang", "text"])
+    got = (token_length_histogram(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index(["lang", "tok_len"]))
+    want = collections.Counter()
+    for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        for tok in (txt or "").split():
+            want[(lang, min(len(tok), 32))] += 1
+    assert len(got) == len(want)
+    for k, n in want.items():
+        assert got.loc[k, "n_tokens"] == n
+
+
+def test_token_length_histogram_cap(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.textstats import \
+        token_length_histogram
+
+    t = pa.table({
+        "lang": pa.array(["xx", "xx"], type=pa.string()),
+        "text": pa.array(["x" * 100 + " yy", None], type=pa.string()),
+    })
+    got = (token_length_histogram(rd.from_arrow(t))
+           .to_pandas().set_index("tok_len"))
+    assert got.loc[32, "n_tokens"] == 1   # 100-char token capped
+    assert got.loc[2, "n_tokens"] == 1
+    assert len(got) == 2                   # null text adds nothing
