@@ -3736,6 +3736,118 @@ def _q_token_length_histogram(sf_dir: str):
     return token_length_histogram(_read(sf_dir, "documents"))
 
 
+def _q_doc_suffix_dup(sf_dir: str):
+    """T160: duplicate-CLOSING groups (last-8-token suffix) — the
+    copyright-footer / navigation-tail end of T157."""
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+    return doc_prefix_dup(_read(sf_dir, "documents"), part="suffix")
+
+
+def _q_brand_price_size_slope(sf_dir: str):
+    """T162: per-brand OLS of retail price (cents) on part size — the
+    pricing-structure audit (a brand whose price does NOT rise with
+    size is flat-priced; a negative slope is a data-entry smell).
+    New analytic shape: per-group closed-form regression from exact
+    integer moment sums.
+
+    Exactness: per-batch int64 moment partials (n, Σx, Σy, Σxy, Σx²
+    over int sizes × int64 cents) → brand-sized ``map_groups`` fold
+    in exact PYTHON ints (Σxy wraps int64 at ~2e14 rows·cents·size —
+    the oracle twin widens to HUGEINT); slope/intercept are the only
+    floats, computed by the identical two-operand IEEE expressions
+    both engines."""
+    from fast_langdetect_ray.stages.rollup import group_ols
+
+    def cents_xy(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "x": pc.cast(batch["p_size"], pa.int64()),
+            "y": pc.cast(pc.floor(pc.add(pc.multiply(
+                batch["p_retailprice"], pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64()),
+        })
+
+    ds = (_read(sf_dir, "part")
+          .select_columns(["p_brand", "p_size", "p_retailprice"])
+          .map_batches(cents_xy, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return group_ols(ds, group_col="p_brand", x_col="x", y_col="y",
+                     n_name="n_parts")
+
+
+def _q_source_exemplars(sf_dir: str):
+    """T163: deterministic human-audit sample — the k=3 docs per
+    source with the smallest sha256(text) (the corpus-wide unbiased
+    hash-order sample, the T9b IVF sampling rule exposed as a
+    report).  Rank ties on identical content break on doc_id.
+
+    Scale shape: per-batch per-source top-3 by (sha, id) — a bounded
+    partial (3 rows × sources per batch) — then a source-sized
+    ``map_groups`` re-selects the global top-3; text never moves,
+    only (source, sha, id)."""
+    from fast_langdetect_ray.stages.dedup import add_sha256
+
+    K = 3
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = add_sha256(batch.select(["source", "text"]))
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        sha = np.asarray(b["text_sha256"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, sha, src))
+        src, sha, ids = src[o], sha[o], ids[o]
+        new = np.empty(src.size, dtype=bool)
+        if src.size:
+            new[0] = True
+            new[1:] = src[1:] != src[:-1]
+        # rank within source run; keep rank < K
+        idx = np.arange(src.size, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (idx - run_start) < K
+        return pa.table({
+            "source": pa.array(src[keep], type=pa.string()),
+            "text_sha256": pa.array(sha[keep], type=pa.string()),
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["text_sha256"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, sha))[:K]
+        return pa.table({
+            "source": g["source"].take(pa.array(o)),
+            "rank": pa.array(np.arange(1, o.size + 1,
+                                       dtype=np.int64)),
+            "doc_id": pa.array(ids[o], type=pa.int64()),
+            "text_sha256": pa.array(sha[o], type=pa.string()),
+        })
+
+    return (_read(sf_dir, "documents")
+            .select_columns(["source", "doc_id", "text"])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("source")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+def _q_contamination_by_benchdoc(sf_dir: str):
+    """T161: reverse leak triage — per bench doc (doc_id % 97 == 0,
+    the standing eval-set stand-in), how many OTHER corpus docs share
+    its 8-token shingles."""
+    from fast_langdetect_ray.stages.decontaminate import \
+        contamination_by_benchdoc
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return contamination_by_benchdoc(docs, bench, n=8)
+
+
 def _q_minhash_param_sweep(sf_dir: str):
     """T147: MinHash-LSH (bands × rows) tuning table — the
     scale-planning report run BEFORE committing a 100-TB dedup to one
@@ -3999,6 +4111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_prefix_dup": _q_doc_prefix_dup,
         "encoding_junk": _q_encoding_junk,
         "token_length_histogram": _q_token_length_histogram,
+        "doc_suffix_dup": _q_doc_suffix_dup,
+        "brand_price_size_slope": _q_brand_price_size_slope,
+        "source_exemplars": _q_source_exemplars,
+        "contamination_by_benchdoc": _q_contamination_by_benchdoc,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -5836,6 +5952,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(dim) AS BIGINT) AS dim_min,
                    CAST(max(dim) AS BIGINT) AS dim_max
             FROM v GROUP BY label
+        """,
+        # T160: last-3-token suffix groups; the (^| ) boundary guard
+        # keeps the leftmost match on a token boundary (both RE2s)
+        "doc_suffix_dup": """
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract(trim(regexp_replace(
+                         coalesce(text, ''), '\\s+', ' ', 'g')),
+                         '(^| )(\\S+( \\S+){0,2})$', 2) AS prefix
+              FROM documents
+            )
+            SELECT prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id
+            FROM p WHERE prefix <> ''
+            GROUP BY prefix HAVING count(*) >= 2
+        """,
+        # T162: per-brand OLS from HUGEINT moment sums; identical
+        # final IEEE slope/intercept expressions
+        "brand_price_size_slope": """
+            WITH m AS (
+              SELECT p_brand,
+                     CAST(count(*) AS BIGINT) AS n_parts,
+                     sum(CAST(p_size AS HUGEINT)) AS sx,
+                     sum(CAST(floor(p_retailprice * 100 + 0.5)
+                              AS HUGEINT)) AS sy,
+                     sum(CAST(p_size AS HUGEINT)
+                         * CAST(floor(p_retailprice * 100 + 0.5)
+                                AS HUGEINT)) AS sxy,
+                     sum(CAST(p_size AS HUGEINT)
+                         * CAST(p_size AS HUGEINT)) AS sxx
+              FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, n_parts,
+                   CASE WHEN n_parts * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n_parts * sxy - sx * sy AS DOUBLE)
+                             / CAST(n_parts * sxx - sx * sx AS DOUBLE)
+                        END AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CASE WHEN n_parts * sxx - sx * sx = 0 THEN 0.0
+                            ELSE CAST(n_parts * sxy - sx * sy
+                                      AS DOUBLE)
+                                 / CAST(n_parts * sxx - sx * sx
+                                        AS DOUBLE)
+                            END) * CAST(sx AS DOUBLE)) / n_parts
+                       AS intercept
+            FROM m
+        """,
+        # T163: k=3 smallest-sha exemplars per source; rank ties on
+        # identical content break on doc_id
+        "source_exemplars": """
+            WITH h AS (
+              SELECT source, doc_id,
+                     sha256(coalesce(text, '')) AS text_sha256
+              FROM documents
+            ),
+            r AS (
+              SELECT source, doc_id, text_sha256,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY text_sha256, doc_id) AS rank
+              FROM h
+            )
+            SELECT source, CAST(rank AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id, text_sha256
+            FROM r WHERE rank <= 3
+        """,
+        # T161: reverse leak triage (per bench doc); DISTINCT-gram
+        # join twin, self-hits excluded
+        "contamination_by_benchdoc": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+              WHERE len(t) >= 8
+            ),
+            bg AS (SELECT doc_id AS bench_id, g FROM grams
+                   WHERE doc_id % 97 = 0),
+            bcnt AS (SELECT bench_id,
+                            CAST(count(*) AS BIGINT) AS n_bench_shingles
+                     FROM bg GROUP BY bench_id),
+            hits AS (
+              SELECT bg.bench_id,
+                     CAST(count(DISTINCT grams.doc_id) AS BIGINT)
+                         AS n_corpus_docs,
+                     CAST(count(*) AS BIGINT) AS n_hit_pairs
+              FROM bg JOIN grams USING (g)
+              WHERE grams.doc_id <> bg.bench_id
+              GROUP BY bg.bench_id
+            )
+            SELECT b.bench_id, b.n_bench_shingles,
+                   CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT)
+                       AS n_corpus_docs,
+                   CAST(coalesce(h.n_hit_pairs, 0) AS BIGINT)
+                       AS n_hit_pairs
+            FROM bcnt b LEFT JOIN hits h USING (bench_id)
         """,
         # T156: broadcast brand attach + distinct-triple buckets;
         # pure integer distinct counts

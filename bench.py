@@ -179,6 +179,10 @@ HEADLINE = [
     "doc_prefix_dup",
     "encoding_junk",
     "token_length_histogram",
+    "doc_suffix_dup",
+    "brand_price_size_slope",
+    "source_exemplars",
+    "contamination_by_benchdoc",
 ]
 
 

@@ -324,14 +324,20 @@ def dedup_segments_keep_first(ds, sep: str = "\n", text_col: str = "text",
                               zero_copy_batch=True)
 
 
-# T157: whitespace-normalized first-k-token prefix (RE2, shared with
-# the oracle): collapse runs, trim, then one anchored extract.
+# T157/T160: whitespace-normalized first-/last-k-token affix (RE2,
+# shared with the oracle): collapse runs, trim, one anchored extract.
+# The suffix pattern needs the (?:^| ) boundary guard: without it the
+# leftmost-match rule would start the group MID-token ("a bb" out of
+# "xx aa bb") [verified-by-experiment].  Defaults: intros run long
+# (8 tokens), closings run short (3 — "all rights reserved").
 _PREFIX_K = 8
+_SUFFIX_K = 3
 PREFIX_PATTERN = r"^(?P<p>\S+(?: \S+){0,%d})" % (_PREFIX_K - 1)
+SUFFIX_PATTERN = r"(?:^| )(?P<p>\S+(?: \S+){0,%d})$" % (_SUFFIX_K - 1)
 
 
 def doc_prefix_dup(ds, text_col: str = "text", id_col: str = "doc_id",
-                   min_docs: int = 2):
+                   min_docs: int = 2, part: str = "prefix"):
     """T157: duplicate-intro detection — groups of documents sharing
     their whitespace-normalized first-:data:`_PREFIX_K`-token prefix
     (``(prefix, n_docs, min_doc_id)``, groups of ≥ ``min_docs``).
@@ -347,15 +353,30 @@ def doc_prefix_dup(ds, text_col: str = "text", id_col: str = "doc_id",
     ``(prefix, id)`` — text never moves; Count/Min aggregate, then a
     stateless ``n_docs ≥ min_docs`` filter.  Empty/null texts drop
     before the shuffle.
+
+    ``part="suffix"`` (T160) runs the same plan over the LAST
+    :data:`_SUFFIX_K` tokens — templated closings (copyright footers,
+    "subscribe" blocks, navigation tails) are the classic web
+    boilerplate and sit at the other end of the doc.  Output column
+    stays ``prefix`` (the group key) either way; the query layer
+    exposes it as ``doc_suffix_dup``.  A typed 0-row Arrow head (the
+    `_typed_empty_pairs` convention) keeps the DATASET schema visible
+    when no group survives, so downstream unions/maps stay typed
+    (``to_pandas`` on 0-row data still drops columns in Ray 2.49 —
+    callers needing a typed frame must re-type, as the gate's
+    nonzero-row guarantee makes unnecessary here).
     """
+    import ray.data as rd
     from ray.data.aggregate import Count, Min
+
+    pattern = PREFIX_PATTERN if part == "prefix" else SUFFIX_PATTERN
 
     def prefixes(batch: pa.Table) -> pa.Table:
         norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
             pc.fill_null(batch[text_col], ""),
             pattern=r"\s+", replacement=" "))
         pref = pc.struct_field(
-            pc.extract_regex(norm, PREFIX_PATTERN), "p")
+            pc.extract_regex(norm, pattern), "p")
         t = pa.table({"prefix": pref, id_col: batch[id_col]})
         return t.filter(pc.is_valid(pref))
 
@@ -370,4 +391,9 @@ def doc_prefix_dup(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch.filter(
             pc.greater_equal(batch["n_docs"], min_docs))
 
-    return agg.map_batches(keep, batch_format="pyarrow")
+    empty = rd.from_arrow(pa.table({
+        "prefix": pa.array([], type=pa.string()),
+        "n_docs": pa.array([], type=pa.int64()),
+        "min_doc_id": pa.array([], type=pa.int64()),
+    }))
+    return empty.union(agg.map_batches(keep, batch_format="pyarrow"))

@@ -435,3 +435,152 @@ def flag_contaminated_neardup(ds, bench_ds, jaccard_threshold: float = 0.5,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def benchmark_postings(bench_ds, n: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id"
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-bench-doc shingle postings ``(hashes_sorted, bench_ids)``
+    — the T161 broadcast.  Unlike :func:`benchmark_shingles` (one
+    merged set), the bench DOC identity survives, so hits can be
+    attributed back to the eval item that leaked.  Same smallness
+    contract as every bench broadcast in this module: the posting
+    list is bench-vocabulary-sized.  A hash shared by several bench
+    docs keeps one row per (hash, bench_id)."""
+    def emit(batch: pa.Table) -> pa.Table:
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(
+            batch[text_col], n))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": pa.array(h, type=pa.uint64()),
+            "bench_id": pa.array(ids[p], type=pa.int64()),
+        })
+
+    parts = [b for b in bench_ds.map_batches(
+        emit, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    if parts:
+        t = pa.concat_tables(
+            [pa.table(b) if not isinstance(b, pa.Table) else b
+             for b in parts])
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = t["bench_id"].to_numpy(zero_copy_only=False)
+    else:
+        h = np.empty(0, dtype=np.uint64)
+        ids = np.empty(0, dtype=np.int64)
+    o = np.lexsort((ids, h))
+    return np.ascontiguousarray(h[o]), np.ascontiguousarray(ids[o])
+
+
+def contamination_by_benchdoc(ds, bench_ds, n: int = 8,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """T161: the REVERSE leak triage — per BENCHMARK doc, how much of
+    the training corpus carries its shingles.  T139/T144 answer
+    "which corpus docs/sources are contaminated"; an eval owner asks
+    the transpose: "which of MY items leaked, and how widely" —
+    the rows that decide whether an eval set must be retired.
+
+    Output per bench doc (that has ≥ 1 full shingle):
+    ``n_bench_shingles`` (its distinct shingles),
+    ``n_corpus_docs`` (distinct OTHER corpus docs sharing ≥ 1 of
+    them), ``n_hit_pairs`` (distinct (corpus doc, shingle) hits).
+    Self-hits are excluded (a bench doc that is also a corpus row
+    would otherwise count itself).
+
+    Scale shape: per-bench-doc postings broadcast once (``ray.put``,
+    bench-vocabulary-sized by the module contract); the corpus
+    streams through ONE stateless pass — each distinct corpus
+    shingle binary-searches the posting range and emits bench-keyed
+    partial counts; per-(bench, corpus-doc) dedup is exact within
+    the pass because a corpus doc lives in exactly one batch.  The
+    shuffle moves ≤ #bench-docs rows per batch; the final
+    zero-leak fill joins two bench-sized tables on the driver
+    (bounded take, documented).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    bh, bid = benchmark_postings(bench_ds, n, text_col, id_col)
+    ref = ray.put((bh, bid))
+    # bench-doc shingle counts: bench-sized, computed at build time
+    bcnt_ids, bcnt = np.unique(bid, return_counts=True) \
+        if bid.size else (np.empty(0, np.int64), np.empty(0, np.int64))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bench_h, bench_ids = ray.get(ref)
+        p, h = _distinct_per_doc(*_doc_shingle_hashes(
+            batch[text_col], n))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if h.size == 0 or bench_h.size == 0:
+            return pa.table({
+                "bench_id": pa.array([], type=pa.int64()),
+                "n_corpus_docs": pa.array([], type=pa.int64()),
+                "n_hit_pairs": pa.array([], type=pa.int64()),
+            })
+        lo = np.searchsorted(bench_h, h, side="left")
+        hi = np.searchsorted(bench_h, h, side="right")
+        cnts = hi - lo
+        mi = np.flatnonzero(cnts > 0)
+        cnts = cnts[mi]
+        total = int(cnts.sum())
+        # expand every (corpus shingle, matching posting) pair
+        rows = np.repeat(mi, cnts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnts) - cnts, cnts)
+        pos = np.repeat(lo[mi], cnts) + offs
+        b_ids = bench_ids[pos]
+        c_ids = ids[p[rows]]
+        keep = c_ids != b_ids  # self-hits out
+        b_ids, c_ids = b_ids[keep], c_ids[keep]
+        # n_hit_pairs: every surviving (corpus shingle, bench) pair is
+        # already distinct (distinct shingles × one posting row each)
+        pair_b, pair_n = (np.unique(b_ids, return_counts=True)
+                          if b_ids.size else
+                          (np.empty(0, np.int64), np.empty(0, np.int64)))
+        # n_corpus_docs: dedup (bench, corpus doc)
+        if b_ids.size:
+            o = np.lexsort((c_ids, b_ids))
+            bs, cs = b_ids[o], c_ids[o]
+            first = np.empty(bs.size, dtype=bool)
+            first[0] = True
+            first[1:] = (bs[1:] != bs[:-1]) | (cs[1:] != cs[:-1])
+            doc_b, doc_n = np.unique(bs[first], return_counts=True)
+        else:
+            doc_b = np.empty(0, np.int64)
+            doc_n = np.empty(0, np.int64)
+        t = pa.table({
+            "bench_id": pa.array(np.concatenate([pair_b, doc_b])),
+            "n_hit_pairs": pa.array(np.concatenate(
+                [pair_n.astype(np.int64),
+                 np.zeros(doc_n.size, np.int64)])),
+            "n_corpus_docs": pa.array(np.concatenate(
+                [np.zeros(pair_n.size, np.int64),
+                 doc_n.astype(np.int64)])),
+        })
+        return t.group_by(["bench_id"], use_threads=False).aggregate(
+            [("n_hit_pairs", "sum"), ("n_corpus_docs", "sum")]
+        ).rename_columns(["bench_id", "n_hit_pairs", "n_corpus_docs"])
+
+    agg = (ds.select_columns([id_col, text_col])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bench_id")
+           .aggregate(Sum("n_hit_pairs", alias_name="n_hit_pairs"),
+                      Sum("n_corpus_docs", alias_name="n_corpus_docs"))
+           .to_pandas())  # bench-sized by the module contract
+    if agg.empty:
+        # zero cross-doc hits anywhere: Ray drops the schema of a
+        # block-less aggregate — re-type so the merge below holds
+        agg = pd.DataFrame({"bench_id": pd.Series(dtype="int64"),
+                            "n_hit_pairs": pd.Series(dtype="int64"),
+                            "n_corpus_docs": pd.Series(dtype="int64")})
+
+    out = pd.DataFrame({"bench_id": bcnt_ids.astype("int64"),
+                        "n_bench_shingles": bcnt.astype("int64")})
+    out = out.merge(agg, on="bench_id", how="left")
+    for c in ("n_hit_pairs", "n_corpus_docs"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out[["bench_id", "n_bench_shingles", "n_corpus_docs",
+                "n_hit_pairs"]]

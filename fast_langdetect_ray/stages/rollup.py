@@ -91,3 +91,63 @@ def rollup_aggregate(ds, keys: Sequence[str], value_col: str,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def group_ols(ds, group_col: str, x_col: str, y_col: str,
+              n_name: str = "n"):
+    """T162: per-group closed-form OLS ``y = slope·x + intercept``
+    over INTEGER x/y columns (the caller fixes floats to fixed-point
+    first — the repo cents policy).
+
+    Exactness contract: the five moment sums (n, Σx, Σy, Σxy, Σx²)
+    accumulate as int64 per batch and fold cross-batch in exact
+    PYTHON ints inside a group-sized ``map_groups`` (Σxy wraps int64
+    at warehouse scale; the oracle twin widens to HUGEINT).  The only
+    floats are the final
+    ``slope = double(nΣxy − ΣxΣy) / double(nΣx² − (Σx)²)`` and
+    ``intercept = (double(Σy) − slope·double(Σx)) / n`` — identical
+    two-operand IEEE expressions in both engines; a zero denominator
+    (constant x, or n ≤ 1) reports slope 0 with the intercept
+    degrading to the group mean.
+
+    Scale shape: stateless per-batch moment partials (group-keyed,
+    ≤ #groups rows per batch) → group-sized exact fold.  Raw rows
+    never shuffle.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            group_col: batch[group_col],
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "sx": pa.array(x),
+            "sy": pa.array(y),
+            "sxy": pa.array(x * y),
+            "sxx": pa.array(x * x),
+        })
+        return t.group_by([group_col], use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]
+        ).rename_columns([group_col, "n", "sx", "sy", "sxy", "sxx"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        n = sum(int(v) for v in g["n"].to_pylist())
+        sx = sum(int(v) for v in g["sx"].to_pylist())
+        sy = sum(int(v) for v in g["sy"].to_pylist())
+        sxy = sum(int(v) for v in g["sxy"].to_pylist())
+        sxx = sum(int(v) for v in g["sxx"].to_pylist())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) if den else 0.0
+        intercept = (float(sy) - slope * float(sx)) / n if n else 0.0
+        return pa.table({
+            group_col: g[group_col].slice(0, 1),
+            n_name: pa.array([n], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+            "intercept": pa.array([intercept], type=pa.float64()),
+        })
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col)
+            .map_groups(fold, batch_format="pyarrow"))

@@ -425,3 +425,186 @@ def test_token_length_histogram_cap(ray_session):
     assert got.loc[32, "n_tokens"] == 1   # 100-char token capped
     assert got.loc[2, "n_tokens"] == 1
     assert len(got) == 2                   # null text adds nothing
+
+
+# --------------------------------------------------------------- T160
+
+
+def test_doc_suffix_dup_matches_python(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    got = (doc_prefix_dup(rd.from_arrow(t).repartition(7),
+                          part="suffix")
+           .to_pandas().set_index("prefix"))
+    groups = collections.defaultdict(list)
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (txt or "").split()
+        if toks:
+            groups[" ".join(toks[-3:])].append(i)
+    want = {p: ids for p, ids in groups.items() if len(ids) >= 2}
+    assert len(got) == len(want)
+    for p, ids in want.items():
+        assert got.loc[p, "n_docs"] == len(ids)
+        assert got.loc[p, "min_doc_id"] == min(ids)
+
+
+def test_doc_affix_dup_empty_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.boilerplate import doc_prefix_dup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["all unique here", "nothing shared at all"],
+                         type=pa.string()),
+    })
+    for part in ("prefix", "suffix"):
+        ds = doc_prefix_dup(rd.from_arrow(t), part=part)
+        # Dataset-level schema survives via the typed 0-row head
+        # (Ray 2.49 to_pandas still drops columns on 0-row data —
+        # verified; downstream unions/maps see the typed schema)
+        assert ds.schema().names == ["prefix", "n_docs", "min_doc_id"]
+        assert len(ds.to_pandas()) == 0
+
+
+# --------------------------------------------------------------- T161
+
+
+def test_contamination_by_benchdoc_matches_python(ray_session):
+    m = _entry()
+    got = m.queries()["contamination_by_benchdoc"](SF_DIR)
+    got = got.set_index("bench_id").sort_index()
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sh = {}
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = [w for w in (txt or "").lower().split() if w]
+        sh[i] = {" ".join(toks[j:j + 8])
+                 for j in range(len(toks) - 7)}
+    bench = {i for i in sh if i % 97 == 0 and sh[i]}
+    assert len(got) == len(bench)
+    for b in bench:
+        docs = 0
+        pairs = 0
+        for i, s in sh.items():
+            if i == b:
+                continue
+            inter = len(s & sh[b])
+            if inter:
+                docs += 1
+                pairs += inter
+        assert got.loc[b, "n_bench_shingles"] == len(sh[b])
+        assert got.loc[b, "n_corpus_docs"] == docs
+        assert got.loc[b, "n_hit_pairs"] == pairs
+
+
+def test_contamination_by_benchdoc_no_hits(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.decontaminate import \
+        contamination_by_benchdoc
+
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h",
+                          "q r s t u v w x"], type=pa.string()),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([9], type=pa.int64()),
+        "text": pa.array(["z z z z z z z z nothing shared"],
+                         type=pa.string()),
+    })
+    got = contamination_by_benchdoc(
+        rd.from_arrow(corpus), rd.from_arrow(bench))
+    assert len(got) == 1
+    assert got["n_corpus_docs"].iloc[0] == 0
+    assert got["n_hit_pairs"].iloc[0] == 0
+    assert got["n_bench_shingles"].iloc[0] == 3
+
+
+# --------------------------------------------------------------- T162
+
+
+def test_brand_price_size_slope_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["brand_price_size_slope"](SF_DIR)
+           .to_pandas().set_index("p_brand"))
+
+    part = pq.read_table(f"{SF_DIR}/part.parquet").to_pandas()
+    for b, g in part.groupby("p_brand"):
+        x = g["p_size"].to_numpy().astype(object)
+        y = np.floor(g["p_retailprice"].to_numpy() * 100
+                     + 0.5).astype("int64").astype(object)
+        n = len(g)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b_ for a, b_ in zip(x, y))
+        sxx = sum(a * a for a in x)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = float(num) / float(den) if den else 0.0
+        intercept = (float(sy) - slope * float(sx)) / n
+        assert got.loc[b, "n_parts"] == n
+        assert got.loc[b, "slope"] == slope
+        assert got.loc[b, "intercept"] == intercept
+
+
+def test_group_ols_degenerate(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.rollup import group_ols
+
+    t = pa.table({
+        "g": pa.array(["c", "c", "one"], type=pa.string()),
+        "x": pa.array([5, 5, 7], type=pa.int64()),     # constant x
+        "y": pa.array([10, 20, 9], type=pa.int64()),
+    })
+    got = (group_ols(rd.from_arrow(t).repartition(2), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    assert got.loc["c", "slope"] == 0.0        # zero denominator
+    assert got.loc["c", "intercept"] == 15.0   # degrades to mean
+    assert got.loc["one", "slope"] == 0.0      # n == 1
+    assert got.loc["one", "intercept"] == 9.0
+
+
+# --------------------------------------------------------------- T163
+
+
+def test_source_exemplars_matches_python(ray_session):
+    import hashlib
+
+    m = _entry()
+    got = (m.queries()["source_exemplars"](SF_DIR)
+           .to_pandas().set_index(["source", "rank"]).sort_index())
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["source", "doc_id", "text"])
+    per_src = collections.defaultdict(list)
+    for s, i, txt in zip(t["source"].to_pylist(),
+                         t["doc_id"].to_pylist(),
+                         t["text"].to_pylist()):
+        per_src[s].append(
+            (hashlib.sha256((txt or "").encode()).hexdigest(), i))
+    for s, rows in per_src.items():
+        rows.sort()
+        for r, (sha, i) in enumerate(rows[:3], start=1):
+            assert got.loc[(s, r), "doc_id"] == i
+            assert got.loc[(s, r), "text_sha256"] == sha
+
+
+def test_source_exemplars_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import add_sha256  # noqa: F401
+
+    m = _entry()
+    import __ray_entry__ as e
+    a = e._q_source_exemplars(SF_DIR).to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    # rerun: deterministic regardless of batch/block layout
+    b = e._q_source_exemplars(SF_DIR).to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
