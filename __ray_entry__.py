@@ -3848,6 +3848,16 @@ def _q_contamination_by_benchdoc(sf_dir: str):
     return contamination_by_benchdoc(docs, bench, n=8)
 
 
+def _q_neardup_cluster_purity(sf_dir: str):
+    """T164: near-dup cluster source-purity histogram — template
+    re-posts (1-source clusters) vs syndication (multi-source), over
+    the exact-3-gram-Jaccard clusters."""
+    from fast_langdetect_ray.stages.dedup import neardup_cluster_purity
+    return neardup_cluster_purity(
+        _read(sf_dir, "documents"), n=3, jaccard_threshold=0.5,
+        max_df=64)
+
+
 def _q_minhash_param_sweep(sf_dir: str):
     """T147: MinHash-LSH (bands × rows) tuning table — the
     scale-planning report run BEFORE committing a 100-TB dedup to one
@@ -4115,6 +4125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_size_slope": _q_brand_price_size_slope,
         "source_exemplars": _q_source_exemplars,
         "contamination_by_benchdoc": _q_contamination_by_benchdoc,
+        "neardup_cluster_purity": _q_neardup_cluster_purity,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -4612,6 +4623,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id NOT IN
                   (SELECT node FROM comp WHERE component < node)
+        """,
+        # T164: same recursive closure + source rollup; histogram of
+        # distinct-source counts per near-dup cluster
+        "neardup_cluster_purity": f"""
+            WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            comp AS (SELECT s AS node, least(s, min(d)) AS component
+                     FROM reach GROUP BY s),
+            members AS (
+              SELECT c.component, d.source
+              FROM comp c JOIN documents d ON d.doc_id = c.node
+            ),
+            per AS (
+              SELECT component,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              FROM members GROUP BY component
+            )
+            SELECT n_sources,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs
+            FROM per GROUP BY n_sources
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,

@@ -183,6 +183,7 @@ HEADLINE = [
     "brand_price_size_slope",
     "source_exemplars",
     "contamination_by_benchdoc",
+    "neardup_cluster_purity",
 ]
 
 

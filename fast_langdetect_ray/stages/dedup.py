@@ -1876,3 +1876,131 @@ def effective_token_ratio(ds, group_col: str = "source",
         "distinct_tokens": pa.array(dt),
         "effective_ratio": pa.array(ratio, type=pa.float64()),
     }))
+
+
+def neardup_cluster_purity(ds, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           source_col: str = "source",
+                           n: int = 3, jaccard_threshold: float = 0.5,
+                           max_df: int = 64,
+                           num_partitions: int | None = None):
+    """T164: near-dup cluster SOURCE-purity histogram — for every
+    exact-n-gram-Jaccard near-dup cluster, how many distinct sources
+    its members span, rolled up to ``(n_sources, n_clusters,
+    n_docs)``.  The report that says WHAT near-duplication is:
+    1-source clusters are templates/re-posts inside one crawl (fix
+    that source's extractor); multi-source clusters are syndication
+    (dedup globally, keep-best by source quality).
+
+    Composition: :func:`ngram_jaccard_pairs` → distributed
+    :func:`connected_components` → ONE id-bucket join attaches
+    ``source`` to cluster members → per-batch distinct
+    ``(component, source)`` + member-count partials → component-bucket
+    fold (each component's rows co-locate; distinct source counts sum
+    exactly) → a value-domain-bounded final groupby.  Exact pair
+    semantics end to end — the oracle runs the same recursive-CTE
+    closure as ``ngram_dedup_corpus`` plus a source rollup.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..state.pools import default_hash_buckets
+    from ..state.shufflejoin import hash_bucket_join
+
+    pairs = ngram_jaccard_pairs(
+        ds, text_col=text_col, id_col=id_col, n=n,
+        jaccard_threshold=jaccard_threshold, max_df=max_df,
+        num_partitions=num_partitions).materialize()
+    empty = pa.table({
+        "n_sources": pa.array([], type=pa.int64()),
+        "n_clusters": pa.array([], type=pa.int64()),
+        "n_docs": pa.array([], type=pa.int64()),
+    })
+    if not pairs.take(1):
+        import ray.data as rd
+        return rd.from_arrow(empty)
+    comp = connected_components(pairs, out_id=id_col,
+                                num_partitions=num_partitions)
+    members = hash_bucket_join(
+        comp, ds.select_columns([id_col, source_col]), on=(id_col,),
+        join_type="inner", num_buckets=num_partitions)
+
+    nb = np.int64(default_hash_buckets())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = batch["component"].to_numpy(zero_copy_only=False)
+        s = np.asarray(batch[source_col].to_pylist(), dtype=object)
+        o = np.lexsort((s, c))
+        cs, ss = c[o], s[o]
+        first = np.empty(cs.size, dtype=bool)
+        if cs.size:
+            first[0] = True
+            first[1:] = (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])
+        # member-count partials (kind 0) + distinct-source rows (kind 1)
+        uc, un = np.unique(c, return_counts=True)
+        comp_all = np.concatenate([uc, cs[first]])
+        kind = np.concatenate([np.zeros(uc.size, dtype=np.int8),
+                               np.ones(int(first.sum()), dtype=np.int8)])
+        val = np.concatenate([un.astype(np.int64),
+                              np.zeros(int(first.sum()), np.int64)])
+        srcs = np.concatenate([np.full(uc.size, "", dtype=object),
+                               ss[first]])
+        return pa.table({
+            "component": pa.array(comp_all, type=pa.int64()),
+            "kind": pa.array(kind),
+            "val": pa.array(val),
+            "src": pa.array(srcs, type=pa.string()),
+            "bucket": pa.array((comp_all % nb).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        c = g["component"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        s = np.asarray(g["src"].to_pylist(), dtype=object)
+        # docs per component: sum the count partials
+        m0 = kind == 0
+        uc, inv = np.unique(c[m0], return_inverse=True)
+        nd = np.zeros(uc.size, dtype=np.int64)
+        np.add.at(nd, inv, val[m0])
+        # distinct sources per component: cross-batch dedup then count
+        m1 = kind == 1
+        cc, ss = c[m1], s[m1]
+        o = np.lexsort((ss, cc))
+        cc, ss = cc[o], ss[o]
+        first = np.empty(cc.size, dtype=bool)
+        if cc.size:
+            first[0] = True
+            first[1:] = (cc[1:] != cc[:-1]) | (ss[1:] != ss[:-1])
+        us, cnt = np.unique(cc[first], return_counts=True)
+        # us aligns with uc (every component has both row kinds)
+        pos = np.searchsorted(uc, us)
+        ns = np.zeros(uc.size, dtype=np.int64)
+        ns[pos] = cnt
+        return pa.table({
+            "component": pa.array(uc),
+            "n_docs": pa.array(nd),
+            "n_sources": pa.array(ns),
+        })
+
+    per_comp = (members.map_batches(partials, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .groupby("bucket")
+                .map_groups(fold, batch_format="pyarrow"))
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "n_sources": batch["n_sources"],
+            "n_clusters": pa.array(
+                np.ones(len(batch), dtype=np.int64)),
+            "n_docs": batch["n_docs"],
+        })
+        return t.group_by(["n_sources"], use_threads=False).aggregate(
+            [("n_clusters", "sum"), ("n_docs", "sum")]
+        ).rename_columns(["n_sources", "n_clusters", "n_docs"])
+
+    import ray.data as rd
+    return rd.from_arrow(empty).union(
+        per_comp.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("n_sources")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"),
+                   Sum("n_docs", alias_name="n_docs")))

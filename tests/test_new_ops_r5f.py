@@ -608,3 +608,90 @@ def test_source_exemplars_partition_invariant(ray_session):
     b = e._q_source_exemplars(SF_DIR).to_pandas() \
         .sort_values(["source", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- T164
+
+
+def test_neardup_cluster_purity_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["neardup_cluster_purity"](SF_DIR)
+           .to_pandas().set_index("n_sources").sort_index())
+
+    # brute force: exact 3-gram jaccard >= 0.5 (rare grams, df<=64),
+    # union-find, per-cluster distinct sources
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    ids = t["doc_id"].to_pylist()
+    srcs = dict(zip(ids, t["source"].to_pylist()))
+    grams = {}
+    df = collections.Counter()
+    for i, txt in zip(ids, t["text"].to_pylist()):
+        toks = [w for w in (txt or "").lower().split() if w]
+        g = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        grams[i] = g
+        for x in g:
+            df[x] += 1
+    rare = {g for g, c in df.items() if c <= 64}
+    for i in grams:
+        grams[i] = grams[i] & rare
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    inv = collections.defaultdict(list)
+    for i, g in grams.items():
+        for x in g:
+            inv[x].append(i)
+    cand = {tuple(sorted(p)) for lst in inv.values()
+            for p in zip(lst, lst[1:])}
+    # full candidate set: all pairs sharing any gram
+    cand = set()
+    for lst in inv.values():
+        for a_i in range(len(lst)):
+            for b_i in range(a_i + 1, len(lst)):
+                cand.add((min(lst[a_i], lst[b_i]),
+                          max(lst[a_i], lst[b_i])))
+    linked = set()
+    for a, b in cand:
+        inter = len(grams[a] & grams[b])
+        union = len(grams[a] | grams[b])
+        if union and inter / union >= 0.5:
+            linked.add((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = collections.defaultdict(set)
+    in_pairs = {x for p in linked for x in p}
+    for i in in_pairs:
+        clusters[find(i)].add(i)
+    hist = collections.Counter()
+    docs_by_ns = collections.Counter()
+    for members in clusters.values():
+        ns = len({srcs[i] for i in members})
+        hist[ns] += 1
+        docs_by_ns[ns] += len(members)
+    assert len(got) == len(hist)
+    for ns, nc in hist.items():
+        assert got.loc[ns, "n_clusters"] == nc
+        assert got.loc[ns, "n_docs"] == docs_by_ns[ns]
+
+
+def test_neardup_cluster_purity_no_pairs(ray_session):
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import neardup_cluster_purity
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "source": pa.array(["a", "b"], type=pa.string()),
+        "text": pa.array(["completely different words here",
+                          "nothing alike whatsoever in common"],
+                         type=pa.string()),
+    })
+    got = neardup_cluster_purity(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 0
