@@ -3848,6 +3848,252 @@ def _q_contamination_by_benchdoc(sf_dir: str):
     return contamination_by_benchdoc(docs, bench, n=8)
 
 
+def _per_order_ship_rows(sf_dir: str):
+    """Shared T165/T166 plan: one orderkey-bucket tagged-union shuffle
+    (the T150 semi-join machinery) reduced to per-ORDER rows
+    ``(o_orderpriority, od_us, ms_us)`` — order date and max shipdate
+    in integer µs, inner-join semantics (orders with no lineitems
+    drop).  Lineitem pre-aggregates to per-orderkey MAX partials
+    before the exchange."""
+    from fast_langdetect_ray.state.pools import default_hash_buckets
+
+    nb = default_hash_buckets()
+
+    def orders_part(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"]
+        return pa.table({
+            "key": key,
+            "ts_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "prio": batch["o_orderpriority"],
+            "tag": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "bucket": pc.cast(pc.bit_wise_and(
+                key, pa.scalar(nb - 1, type=pa.int64())), pa.int64()),
+        })
+
+    def line_part(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "key": batch["l_orderkey"],
+            "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+        }).group_by(["key"], use_threads=False).aggregate(
+            [("ship_us", "max")]).rename_columns(["key", "ts_us"])
+        n = t.num_rows
+        return t.append_column(
+            "prio", pa.array([None] * n, type=pa.string())
+        ).append_column(
+            "tag", pa.array(np.ones(n, dtype=np.int8))
+        ).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(
+                t["key"], pa.scalar(nb - 1, type=pa.int64())),
+                pa.int64()))
+
+    def bucket_rows(g: pa.Table) -> pa.Table:
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        is_line = tag == 1
+        lk, ls = key[is_line], ts[is_line]
+        order = np.argsort(lk, kind="stable")
+        lk, ls = lk[order], ls[order]
+        starts = np.empty(lk.size, dtype=bool)
+        if lk.size:
+            starts[0] = True
+            starts[1:] = lk[1:] != lk[:-1]
+        uk = lk[starts]
+        seg = np.cumsum(starts) - 1
+        mx = np.full(uk.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, seg, ls)
+        ok, od = key[~is_line], ts[~is_line]
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)[~is_line]
+        pos = np.searchsorted(uk, ok)
+        has = (pos < uk.size)
+        has[has] = uk[pos[has]] == ok[has]
+        return pa.table({
+            "o_orderpriority": pa.array(prio[has], type=pa.string()),
+            "od_us": pa.array(od[has]),
+            "ms_us": pa.array(mx[pos[has]]),
+        })
+
+    orders = (_read(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+              .map_batches(orders_part, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    line = (_read(sf_dir, "lineitem")
+            .select_columns(["l_orderkey", "l_shipdate"])
+            .map_batches(line_part, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    return (orders.union(line)
+            .groupby("bucket")
+            .map_groups(bucket_rows, batch_format="pyarrow"))
+
+
+def _q_fulfilment_lag_quantiles(sf_dir: str):
+    """T165: per-priority EXACT discrete quantiles (p50/p90/p99) of
+    the order fulfilment lag in whole days (max shipdate − order
+    date) — the SLA curve behind T150's binary late flag.  T26
+    semantics (smallest value with cum ≥ n·q ≡ ``quantile_disc``)
+    over a value-domain-bounded (priority, lag_days) histogram; the
+    per-order rows come from the shared one-shuffle T150 plan."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lag = (batch["ms_us"].to_numpy(zero_copy_only=False)
+               - batch["od_us"].to_numpy(zero_copy_only=False)) \
+            // day_us
+        t = pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "lag_days": pa.array(lag.astype(np.int64)),
+            "cnt": pa.array(np.ones(lag.size, dtype=np.int64)),
+        })
+        return t.group_by(["o_orderpriority", "lag_days"],
+                          use_threads=False).aggregate(
+            [("cnt", "sum")]
+        ).rename_columns(["o_orderpriority", "lag_days", "cnt"])
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("lag_days")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["lag_days"].to_numpy()
+        n = int(cum[-1])
+        row = {"o_orderpriority": [g["o_orderpriority"].iloc[0]],
+               "n_orders": [n]}
+        for q in (0.5, 0.9, 0.99):
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            idx = int(np.searchsorted(cum, k))
+            row[f"p{int(q * 100)}"] = [int(vals[idx])]
+        return pd.DataFrame(row)
+
+    return (_per_order_ship_rows(sf_dir)
+            .map_batches(hist, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["o_orderpriority", "lag_days"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby("o_orderpriority")
+            .map_groups(quantiles, batch_format="pandas"))
+
+
+_BACKLOG_LO = "1995-01"
+_BACKLOG_HI = "2002-02"  # exclusive numpy month stop → 1995-01..2002-01
+
+
+def _q_orders_backlog(sf_dir: str):
+    """T166: open-order backlog time series — how many orders were
+    placed but not yet fully shipped at each month boundary
+    (``od ≤ t < max_ship``).  The interval-overlap count every
+    operations dashboard needs, computed WITHOUT a range join: each
+    per-order interval turns into +1/−1 on a bounded month grid
+    (difference array) inside the bucket pass, cumsums locally, and
+    the month-sized partials Sum across buckets (each order lives in
+    exactly one bucket).  85 rows out regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    months = np.arange(np.datetime64(_BACKLOG_LO, "M"),
+                       np.datetime64(_BACKLOG_HI, "M"))
+    grid_us = months.astype("datetime64[us]").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        od = batch["od_us"].to_numpy(zero_copy_only=False)
+        ms = batch["ms_us"].to_numpy(zero_copy_only=False)
+        # open at t ⇔ od ≤ t < ms: contribute to grid slots
+        # [first t ≥ od, first t ≥ ms)
+        lo = np.searchsorted(grid_us, od, side="left")
+        hi = np.searchsorted(grid_us, ms, side="left")
+        # ms < od happens in real (and this synthetic) data — an
+        # unclamped negative interval would SUBTRACT from the grid
+        hi = np.maximum(hi, lo)
+        diff = np.zeros(grid_us.size + 1, dtype=np.int64)
+        np.add.at(diff, lo, 1)
+        np.add.at(diff, hi, -1)
+        open_cnt = np.cumsum(diff[:-1])
+        return pa.table({
+            "month_start": pa.array(months.astype("datetime64[us]")),
+            "n_open": pa.array(open_cnt),
+        })
+
+    return (_per_order_ship_rows(sf_dir)
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("month_start")
+            .aggregate(Sum("n_open", alias_name="n_open")))
+
+
+def _q_label_centroid_cosine(sf_dir: str):
+    """T167: inter-label centroid cosine matrix — the
+    class-separation audit run before trusting embeddings for
+    classification or SemDeDup (two labels with cosine ≈ 1 are
+    indistinguishable to the encoder).  Cosine is scale-invariant, so
+    the centroid cosine equals the cosine of the per-(label, dim)
+    fixed-point nano SUMS — exact ints end to end (T154 kernel keyed
+    by label; the final fold is a (labels × dims)-bounded driver take,
+    documented), one identical IEEE expression per pair both engines.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from fast_langdetect_ray.stages.similarity import _embedding_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, "embedding", dtype=np.float64)
+        if m.size == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "s_nano": pa.array([], type=pa.int64()),
+            })
+        nano = np.floor(m * 1e9 + 0.5).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((ul.size, m.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, nano)
+        dims = np.tile(np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                       ul.size)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, m.shape[1])),
+            "dim": pa.array(dims),
+            "s_nano": pa.array(sums.ravel()),
+        })
+
+    agg = (_read(sf_dir, "embeddings")
+           .select_columns(["label", "embedding"])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s_nano", alias_name="s_nano"))
+           .to_pandas())  # (labels × dims)-bounded, documented
+
+    by_label: dict[int, dict[int, int]] = {}
+    for lbl, dim, s in zip(agg["label"], agg["dim"], agg["s_nano"]):
+        by_label.setdefault(int(lbl), {})[int(dim)] = int(s)
+    labels = sorted(by_label)
+    vecs = {l: [by_label[l].get(d, 0)
+                for d in sorted(by_label[l])] for l in labels}
+    rows = {"label_a": [], "label_b": [], "cosine": []}
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            da = sum(x * x for x in vecs[a])
+            db = sum(y * y for y in vecs[b])
+            cos = (float(num) / (math.sqrt(float(da))
+                                 * math.sqrt(float(db)))
+                   if da and db else 0.0)
+            rows["label_a"].append(a)
+            rows["label_b"].append(b)
+            rows["cosine"].append(cos)
+    import pandas as pd
+    return pd.DataFrame({
+        "label_a": pd.Series(rows["label_a"], dtype="int64"),
+        "label_b": pd.Series(rows["label_b"], dtype="int64"),
+        "cosine": pd.Series(rows["cosine"], dtype="float64"),
+    })
+
+
 def _q_neardup_cluster_purity(sf_dir: str):
     """T164: near-dup cluster source-purity histogram — template
     re-posts (1-source clusters) vs syndication (multi-source), over
@@ -4126,6 +4372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_exemplars": _q_source_exemplars,
         "contamination_by_benchdoc": _q_contamination_by_benchdoc,
         "neardup_cluster_purity": _q_neardup_cluster_purity,
+        "fulfilment_lag_quantiles": _q_fulfilment_lag_quantiles,
+        "orders_backlog": _q_orders_backlog,
+        "label_centroid_cosine": _q_label_centroid_cosine,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -6164,6 +6413,81 @@ def oracle_sql() -> dict[str, str]:
                              x -> x <> '')) AS t
                   FROM documents)
             GROUP BY lang, least(length(t), 32)
+        """,
+        # T165: per-priority fulfilment-lag quantiles; T26 walk ≡
+        # quantile_disc, integer day lags
+        "fulfilment_lag_quantiles": """
+            WITH mx AS (
+              SELECT l_orderkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            lag AS (
+              SELECT o.o_orderpriority,
+                     CAST((epoch_us(m.ms) - epoch_us(o.o_orderdate))
+                          // 86400000000 AS BIGINT) AS lag_days
+              FROM orders o JOIN mx m ON o.o_orderkey = m.l_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(lag_days, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(lag_days, 0.99) AS BIGINT) AS p99
+            FROM lag GROUP BY o_orderpriority
+        """,
+        # T166: open-order backlog per month boundary; LEFT JOIN
+        # zero-fill over the bounded month grid
+        "orders_backlog": """
+            WITH mx AS (
+              SELECT l_orderkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            iv AS (
+              SELECT o.o_orderdate AS od, m.ms
+              FROM orders o JOIN mx m ON o.o_orderkey = m.l_orderkey
+            ),
+            months AS (
+              SELECT unnest(generate_series(
+                  TIMESTAMP '1995-01-01', TIMESTAMP '2002-01-01',
+                  INTERVAL 1 MONTH)) AS month_start
+            )
+            SELECT months.month_start,
+                   CAST(count(iv.od) AS BIGINT) AS n_open
+            FROM months LEFT JOIN iv
+              ON iv.od <= months.month_start
+             AND months.month_start < iv.ms
+            GROUP BY months.month_start
+        """,
+        # T167: inter-label centroid cosine from HUGEINT nano sums;
+        # one identical IEEE expression per pair
+        "label_centroid_cosine": """
+            WITH e AS (
+              SELECT label, i AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                            AS i) r
+            ),
+            s AS (
+              SELECT label, dim,
+                     sum(CAST(floor(x * 1000000000 + 0.5) AS HUGEINT))
+                         AS s
+              FROM e GROUP BY label, dim
+            ),
+            p AS (
+              SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS num
+              FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY a.label, b.label
+            ),
+            nrm AS (SELECT label, sum(s * s) AS den FROM s
+                    GROUP BY label)
+            SELECT CAST(p.la AS BIGINT) AS label_a,
+                   CAST(p.lb AS BIGINT) AS label_b,
+                   CAST(p.num AS DOUBLE)
+                       / (sqrt(CAST(na.den AS DOUBLE))
+                          * sqrt(CAST(nb.den AS DOUBLE))) AS cosine
+            FROM p
+            JOIN nrm na ON na.label = p.la
+            JOIN nrm nb ON nb.label = p.lb
         """,
         # T150: EXISTS semi-join ⇔ max(shipdate) comparison; pure
         # integer date arithmetic, HUGEINT-widened ppm

@@ -184,6 +184,9 @@ HEADLINE = [
     "source_exemplars",
     "contamination_by_benchdoc",
     "neardup_cluster_purity",
+    "fulfilment_lag_quantiles",
+    "orders_backlog",
+    "label_centroid_cosine",
 ]
 
 

@@ -695,3 +695,88 @@ def test_neardup_cluster_purity_no_pairs(ray_session):
     })
     got = neardup_cluster_purity(rd.from_arrow(t)).to_pandas()
     assert len(got) == 0
+
+
+# --------------------------------------------------------------- T165
+
+
+def test_fulfilment_lag_quantiles_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["fulfilment_lag_quantiles"](SF_DIR)
+           .to_pandas().set_index("o_orderpriority"))
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    mx = line.groupby("l_orderkey")["l_shipdate"].max()
+    joined = orders.join(mx, on="o_orderkey", how="inner")
+    lag = ((joined["l_shipdate"].astype("int64")
+            - joined["o_orderdate"].astype("int64"))
+           // (86_400_000_000 * (1000 if joined["l_shipdate"].dtype
+                                 == "datetime64[ns]" else 1)))
+    import math
+    for prio, g in pd.DataFrame(
+            {"p": joined["o_orderpriority"], "lag": lag}).groupby("p"):
+        vals = np.sort(g["lag"].to_numpy())
+        n = len(vals)
+        assert got.loc[prio, "n_orders"] == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            k = max(1, int(math.ceil(n * q - 1e-9)))
+            assert got.loc[prio, col] == vals[k - 1]
+
+
+# --------------------------------------------------------------- T166
+
+
+def test_orders_backlog_matches_python(ray_session):
+    m = _entry()
+    got = (m.queries()["orders_backlog"](SF_DIR)
+           .to_pandas().set_index("month_start").sort_index())
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    line = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    mx = line.groupby("l_orderkey")["l_shipdate"].max()
+    joined = orders.join(mx, on="o_orderkey", how="inner")
+    months = pd.date_range("1995-01-01", "2002-01-01", freq="MS")
+    assert len(got) == len(months)
+    total = 0
+    for t in months:
+        n = int(((joined["o_orderdate"] <= t)
+                 & (t < joined["l_shipdate"])).sum())
+        assert got.loc[t, "n_open"] == n
+        total += n
+    assert total > 0  # the series is non-degenerate
+
+
+# --------------------------------------------------------------- T167
+
+
+def test_label_centroid_cosine_matches_python(ray_session):
+    import math
+
+    m = _entry()
+    got = (m.queries()["label_centroid_cosine"](SF_DIR)
+           .set_index(["label_a", "label_b"]).sort_index())
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    nano = np.floor(mat * 1e9 + 0.5).astype(np.int64).astype(object)
+    labels = t["label"].to_numpy()
+    sums = {}
+    for l in np.unique(labels):
+        sums[int(l)] = nano[labels == l].sum(axis=0)  # object = exact
+    ls = sorted(sums)
+    n_pairs = 0
+    for i, a in enumerate(ls):
+        for b in ls[i + 1:]:
+            num = int(sum(x * y for x, y in zip(sums[a], sums[b])))
+            da = int(sum(x * x for x in sums[a]))
+            db = int(sum(y * y for y in sums[b]))
+            want = float(num) / (math.sqrt(float(da))
+                                 * math.sqrt(float(db)))
+            assert got.loc[(a, b), "cosine"] == want
+            n_pairs += 1
+    assert len(got) == n_pairs
+    # labels are distinct clusters: no pair should be ~identical
+    assert (got["cosine"] < 0.999).all()
