@@ -480,6 +480,26 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             from .stages.scrub import pii_density
             out = pii_density(ds, text_col=args.text_col,
                               source_col=args.repo_col)
+        elif args.mode == "overflow":
+            from .stages.mixture import context_overflow
+            out = context_overflow(ds, seq_len=args.seq_len,
+                                   text_col=args.text_col,
+                                   source_col=args.repo_col)
+        elif args.mode == "junk":
+            from .stages.normalize import encoding_junk
+            out = encoding_junk(ds, text_col=args.text_col,
+                                source_col=args.repo_col)
+        elif args.mode == "script-mismatch":
+            from .stages.diversity import script_lang_mismatch
+            out = script_lang_mismatch(ds, source_col=args.repo_col,
+                                       text_col=args.text_col)
+        elif args.mode == "token-lengths":
+            from .stages.textstats import token_length_histogram
+            out = token_length_histogram(ds, text_col=args.text_col)
+        elif args.mode == "affix":
+            from .stages.boilerplate import doc_prefix_dup
+            out = doc_prefix_dup(ds, text_col=args.text_col,
+                                 id_col=args.id_col, part=args.part)
         else:
             from .stages.textstats import gram_novelty
             out = gram_novelty(ds, n=args.n, text_col=args.text_col,
@@ -925,7 +945,9 @@ def main(argv=None) -> int:
                              "compressibility", "spectrum",
                              "diversity", "zipf", "cond-entropy",
                              "oov", "coverage", "growth",
-                             "mixture", "packing", "gopher", "pii"])
+                             "mixture", "packing", "gopher", "pii",
+                             "overflow", "junk", "script-mismatch",
+                             "token-lengths", "affix"])
     an.add_argument("--k-top", type=int, default=50,
                     help="collocations: bigrams kept")
     an.add_argument("--min-count", type=int, default=5,
@@ -936,7 +958,10 @@ def main(argv=None) -> int:
     an.add_argument("--budget-tokens", type=int, default=10_000_000,
                     help="mixture: global training token budget")
     an.add_argument("--seq-len", type=int, default=2048,
-                    help="packing: context length")
+                    help="packing/overflow: context length")
+    an.add_argument("--part", default="prefix",
+                    choices=["prefix", "suffix"],
+                    help="affix: duplicate-intro vs duplicate-closing")
     an.add_argument("--text-col", default="text")
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--num-cpus", type=int, default=8)

@@ -1045,3 +1045,34 @@ def test_cli_events_skew_and_type_entropy(tmp_path):
     ]).to_pandas().set_index("id")
     assert got2.loc[5, "type_entropy"] == 0.0
     assert got2.loc[9, "n_types"] == 2
+
+
+def test_cli_analyze_overflow_and_affix(tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "source": pa.array(["s", "s", "s"], type=pa.string()),
+        "text": ["w " * 100, "same ending here", "also same ending here"],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "overflow"
+    p = _run("analyze", str(src), str(out), "--mode", "overflow",
+             "--seq-len", "64", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = pa.concat_tables([
+        pq.read_table(f) for f in sorted(out.rglob("*.parquet"))
+    ]).to_pandas()
+    assert int(got["n_docs_over"].iloc[0]) == 1
+    assert int(got["trunc_tokens"].iloc[0]) == 36
+
+    out2 = tmp_path / "affix"
+    p = _run("analyze", str(src), str(out2), "--mode", "affix",
+             "--part", "suffix", "--num-cpus", "4", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["rows_out"] == 1  # the shared 3-token closing
