@@ -4094,6 +4094,13 @@ def _q_label_centroid_cosine(sf_dir: str):
     })
 
 
+def _q_dedup_loss_matrix(sf_dir: str):
+    """T168: exact-dedup survivorship — who loses documents to whom
+    under keep-first (winner = min doc_id per content)."""
+    from fast_langdetect_ray.stages.dedup import dedup_loss_matrix
+    return dedup_loss_matrix(_read(sf_dir, "documents"))
+
+
 def _q_neardup_cluster_purity(sf_dir: str):
     """T164: near-dup cluster source-purity histogram — template
     re-posts (1-source clusters) vs syndication (multi-source), over
@@ -4375,6 +4382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfilment_lag_quantiles": _q_fulfilment_lag_quantiles,
         "orders_backlog": _q_orders_backlog,
         "label_centroid_cosine": _q_label_centroid_cosine,
+        "dedup_loss_matrix": _q_dedup_loss_matrix,
         # rows-only: LSH banding is not SQL-expressible (brute-force
         # exact-Jaccard pytest oracle)
         "minhash_param_sweep": _q_minhash_param_sweep,
@@ -6413,6 +6421,26 @@ def oracle_sql() -> dict[str, str]:
                              x -> x <> '')) AS t
                   FROM documents)
             GROUP BY lang, least(length(t), 32)
+        """,
+        # T168: keep-first survivorship matrix; winner = min doc_id
+        # per sha256 content, losers grouped by (winner, loser) source
+        "dedup_loss_matrix": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     sha256(coalesce(text, '')) AS sha
+              FROM documents
+            ),
+            win AS (
+              SELECT sha, min(doc_id) AS win_id
+              FROM h GROUP BY sha
+            )
+            SELECT wh.source AS winner_source,
+                   l.source AS loser_source,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h l
+            JOIN win w ON l.sha = w.sha
+            JOIN h wh ON wh.doc_id = w.win_id
+            GROUP BY wh.source, l.source
         """,
         # T165: per-priority fulfilment-lag quantiles; T26 walk ≡
         # quantile_disc, integer day lags

@@ -187,6 +187,7 @@ HEADLINE = [
     "fulfilment_lag_quantiles",
     "orders_backlog",
     "label_centroid_cosine",
+    "dedup_loss_matrix",
 ]
 
 

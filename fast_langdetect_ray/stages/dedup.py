@@ -2004,3 +2004,82 @@ def neardup_cluster_purity(ds, text_col: str = "text",
         .groupby("n_sources")
         .aggregate(Sum("n_clusters", alias_name="n_clusters"),
                    Sum("n_docs", alias_name="n_docs")))
+
+
+def dedup_loss_matrix(ds, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source"):
+    """T168: exact-dedup SURVIVORSHIP matrix — for keep-first exact
+    dedup (winner = smallest id per content), the full
+    ``(winner_source, loser_source, n_docs)`` flow matrix: the
+    DIAGONAL (winner == loser) counts a source's KEPT docs (winners
+    and uniques), off-diagonal cells count docs a source LOSES to a
+    winning copy in another source.  Column sums over each
+    ``loser_source`` equal that source's total doc count — the
+    conservation invariant the test pins.  The directional
+    complement of T77 ``repo_overlap`` (symmetric sharing) and T69
+    ``source_dup_stats`` (per-source rate): "crawl-B loses 40k docs
+    to crawl-A" says B is downstream of A (mirror/scraper) — drop
+    B's duplicates with confidence, or reorder ingestion priority.
+
+    Scale shape: the T69 pattern — per-batch (sha, id, source)
+    projection, ONE sha-bucket shuffle co-locates every copy of a
+    content hash, per-bucket winner = min id (exact: all copies of a
+    sha share its bucket), each row emits one (winner_source,
+    loser_source) partial → a source-pair-bounded ``groupby().Sum``.
+    Text never moves — only hashes, ids, source names."""
+    from ray.data.aggregate import Sum
+
+    nb = np.uint64(_pair_buckets())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = add_sha256(batch.select([source_col, id_col, text_col]),
+                       text_col=text_col)
+        sha = np.asarray(b["text_sha256"].to_pylist(), dtype=object)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        src = np.asarray(
+            pa.compute.fill_null(batch[source_col], "").to_pylist(),
+            dtype=object)
+        h = np.fromiter((int(s[:16], 16) for s in sha),
+                        dtype=np.uint64, count=sha.size)
+        with np.errstate(over="ignore"):
+            bucket = ((h * _BUCKET_MIX) % nb).astype(np.int64)
+        return pa.table({
+            "sha": pa.array(sha, type=pa.string()),
+            "id": pa.array(ids, type=pa.int64()),
+            "src": pa.array(src, type=pa.string()),
+            "bucket": pa.array(bucket),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["sha"].to_pylist(), dtype=object)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["src"].to_pylist(), dtype=object)
+        o = np.lexsort((ids, sha))
+        sha, ids, src = sha[o], ids[o], src[o]
+        first = np.empty(sha.size, dtype=bool)
+        if sha.size:
+            first[0] = True
+            first[1:] = sha[1:] != sha[:-1]
+        # winner of each run = its first row (min id within sha);
+        # every row emits exactly one cell: winners/uniques land on
+        # the diagonal, losers on (winner_source, own source)
+        run_idx = np.cumsum(first) - 1
+        win_src = src[first][run_idx]       # winner source per row
+        t = pa.table({
+            "winner_source": pa.array(win_src, type=pa.string()),
+            "loser_source": pa.array(src, type=pa.string()),
+            "n_docs": pa.array(np.ones(src.size, dtype=np.int64)),
+        })
+        return t.group_by(["winner_source", "loser_source"],
+                          use_threads=False).aggregate(
+            [("n_docs", "sum")]
+        ).rename_columns(["winner_source", "loser_source", "n_docs"])
+
+    return (ds.select_columns([id_col, source_col, text_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .groupby(["winner_source", "loser_source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

@@ -780,3 +780,45 @@ def test_label_centroid_cosine_matches_python(ray_session):
     assert len(got) == n_pairs
     # labels are distinct clusters: no pair should be ~identical
     assert (got["cosine"] < 0.999).all()
+
+
+# --------------------------------------------------------------- T168
+
+
+def test_dedup_loss_matrix_conservation_and_flows(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fast_langdetect_ray.stages.dedup import dedup_loss_matrix
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "source": pa.array(["a", "b", "b", "a", "c", "c"],
+                           type=pa.string()),
+        "text": pa.array([
+            "dup one", "dup one",      # b loses to a
+            "dup two", "dup two",      # a loses to b (id 3 < 4)
+            "unique five", "dup one",  # c loses to a
+        ], type=pa.string()),
+    })
+    got = (dedup_loss_matrix(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index(["winner_source", "loser_source"]))
+    assert got.loc[("a", "b"), "n_docs"] == 1
+    assert got.loc[("b", "a"), "n_docs"] == 1
+    assert got.loc[("a", "c"), "n_docs"] == 1
+    assert got.loc[("a", "a"), "n_docs"] == 1  # a keeps "dup one"
+    assert got.loc[("b", "b"), "n_docs"] == 1  # b keeps "dup two"
+    assert got.loc[("c", "c"), "n_docs"] == 1  # c keeps its unique
+    # conservation: column sums per loser == that source's doc count
+    col = got.reset_index().groupby("loser_source")["n_docs"].sum()
+    assert col.to_dict() == {"a": 2, "b": 2, "c": 2}
+
+
+def test_dedup_loss_matrix_sf_conservation(ray_session):
+    m = _entry()
+    got = m.queries()["dedup_loss_matrix"](SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source"])
+    want = collections.Counter(t["source"].to_pylist())
+    col = got.groupby("loser_source")["n_docs"].sum().to_dict()
+    assert col == dict(want)
